@@ -1,0 +1,45 @@
+"""Test fixture: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip hardware isn't available in CI; sharding tests use XLA's
+host-platform device-count override (the standard JAX pattern for testing
+pjit/shard_map layouts without real chips).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import pathlib
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+CORNELL = REPO.parent / "reference" / "Assets" / "CornellBox" / "cornell.gltf"
+CORNELL_EMISSIVE = (
+    REPO.parent / "reference" / "Assets" / "CornellBox" / "cornell_emissive.gltf"
+)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)
+
+
+@pytest.fixture(scope="session")
+def cornell_cpu():
+    from zetaray_tpu.scene import load_scene
+
+    if not CORNELL_EMISSIVE.exists():
+        pytest.skip("Cornell asset not available")
+    return load_scene(CORNELL_EMISSIVE)
+
+
+@pytest.fixture(scope="session")
+def cornell_dev(cornell_cpu):
+    from zetaray_tpu.scene import upload_scene
+
+    return upload_scene(cornell_cpu)

@@ -1,0 +1,55 @@
+"""Camera ray-generation tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from zetaray_tpu.scene.camera import Camera
+
+
+def test_center_ray_points_forward():
+    cam = Camera.look_at((0, 1, 3), (0, 1, 0), vfov_deg=60, aspect=1.0)
+    # odd resolution puts a pixel exactly at the center
+    o, d = cam.generate_rays(9, 9)
+    c = np.asarray(d[4 * 9 + 4])
+    np.testing.assert_allclose(c, [0, 0, -1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o[0]), [0, 1, 3], atol=1e-6)
+
+
+def test_fov_corners():
+    cam = Camera.look_at((0, 0, 0), (0, 0, -1), vfov_deg=90, aspect=1.0)
+    h = w = 101
+    o, d = cam.generate_rays(w, h)
+    d = np.asarray(d).reshape(h, w, 3)
+    # center row, rightmost pixel: x/z ~ tan(45deg) * (offset of pixel center)
+    ang = np.degrees(np.arctan2(d[50, -1, 0], -d[50, -1, 2]))
+    assert 43.0 < ang < 45.0
+    # y axis: top row should look up
+    assert d[0, 50, 1] > 0 and d[-1, 50, 1] < 0
+    # all unit
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+
+
+def test_jitter_changes_rays():
+    cam = Camera.look_at((0, 0, 0), (0, 0, -1))
+    o0, d0 = cam.generate_rays(16, 16)
+    o1, d1 = cam.with_jitter(5).generate_rays(16, 16)
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    j = cam.with_jitter(3).jitter
+    assert abs(j[0]) <= 0.5 and abs(j[1]) <= 0.5
+
+
+def test_thin_lens_dof():
+    cam = Camera.look_at((0, 0, 0), (0, 0, -5), vfov_deg=60, aspect=1.0, f_stop=1.4)
+    assert cam.lens_radius > 0
+    n = 16 * 16
+    u = jnp.asarray(np.random.default_rng(0).random((n, 2)))
+    o, d = cam.generate_rays(16, 16, lens_u=u)
+    o = np.asarray(o)
+    # origins spread over the lens
+    assert o.std(0).max() > 1e-3
+    # rays still converge at the focus plane: point at t where z = -5
+    d = np.asarray(d)
+    t = -5.0 / d[:, 2]
+    p = o + t[:, None] * d
+    # same-pixel spread at focus plane should be tiny vs lens spread
+    assert p[:, :2].std() < 10.0  # sanity: converging field

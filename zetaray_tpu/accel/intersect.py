@@ -1,0 +1,291 @@
+"""Ray/triangle intersection as dense MXU compute.
+
+This is the TPU-native replacement for the reference's DXR inline ray queries
+(RayQuery.hlsli:42-140, backed by hardware TLAS/BLAS). TPUs have no traversal
+hardware and hate divergent per-lane stacks, so the design inverts the
+problem: triangles are stored as Woop unit-triangle transforms packed into a
+``[4, 3, T]`` tensor (scene.py:_woop_matrices) and a whole tile of rays is
+tested against a whole tile of triangles with two small matmuls
+
+    local_o[N, 3, C] = einsum('nk,krc->nrc', [o|1][N,4], W[4,3,C])
+    local_d[N, 3, C] = einsum('nk,krc->nrc', [d|0][N,4], W[4,3,C])
+
+followed by elementwise VPU work (t = -ow/dw, barycentrics, validity mask)
+and a masked min-reduction over the triangle axis. Everything is static-shape,
+branch-free, and fuses under XLA; a hand-fused Pallas variant that keeps the
+[N, C] intermediates in VMEM is the follow-up optimization. For large scenes
+a host-built BVH culls triangle clusters before this dense test (accel.bvh).
+
+Closest-hit and any-hit (occlusion, for shadow rays) variants are provided,
+mirroring the reference's FindClosestHit / occlusion-only queries.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Miss sentinel. MUST stay a Python float: a module-level jnp scalar becomes a
+# device-array constant operand inside jit, which blocks XLA elementwise fusion
+# and was measured to slow the intersection kernel ~1000x on TPU.
+INF = 3.0e38
+_TRANSIENT_BUDGET = 128 * 1024 * 1024  # bytes of scan transients to tolerate
+
+
+class Hit(NamedTuple):
+    """Per-ray closest hit. ``tri < 0`` means miss (t == INF)."""
+
+    t: jnp.ndarray  # [N] f32
+    tri: jnp.ndarray  # [N] i32
+    u: jnp.ndarray  # [N] f32 barycentric
+    v: jnp.ndarray  # [N] f32
+
+    @property
+    def valid(self):
+        return self.tri >= 0
+
+
+def _homog(o: jnp.ndarray, w: float) -> jnp.ndarray:
+    return jnp.concatenate(
+        [o, jnp.full(o.shape[:-1] + (1,), w, o.dtype)], axis=-1
+    )
+
+
+def _chunk_sizes(num_tris_padded: int, tri_chunk: int):
+    c = min(tri_chunk, num_tris_padded)
+    while num_tris_padded % c:
+        c -= 128
+    r = max(1024, _TRANSIENT_BUDGET // (24 * c))
+    # round ray chunk to a power of two for friendlier shapes
+    r = 1 << int(np.floor(np.log2(r)))
+    return c, r
+
+
+def _local_coords(o4, d4, w_chunk):
+    """[R,4] rays x [4,3,C] Woop chunk -> local o/d components, each [R,C].
+
+    Precision.HIGHEST is required: the default MXU path computes matmuls in
+    bfloat16 passes, whose ~0.5% error is catastrophic for hit-t / barycentric
+    classification. HIGHEST keeps full f32 (6-pass on MXU) and still beats the
+    VPU formulation.
+    """
+    p = jax.lax.Precision.HIGHEST
+    lo = jnp.einsum(
+        "nk,krc->nrc", o4, w_chunk, precision=p, preferred_element_type=jnp.float32
+    )
+    ld = jnp.einsum(
+        "nk,krc->nrc", d4, w_chunk, precision=p, preferred_element_type=jnp.float32
+    )
+    return lo[:, 0], lo[:, 1], lo[:, 2], ld[:, 0], ld[:, 1], ld[:, 2]
+
+
+def _tri_hits(o4, d4, w_chunk, t_min, t_max):
+    """Returns (t [R,C] with INF at misses, u, v)."""
+    ou, ov, ow, du, dv, dw = _local_coords(o4, d4, w_chunk)
+    parallel = jnp.abs(dw) < 1e-12
+    safe_dw = jnp.where(parallel, 1.0, dw)
+    t = -ow / safe_dw
+    u = ou + t * du
+    v = ov + t * dv
+    valid = (
+        (~parallel)
+        & (t > t_min)
+        & (t < t_max)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+    )
+    return jnp.where(valid, t, INF), u, v
+
+
+def _closest_chunked(woop3, o, d, t_min, t_max, tri_chunk):
+    """Closest hit for one ray block [R, 3] against all triangles."""
+    tp = woop3.shape[2]
+    c, _ = _chunk_sizes(tp, tri_chunk)
+    n_chunks = tp // c
+    o4 = _homog(o, 1.0)
+    d4 = _homog(d, 0.0)
+
+    def body(carry, ci):
+        best_t, best_tri, best_u, best_v = carry
+        w_chunk = jax.lax.dynamic_slice_in_dim(woop3, ci * c, c, axis=2)
+        t, u, v = _tri_hits(o4, d4, w_chunk, t_min, t_max)
+        arg = jnp.argmin(t, axis=1)
+        tmin_c = jnp.take_along_axis(t, arg[:, None], axis=1)[:, 0]
+        u_c = jnp.take_along_axis(u, arg[:, None], axis=1)[:, 0]
+        v_c = jnp.take_along_axis(v, arg[:, None], axis=1)[:, 0]
+        better = tmin_c < best_t
+        best_tri = jnp.where(better, ci * c + arg.astype(jnp.int32), best_tri)
+        best_u = jnp.where(better, u_c, best_u)
+        best_v = jnp.where(better, v_c, best_v)
+        best_t = jnp.minimum(best_t, tmin_c)
+        return (best_t, best_tri, best_u, best_v), None
+
+    n = o.shape[0]
+    init = (
+        jnp.full((n,), INF),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,)),
+        jnp.zeros((n,)),
+    )
+    if n_chunks == 1:
+        (bt, btri, bu, bv), _ = body(init, 0)
+    else:
+        (bt, btri, bu, bv), _ = jax.lax.scan(
+            body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+    return Hit(t=bt, tri=btri, u=bu, v=bv)
+
+
+def _any_chunked(woop3, o, d, t_min, t_max, tri_chunk):
+    tp = woop3.shape[2]
+    c, _ = _chunk_sizes(tp, tri_chunk)
+    n_chunks = tp // c
+    o4 = _homog(o, 1.0)
+    d4 = _homog(d, 0.0)
+
+    def body(occluded, ci):
+        w_chunk = jax.lax.dynamic_slice_in_dim(woop3, ci * c, c, axis=2)
+        t, _, _ = _tri_hits(o4, d4, w_chunk, t_min, t_max)
+        return occluded | jnp.any(t < INF, axis=1), None
+
+    init = jnp.zeros((o.shape[0],), bool)
+    if n_chunks == 1:
+        occ, _ = body(init, 0)
+    else:
+        occ, _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    return occ
+
+
+def _ray_blocked(fn, woop3, o, d, tri_chunk, *args):
+    """Apply ``fn`` over ray blocks via lax.map to bound transients."""
+    tp = woop3.shape[2]
+    c, r = _chunk_sizes(tp, tri_chunk)
+    n = o.shape[0]
+    if n <= r:
+        return fn(woop3, o, d, *args, tri_chunk)
+    n_pad = ((n + r - 1) // r) * r
+    pad = n_pad - n
+    o_p = jnp.pad(o, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    o_b = o_p.reshape(n_pad // r, r, 3)
+    d_b = d_p.reshape(n_pad // r, r, 3)
+    out = jax.lax.map(lambda od: fn(woop3, od[0], od[1], *args, tri_chunk), (o_b, d_b))
+    return jax.tree_util.tree_map(lambda x: x.reshape(n_pad, *x.shape[2:])[:n], out)
+
+
+def intersect_closest(
+    scene, o: jnp.ndarray, d: jnp.ndarray, t_min=1e-4, t_max=None, tri_chunk: int = 512
+) -> Hit:
+    """Closest-hit query: rays [N, 3] (origins, unit directions) vs scene.
+
+    Equivalent of RayQuery.hlsli FindClosestHit (closest-hit inline RT).
+    """
+    if t_max is None:
+        t_max = INF
+    woop3 = scene.woop.reshape(4, 3, -1)
+    return _ray_blocked(_closest_chunked, woop3, o, d, tri_chunk, t_min, t_max)
+
+
+def intersect_any(
+    scene, o: jnp.ndarray, d: jnp.ndarray, t_min=1e-4, t_max=None, tri_chunk: int = 512
+) -> jnp.ndarray:
+    """Occlusion query: True where any triangle lies in (t_min, t_max).
+
+    Equivalent of the reference's shadow-ray visibility queries
+    (RayQuery.hlsli:317 Visibility()).
+    """
+    if t_max is None:
+        t_max = INF
+    woop3 = scene.woop.reshape(4, 3, -1)
+    return _ray_blocked(_any_chunked, woop3, o, d, tri_chunk, t_min, t_max)
+
+
+# ---------------------------------------------------------------------------
+# Shading-point reconstruction from a Hit
+# ---------------------------------------------------------------------------
+
+
+class Surface(NamedTuple):
+    """Interpolated surface attributes at a hit point."""
+
+    pos: jnp.ndarray  # [N, 3]
+    ng: jnp.ndarray  # [N, 3] geometric normal (unit, faces ray origin side flag below)
+    ns: jnp.ndarray  # [N, 3] shading normal (unit)
+    uv: jnp.ndarray  # [N, 2]
+    mat_id: jnp.ndarray  # [N] i32
+    front: jnp.ndarray  # [N] bool: ray hit the front (ng) side
+
+
+def hit_surface(scene, o, d, hit: Hit) -> Surface:
+    """Gather + interpolate surface attributes for each hit.
+
+    Gathers are the unavoidable random-access part (SURVEY.md hard-parts #2);
+    they are batched per-attribute over SoA arrays so XLA emits a handful of
+    wide dynamic-gathers instead of per-ray scalar loads.
+    """
+    tri = jnp.maximum(hit.tri, 0)
+    w0 = 1.0 - hit.u - hit.v
+    pos = o + hit.t[:, None] * d
+    ng = scene.ng[tri]
+    ns = (
+        w0[:, None] * scene.n0[tri]
+        + hit.u[:, None] * scene.n1[tri]
+        + hit.v[:, None] * scene.n2[tri]
+    )
+    ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-20)
+    uv = (
+        w0[:, None] * scene.uv0[tri]
+        + hit.u[:, None] * scene.uv1[tri]
+        + hit.v[:, None] * scene.uv2[tri]
+    )
+    front = jnp.sum(d * ng, axis=-1) < 0.0
+    # Flip normals to the incoming side (double-sided shading; one-sided
+    # emission is handled in ops.lights).
+    sign = jnp.where(front, 1.0, -1.0)[:, None]
+    ng_f = ng * sign
+    ns_f = ns * sign
+    # Ensure shading normal is in the same hemisphere as geometric.
+    flip_ns = jnp.sum(ns_f * ng_f, axis=-1, keepdims=True) < 0.0
+    ns_f = jnp.where(flip_ns, -ns_f, ns_f)
+    return Surface(
+        pos=pos, ng=ng_f, ns=ns_f, uv=uv, mat_id=scene.mat_id[tri], front=front
+    )
+
+
+# ---------------------------------------------------------------------------
+# NumPy reference (oracle for tests, like the reference validating SIMD math
+# against DirectXMath -- SURVEY.md section 4)
+# ---------------------------------------------------------------------------
+
+
+def reference_closest_hit_np(v0, v1, v2, o, d, t_min=1e-4, t_max=3.0e38):
+    """Brute-force Moller-Trumbore closest hit. [T,3] tris x [N,3] rays."""
+    e1 = (v1 - v0).astype(np.float64)
+    e2 = (v2 - v0).astype(np.float64)
+    o = o.astype(np.float64)
+    d = d.astype(np.float64)
+    n = o.shape[0]
+    best_t = np.full(n, np.inf)
+    best_tri = np.full(n, -1, np.int64)
+    best_uv = np.zeros((n, 2))
+    for ti in range(v0.shape[0]):
+        pvec = np.cross(d, e2[ti])
+        det = pvec @ e1[ti]
+        ok = np.abs(det) > 1e-16
+        inv_det = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tvec = o - v0[ti]
+        u = np.einsum("nj,nj->n", tvec, pvec) * inv_det
+        qvec = np.cross(tvec, np.broadcast_to(e1[ti], tvec.shape))
+        v = np.einsum("nj,nj->n", d, qvec) * inv_det
+        t = np.einsum("nj,j->n", qvec, e2[ti]) * inv_det
+        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min) & (t < t_max)
+        better = hit & (t < best_t)
+        best_t = np.where(better, t, best_t)
+        best_tri = np.where(better, ti, best_tri)
+        best_uv[better, 0] = u[better]
+        best_uv[better, 1] = v[better]
+    return best_t, best_tri, best_uv

@@ -1,0 +1,3 @@
+from .gltf import load_gltf  # noqa: F401
+from .scene import CpuScene, load_scene, upload_scene  # noqa: F401
+from .camera import Camera  # noqa: F401

@@ -1,0 +1,277 @@
+"""Minimal dependency-free glTF 2.0 loader.
+
+Counterpart of the reference's cgltf-based loader (Model/glTF.cpp:1061
+``glTF::Load``): parses the JSON + binary buffers, resolves accessors, walks
+the node hierarchy, and returns per-primitive geometry plus PBR materials
+including the extensions the reference supports (README.md:36-41):
+KHR_materials_emissive_strength / _ior / _transmission / _clearcoat.
+
+The reference parallelizes loading over a TaskSet (glTF.cpp:1103-1266); here
+host-side NumPy slicing is fast enough that a single pass suffices -- the
+device upload is the only latency that matters and is done once in
+``scene.upload_scene``.
+
+Only what the renderer needs is implemented: TRIANGLES primitives, uint8/16/32
+indices, float32 POSITION/NORMAL/TEXCOORD_0/TANGENT, node TRS or matrix
+transforms, data-URI or external .bin buffers. GLB container supported.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from ..core import transforms as T
+
+_COMPONENT_DTYPES = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_SIZES = {
+    "SCALAR": 1,
+    "VEC2": 2,
+    "VEC3": 3,
+    "VEC4": 4,
+    "MAT2": 4,
+    "MAT3": 9,
+    "MAT4": 16,
+}
+
+
+@dataclass
+class GltfMaterial:
+    name: str = ""
+    base_color: np.ndarray = field(default_factory=lambda: np.ones(4, np.float32))
+    base_color_tex: int = -1
+    metallic: float = 1.0
+    roughness: float = 1.0
+    metallic_roughness_tex: int = -1
+    normal_tex: int = -1
+    emissive_factor: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    emissive_tex: int = -1
+    emissive_strength: float = 1.0
+    ior: float = 1.5
+    transmission: float = 0.0
+    coat_weight: float = 0.0
+    coat_roughness: float = 0.0
+    coat_ior: float = 1.5
+    alpha_mode: str = "OPAQUE"  # OPAQUE | MASK | BLEND
+    alpha_cutoff: float = 0.5
+    double_sided: bool = False
+
+
+@dataclass
+class GltfPrimitive:
+    positions: np.ndarray  # [V, 3] f32, node-local space
+    normals: np.ndarray | None  # [V, 3]
+    uvs: np.ndarray | None  # [V, 2]
+    tangents: np.ndarray | None  # [V, 4]
+    indices: np.ndarray  # [I] u32
+    material: int  # -1 = default
+
+
+@dataclass
+class GltfInstance:
+    mesh_prims: list[GltfPrimitive]
+    world: np.ndarray  # 4x4
+    name: str = ""
+
+
+@dataclass
+class GltfDoc:
+    instances: list[GltfInstance]
+    materials: list[GltfMaterial]
+    textures: list[str]  # resolved image URIs/paths (decode deferred)
+
+
+def _read_buffer(buf: dict, base_dir: Path, glb_bin: bytes | None) -> bytes:
+    uri = buf.get("uri")
+    if uri is None:
+        assert glb_bin is not None, "buffer without uri outside GLB"
+        return glb_bin
+    if uri.startswith("data:"):
+        return base64.b64decode(uri.split(",", 1)[1])
+    return (base_dir / uri).read_bytes()
+
+
+def _read_accessor(doc: dict, buffers: list[bytes], idx: int) -> np.ndarray:
+    acc = doc["accessors"][idx]
+    n_comp = _TYPE_SIZES[acc["type"]]
+    dtype = np.dtype(_COMPONENT_DTYPES[acc["componentType"]])
+    count = acc["count"]
+    if "bufferView" not in acc:
+        out = np.zeros((count, n_comp), dtype)
+    else:
+        bv = doc["bufferViews"][acc["bufferView"]]
+        data = buffers[bv["buffer"]]
+        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = bv.get("byteStride", 0) or n_comp * dtype.itemsize
+        if stride == n_comp * dtype.itemsize:
+            out = np.frombuffer(
+                data, dtype=dtype, count=count * n_comp, offset=start
+            ).reshape(count, n_comp)
+        else:  # interleaved
+            raw = np.frombuffer(
+                data, dtype=np.uint8, count=(count - 1) * stride + n_comp * dtype.itemsize,
+                offset=start,
+            )
+            strided = np.lib.stride_tricks.as_strided(
+                raw, shape=(count, n_comp * dtype.itemsize), strides=(stride, 1)
+            )
+            out = strided.copy().view(dtype).reshape(count, n_comp)
+    if acc.get("normalized") and dtype.kind in "iu":
+        maxv = float(np.iinfo(dtype).max)
+        out = out.astype(np.float32) / maxv
+    return out
+
+
+def _parse_material(m: dict) -> GltfMaterial:
+    out = GltfMaterial(name=m.get("name", ""))
+    pbr = m.get("pbrMetallicRoughness", {})
+    out.base_color = np.asarray(
+        pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32
+    )
+    out.base_color_tex = pbr.get("baseColorTexture", {}).get("index", -1)
+    out.metallic = float(pbr.get("metallicFactor", 1.0))
+    out.roughness = float(pbr.get("roughnessFactor", 1.0))
+    out.metallic_roughness_tex = pbr.get("metallicRoughnessTexture", {}).get(
+        "index", -1
+    )
+    out.normal_tex = m.get("normalTexture", {}).get("index", -1)
+    out.emissive_factor = np.asarray(m.get("emissiveFactor", [0, 0, 0]), np.float32)
+    out.emissive_tex = m.get("emissiveTexture", {}).get("index", -1)
+    out.alpha_mode = m.get("alphaMode", "OPAQUE")
+    out.alpha_cutoff = float(m.get("alphaCutoff", 0.5))
+    out.double_sided = bool(m.get("doubleSided", False))
+    ext = m.get("extensions", {})
+    out.emissive_strength = float(
+        ext.get("KHR_materials_emissive_strength", {}).get("emissiveStrength", 1.0)
+    )
+    out.ior = float(ext.get("KHR_materials_ior", {}).get("ior", 1.5))
+    out.transmission = float(
+        ext.get("KHR_materials_transmission", {}).get("transmissionFactor", 0.0)
+    )
+    cc = ext.get("KHR_materials_clearcoat", {})
+    out.coat_weight = float(cc.get("clearcoatFactor", 0.0))
+    out.coat_roughness = float(cc.get("clearcoatRoughnessFactor", 0.0))
+    return out
+
+
+def load_gltf(path: str | Path) -> GltfDoc:
+    path = Path(path)
+    raw = path.read_bytes()
+    glb_bin = None
+    if raw[:4] == b"glTF":  # GLB container
+        _, _, length = struct.unpack_from("<III", raw, 0)
+        off = 12
+        doc = None
+        while off < length:
+            clen, ctype = struct.unpack_from("<II", raw, off)
+            chunk = raw[off + 8 : off + 8 + clen]
+            if ctype == 0x4E4F534A:  # JSON
+                doc = json.loads(chunk)
+            elif ctype == 0x004E4942:  # BIN
+                glb_bin = bytes(chunk)
+            off += 8 + clen
+        assert doc is not None
+    else:
+        doc = json.loads(raw)
+
+    base_dir = path.parent
+    buffers = [_read_buffer(b, base_dir, glb_bin) for b in doc.get("buffers", [])]
+    materials = [_parse_material(m) for m in doc.get("materials", [])]
+
+    textures: list[str] = []
+    for tex in doc.get("textures", []):
+        src = tex.get("source", -1)
+        uri = ""
+        if src >= 0:
+            img = doc["images"][src]
+            uri = img.get("uri", img.get("name", ""))
+        textures.append(str(base_dir / uri) if uri and not uri.startswith("data:") else uri)
+
+    # Parse mesh primitives lazily per mesh index.
+    mesh_cache: dict[int, list[GltfPrimitive]] = {}
+
+    def get_mesh(mi: int) -> list[GltfPrimitive]:
+        if mi in mesh_cache:
+            return mesh_cache[mi]
+        prims = []
+        for prim in doc["meshes"][mi].get("primitives", []):
+            if prim.get("mode", 4) != 4:  # TRIANGLES only
+                continue
+            attrs = prim["attributes"]
+            pos = _read_accessor(doc, buffers, attrs["POSITION"]).astype(np.float32)
+            nrm = (
+                _read_accessor(doc, buffers, attrs["NORMAL"]).astype(np.float32)
+                if "NORMAL" in attrs
+                else None
+            )
+            uv = (
+                _read_accessor(doc, buffers, attrs["TEXCOORD_0"]).astype(np.float32)
+                if "TEXCOORD_0" in attrs
+                else None
+            )
+            tan = (
+                _read_accessor(doc, buffers, attrs["TANGENT"]).astype(np.float32)
+                if "TANGENT" in attrs
+                else None
+            )
+            if "indices" in prim:
+                idx = _read_accessor(doc, buffers, prim["indices"]).reshape(-1)
+                idx = idx.astype(np.uint32)
+            else:
+                idx = np.arange(pos.shape[0], dtype=np.uint32)
+            prims.append(
+                GltfPrimitive(
+                    positions=pos,
+                    normals=nrm,
+                    uvs=uv,
+                    tangents=tan,
+                    indices=idx,
+                    material=prim.get("material", -1),
+                )
+            )
+        mesh_cache[mi] = prims
+        return prims
+
+    # Walk node hierarchy of the default scene.
+    nodes = doc.get("nodes", [])
+    scene_idx = doc.get("scene", 0)
+    scenes = doc.get("scenes", [{"nodes": list(range(len(nodes)))}])
+    roots = scenes[scene_idx].get("nodes", [])
+    instances: list[GltfInstance] = []
+
+    def walk(ni: int, parent: np.ndarray):
+        node = nodes[ni]
+        if "matrix" in node:
+            local = np.asarray(node["matrix"], np.float64).reshape(4, 4).T
+        else:
+            local = T.trs_to_mat4(
+                node.get("translation"), node.get("rotation"), node.get("scale")
+            )
+        world = parent @ local
+        if "mesh" in node:
+            instances.append(
+                GltfInstance(
+                    mesh_prims=get_mesh(node["mesh"]),
+                    world=world,
+                    name=node.get("name", f"node{ni}"),
+                )
+            )
+        for ci in node.get("children", []):
+            walk(ci, world)
+
+    for r in roots:
+        walk(r, np.eye(4))
+
+    return GltfDoc(instances=instances, materials=materials, textures=textures)

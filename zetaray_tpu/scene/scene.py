@@ -1,0 +1,336 @@
+"""Flattened scene arrays: the TPU-native SceneCore.
+
+The reference keeps a flattened scene graph in array-of-levels form plus
+shared VB/IB GPU buffers and per-TLAS-entry ``RT::MeshInstance`` records
+(SceneCore.h:310-320, RtCommon.h:47-63). On TPU, everything static is baked
+further: all instances are flattened into one **world-space triangle soup**
+stored SoA, padded to lane multiples, with per-triangle material ids. Dynamic
+instances/refit come later (round 2) via a per-instance transform pass before
+intersection.
+
+The device-side ``SceneBuffers`` pytree contains, crucially, the **Woop
+unit-triangle transforms** laid out as a single ``[4, 3*T]`` matrix so that
+ray/triangle intersection against T triangles is two MXU matmuls:
+
+    O[N, 4] @ W[4, 3T] -> local ray origins (u, v, w rows, T lanes each)
+    D[N, 4] @ W[4, 3T] -> local ray directions
+
+followed by elementwise VPU work (see ``accel.intersect``). This replaces the
+reference's DXR TLAS/BLAS + inline RayQuery (RtAccelerationStructure.h,
+RayQuery.hlsli) with dense MXU compute -- the TPU-native answer to hardware
+ray tracing for moderate triangle counts; BVH cluster culling stacks on top
+for large scenes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from .gltf import load_gltf, GltfMaterial
+from ..core import transforms as T
+
+LANE = 128  # TPU lane width; triangle counts padded to a multiple of this.
+
+
+@dataclass
+class MaterialsSoA:
+    """Material table, SoA. Semantics follow the reference's Material.h
+    (metalness workflow + emissive strength + IOR/transmission/coat)."""
+
+    base_color: np.ndarray  # [M, 3]
+    metallic: np.ndarray  # [M]
+    roughness: np.ndarray  # [M]
+    emissive: np.ndarray  # [M, 3]  factor * strength (linear radiance scale)
+    ior: np.ndarray  # [M]
+    transmission: np.ndarray  # [M]
+    coat_weight: np.ndarray  # [M]
+    coat_roughness: np.ndarray  # [M]
+    double_sided: np.ndarray  # [M] bool
+    base_color_tex: np.ndarray  # [M] int32, -1 = none
+
+
+@dataclass
+class CpuScene:
+    """Host-side flattened world-space triangle soup."""
+
+    v0: np.ndarray  # [T, 3] world-space triangle vertices
+    v1: np.ndarray
+    v2: np.ndarray
+    n0: np.ndarray  # [T, 3] world-space vertex normals
+    n1: np.ndarray
+    n2: np.ndarray
+    uv0: np.ndarray  # [T, 2]
+    uv1: np.ndarray
+    uv2: np.ndarray
+    mat_id: np.ndarray  # [T] int32
+    materials: MaterialsSoA
+    emissive_tris: np.ndarray  # [E] int32 indices into triangle arrays
+
+    @property
+    def num_tris(self) -> int:
+        return int(self.v0.shape[0])
+
+    def geometric_normals(self) -> np.ndarray:
+        n = np.cross(self.v1 - self.v0, self.v2 - self.v0)
+        l = np.linalg.norm(n, axis=-1, keepdims=True)
+        return n / np.maximum(l, 1e-20)
+
+    def areas(self) -> np.ndarray:
+        return 0.5 * np.linalg.norm(
+            np.cross(self.v1 - self.v0, self.v2 - self.v0), axis=-1
+        )
+
+    def aabb(self):
+        lo = np.minimum(np.minimum(self.v0.min(0), self.v1.min(0)), self.v2.min(0))
+        hi = np.maximum(np.maximum(self.v0.max(0), self.v1.max(0)), self.v2.max(0))
+        return lo, hi
+
+
+_DEFAULT_MATERIAL = GltfMaterial(name="__default", metallic=0.0, roughness=1.0)
+
+
+def _materials_soa(mats: list[GltfMaterial]) -> MaterialsSoA:
+    if not mats:
+        mats = [_DEFAULT_MATERIAL]
+    return MaterialsSoA(
+        base_color=np.stack([m.base_color[:3] for m in mats]).astype(np.float32),
+        metallic=np.array([m.metallic for m in mats], np.float32),
+        roughness=np.array([m.roughness for m in mats], np.float32),
+        emissive=np.stack(
+            [m.emissive_factor * m.emissive_strength for m in mats]
+        ).astype(np.float32),
+        ior=np.array([m.ior for m in mats], np.float32),
+        transmission=np.array([m.transmission for m in mats], np.float32),
+        coat_weight=np.array([m.coat_weight for m in mats], np.float32),
+        coat_roughness=np.array([m.coat_roughness for m in mats], np.float32),
+        double_sided=np.array([m.double_sided for m in mats], bool),
+        base_color_tex=np.array([m.base_color_tex for m in mats], np.int32),
+    )
+
+
+def load_scene(path: str | Path) -> CpuScene:
+    """glTF -> flattened world-space CpuScene (the loader's AddMeshes/
+    AddInstance/AddEmissives rolled into one, glTF.cpp:1103-1266)."""
+    doc = load_gltf(path)
+    mats = list(doc.materials) if doc.materials else [_DEFAULT_MATERIAL]
+
+    v0s, v1s, v2s, n0s, n1s, n2s = [], [], [], [], [], []
+    uv0s, uv1s, uv2s, mids = [], [], [], []
+    for inst in doc.instances:
+        world = inst.world
+        nrm_m = T.normal_matrix(world)
+        for prim in inst.mesh_prims:
+            pos = T.transform_points(world, prim.positions.astype(np.float64))
+            idx = prim.indices.reshape(-1, 3).astype(np.int64)
+            if prim.normals is not None:
+                nrm = prim.normals.astype(np.float64) @ nrm_m.T
+                nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+            else:
+                nrm = None
+            uv = prim.uvs if prim.uvs is not None else None
+            a, b, c = idx[:, 0], idx[:, 1], idx[:, 2]
+            v0s.append(pos[a]); v1s.append(pos[b]); v2s.append(pos[c])
+            if nrm is not None:
+                n0s.append(nrm[a]); n1s.append(nrm[b]); n2s.append(nrm[c])
+            else:
+                g = np.cross(pos[b] - pos[a], pos[c] - pos[a])
+                g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
+                n0s.append(g); n1s.append(g); n2s.append(g)
+            if uv is not None:
+                uv0s.append(uv[a]); uv1s.append(uv[b]); uv2s.append(uv[c])
+            else:
+                z = np.zeros((idx.shape[0], 2), np.float32)
+                uv0s.append(z); uv1s.append(z); uv2s.append(z)
+            mid = prim.material if prim.material >= 0 else 0
+            mids.append(np.full(idx.shape[0], mid, np.int32))
+
+    cat = lambda xs, dt=np.float32: np.concatenate(xs).astype(dt)
+    mat_id = cat(mids, np.int32)
+    materials = _materials_soa(mats)
+    em_mask = materials.emissive[mat_id].max(axis=-1) > 0.0
+    return CpuScene(
+        v0=cat(v0s), v1=cat(v1s), v2=cat(v2s),
+        n0=cat(n0s), n1=cat(n1s), n2=cat(n2s),
+        uv0=cat(uv0s), uv1=cat(uv1s), uv2=cat(uv2s),
+        mat_id=mat_id,
+        materials=materials,
+        emissive_tris=np.nonzero(em_mask)[0].astype(np.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device upload
+# ---------------------------------------------------------------------------
+
+
+def _woop_matrices(v0, v1, v2) -> np.ndarray:
+    """Per-triangle world->unit-triangle affine transforms, packed [4, 3T].
+
+    For triangle basis M = [e1 | e2 | n] (columns), W = M^-1: local coords of
+    point p are W @ (p - v0) = (u, v, w); the triangle is w == 0, u,v >= 0,
+    u + v <= 1. Row r in {u,v,w}, column layout [r*T + t] so a single
+    [N,4] @ [4,3T] matmul yields all three rows for all triangles with T on
+    the lane dimension. Degenerate (zero-area padding) triangles get W = 0,
+    which makes every ray miss them (d'_w == 0 -> invalid).
+    """
+    t = v0.shape[0]
+    e1 = (v1 - v0).astype(np.float64)
+    e2 = (v2 - v0).astype(np.float64)
+    n = np.cross(e1, e2)
+    m = np.stack([e1, e2, n], axis=-1)  # [T, 3, 3] columns e1,e2,n
+    dets = np.linalg.det(m)
+    good = np.abs(dets) > 1e-18
+    w = np.zeros((t, 3, 4), np.float64)
+    if good.any():
+        inv = np.linalg.inv(m[good])
+        w[good, :, :3] = inv
+        w[good, :, 3] = -np.einsum("tij,tj->ti", inv, v0[good].astype(np.float64))
+    # pack: out[c, r*T + i] = w[i, r, c]
+    out = np.zeros((4, 3 * t), np.float32)
+    for r in range(3):
+        out[:, r * t : (r + 1) * t] = w[:, r, :].T.astype(np.float32)
+    return out
+
+
+def _pad_to(x: np.ndarray, n: int, value=0):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, width, constant_values=value)
+
+
+@dataclass(frozen=True)
+class SceneBuffers:
+    """Device-side scene pytree (all jnp arrays, triangle dim padded to LANE).
+
+    Registered as a pytree so it can be closed over / passed through jit.
+    """
+
+    woop: jnp.ndarray  # [4, 3*Tp] f32 unit-triangle transforms
+    v0: jnp.ndarray  # [Tp, 3]
+    e1: jnp.ndarray  # [Tp, 3] v1 - v0
+    e2: jnp.ndarray  # [Tp, 3] v2 - v0
+    ng: jnp.ndarray  # [Tp, 3] geometric normal (unit)
+    n0: jnp.ndarray  # [Tp, 3] vertex normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray  # [Tp, 2]
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    mat_id: jnp.ndarray  # [Tp] i32
+    num_tris: int  # static: true triangle count (rest is padding)
+    # material table
+    mat_base_color: jnp.ndarray  # [M, 3]
+    mat_metallic: jnp.ndarray  # [M]
+    mat_roughness: jnp.ndarray  # [M]
+    mat_emissive: jnp.ndarray  # [M, 3]
+    mat_ior: jnp.ndarray
+    mat_transmission: jnp.ndarray
+    mat_coat_weight: jnp.ndarray
+    mat_coat_roughness: jnp.ndarray
+    mat_double_sided: jnp.ndarray  # [M] bool
+    # emissive light set (see ops.lights)
+    em_tri: jnp.ndarray  # [Ep] i32 triangle index (or -1 padding)
+    em_prob: jnp.ndarray  # [Ep] alias-table prob
+    em_alias: jnp.ndarray  # [Ep] alias-table alias
+    em_pdf: jnp.ndarray  # [Ep] selection pdf (sums to 1 over true entries)
+    em_power: jnp.ndarray  # scalar: total emissive power (luminance * area * pi)
+    num_emissives: int
+    # world bounds (for sky/tmax)
+    world_lo: jnp.ndarray  # [3]
+    world_hi: jnp.ndarray  # [3]
+
+    def tree_flatten(self):
+        static = (self.num_tris, self.num_emissives)
+        dynamic = tuple(
+            getattr(self, f)
+            for f in _SCENE_DYNAMIC_FIELDS
+        )
+        return dynamic, static
+
+    @classmethod
+    def tree_unflatten(cls, static, dynamic):
+        kw = dict(zip(_SCENE_DYNAMIC_FIELDS, dynamic))
+        kw["num_tris"], kw["num_emissives"] = static
+        return cls(**kw)
+
+
+_SCENE_DYNAMIC_FIELDS = [
+    f for f in SceneBuffers.__dataclass_fields__ if f not in ("num_tris", "num_emissives")
+]
+
+import jax.tree_util  # noqa: E402
+
+jax.tree_util.register_pytree_node(
+    SceneBuffers, SceneBuffers.tree_flatten, SceneBuffers.tree_unflatten
+)
+
+
+def upload_scene(cpu: CpuScene, lane: int = LANE) -> SceneBuffers:
+    """CpuScene -> SceneBuffers: pad, build Woop transforms + emissive alias
+    table, move to device. The analog of the reference's GpuMemory uploads +
+    PreLighting alias-table build (PreLighting.cpp:483-546)."""
+    from ..core.sampling import build_alias_table
+    from .light_build import emissive_powers
+
+    t = cpu.num_tris
+    tp = max(lane, ((t + lane - 1) // lane) * lane)
+    v0 = _pad_to(cpu.v0, tp)
+    v1 = _pad_to(cpu.v1, tp)
+    v2 = _pad_to(cpu.v2, tp)
+    woop = _woop_matrices(v0, v1, v2)
+    ng = np.zeros((tp, 3), np.float32)
+    ng[:t] = cpu.geometric_normals()
+
+    # Emissive set + power-weighted alias table.
+    em = cpu.emissive_tris
+    e = em.shape[0]
+    ep = max(lane, ((e + lane - 1) // lane) * lane) if e > 0 else lane
+    if e > 0:
+        powers = emissive_powers(cpu)
+        prob, alias, pdf = build_alias_table(powers)
+        total_power = float(powers.sum())
+    else:
+        prob = np.ones(0, np.float32)
+        alias = np.zeros(0, np.int32)
+        pdf = np.zeros(0, np.float32)
+        total_power = 0.0
+
+    mats = cpu.materials
+    return SceneBuffers(
+        woop=jnp.asarray(woop),
+        v0=jnp.asarray(v0),
+        e1=jnp.asarray(v1 - v0),
+        e2=jnp.asarray(v2 - v0),
+        ng=jnp.asarray(ng),
+        n0=jnp.asarray(_pad_to(cpu.n0, tp)),
+        n1=jnp.asarray(_pad_to(cpu.n1, tp)),
+        n2=jnp.asarray(_pad_to(cpu.n2, tp)),
+        uv0=jnp.asarray(_pad_to(cpu.uv0, tp)),
+        uv1=jnp.asarray(_pad_to(cpu.uv1, tp)),
+        uv2=jnp.asarray(_pad_to(cpu.uv2, tp)),
+        mat_id=jnp.asarray(_pad_to(cpu.mat_id, tp)),
+        num_tris=t,
+        mat_base_color=jnp.asarray(mats.base_color),
+        mat_metallic=jnp.asarray(mats.metallic),
+        mat_roughness=jnp.asarray(mats.roughness),
+        mat_emissive=jnp.asarray(mats.emissive),
+        mat_ior=jnp.asarray(mats.ior),
+        mat_transmission=jnp.asarray(mats.transmission),
+        mat_coat_weight=jnp.asarray(mats.coat_weight),
+        mat_coat_roughness=jnp.asarray(mats.coat_roughness),
+        mat_double_sided=jnp.asarray(mats.double_sided),
+        em_tri=jnp.asarray(_pad_to(em, ep, value=-1)),
+        em_prob=jnp.asarray(_pad_to(prob, ep)),
+        em_alias=jnp.asarray(_pad_to(alias, ep)),
+        em_pdf=jnp.asarray(_pad_to(pdf, ep)),
+        em_power=jnp.asarray(total_power, jnp.float32),
+        num_emissives=e,
+        world_lo=jnp.asarray(cpu.aabb()[0], jnp.float32),
+        world_hi=jnp.asarray(cpu.aabb()[1], jnp.float32),
+    )
