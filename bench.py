@@ -1,0 +1,68 @@
+"""Driver benchmark: Cornell Box path-traced frame on real TPU hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: ms/frame for the BASELINE.md primary config -- Cornell Box
+(cornell_emissive.gltf), 512x512, 1 spp, 4-bounce unidirectional PT with
+NEE + MIS, full post chain (auto-exposure + AgX + sRGB).
+
+Timing methodology: this TPU is behind a tunnel where block_until_ready
+returns before execution finishes and any sync pays a ~35 ms round trip, so
+we time a pipelined loop of N frames ended by one forced scalar transfer and
+divide -- that is the sustained frame rate a real frame loop would see
+(matching the reference's frames-in-flight pipelining, Config.h frame
+latency 2).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+import jax
+
+REPO = Path(__file__).resolve().parent
+ASSET = REPO.parent / "reference" / "Assets" / "CornellBox" / "cornell_emissive.gltf"
+NORTH_STAR_MS = 33.0  # BASELINE.md: < 33 ms/frame north star
+
+
+def main():
+    from zetaray_tpu.scene import load_scene, upload_scene, Camera
+    from zetaray_tpu.render import render_frame_jit, RenderConfig
+    from zetaray_tpu.ops.pathtracer import PTConfig
+
+    scene = upload_scene(load_scene(ASSET))
+    cfg = RenderConfig(width=512, height=512, pt=PTConfig(max_bounces=4))
+    cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=1.0)
+
+    def frame(i):
+        return render_frame_jit(scene, cam.with_jitter(i), jax.random.PRNGKey(i), cfg)
+
+    # warmup / compile
+    out = frame(0)
+    _ = np.asarray(out["ldr"])
+
+    n = 30
+    t0 = time.time()
+    for i in range(n):
+        out = frame(i)
+    _ = float(out["hdr"].sum())  # force completion of the pipelined chain
+    ms = (time.time() - t0) / n * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "cornell_512_1spp_4bounce_pt_ms_per_frame",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(NORTH_STAR_MS / ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

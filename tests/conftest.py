@@ -7,10 +7,17 @@ pjit/shard_map layouts without real chips).
 
 import os
 
+# The sandbox's sitecustomize force-registers the axon TPU plugin and sets
+# JAX_PLATFORMS=axon at interpreter start (before conftest), so the env var
+# alone is ignored -- jax.config.update after import is what actually works.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,51 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from zetaray_tpu.parallel.mesh import make_mesh, render_frame_sharded
+from zetaray_tpu.render import RenderConfig, render_frame_jit
+from zetaray_tpu.ops.pathtracer import PTConfig
+from zetaray_tpu.scene import Camera
+
+
+@pytest.fixture(scope="module")
+def setup(cornell_dev):
+    cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=1.0)
+    cfg = RenderConfig(width=16, height=16, pt=PTConfig(max_bounces=1))
+    return cornell_dev, cam, cfg
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single(setup):
+    scene, cam, cfg = setup
+    key = jax.random.PRNGKey(0)
+    ref = render_frame_jit(scene, cam, key, cfg)
+    mesh = make_mesh(8)
+    out = render_frame_sharded(mesh, scene, cam, key, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["hdr"]), np.asarray(ref["hdr"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_output_is_sharded(setup):
+    scene, cam, cfg = setup
+    mesh = make_mesh(8)
+    out = render_frame_sharded(mesh, scene, cam, jax.random.PRNGKey(1), cfg)
+    # result exists and is finite; layout round-trips to host
+    hdr = np.asarray(out["hdr"])
+    assert hdr.shape == (16, 16, 3) and np.isfinite(hdr).all()
+
+
+def test_graft_dryrun():
+    import importlib.util, pathlib
+
+    p = pathlib.Path(__file__).resolve().parent.parent / "__graft_entry__.py"
+    spec = importlib.util.spec_from_file_location("graft_entry", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -183,6 +183,9 @@ def intersect_closest(
     """Closest-hit query: rays [N, 3] (origins, unit directions) vs scene.
 
     Equivalent of RayQuery.hlsli FindClosestHit (closest-hit inline RT).
+    ``t_min``/``t_max`` must be scalars; for per-ray segment queries pass the
+    unnormalized segment as ``d`` and use t in [0, 1] (see ops.pathtracer's
+    shadow rays).
     """
     if t_max is None:
         t_max = INF

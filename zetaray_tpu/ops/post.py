@@ -1,0 +1,162 @@
+"""Post-processing: auto-exposure + tonemapping + sRGB encode.
+
+Counterparts of the reference's AutoExposure (256-bin log-luminance histogram
+with percentile clipping, AutoExposure_Histogram.hlsl:46-62) and Display
+tonemappers (Display.h:105-107, Tonemap.hlsli:10-119 -- AgX family; the
+Tony McMapface LUT variant needs the DDS LUT loader and comes later).
+
+Everything is plain jnp: these passes are bandwidth-trivial and XLA fuses
+the whole chain into the frame program (the render-graph equivalent of the
+Compositing -> AutoExposure -> Display tail of the frame DAG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.packing import luminance
+
+
+# ---------------------------------------------------------------------------
+# Auto-exposure: log-luminance histogram + percentile clipping
+# ---------------------------------------------------------------------------
+
+
+def histogram_exposure(
+    hdr: jnp.ndarray,
+    bins: int = 256,
+    min_log_lum: float = -10.0,
+    max_log_lum: float = 8.0,
+    low_clip: float = 0.6,
+    high_clip: float = 0.95,
+    key_value: float = 0.18,
+):
+    """Exposure scale from a clipped log-luminance histogram.
+
+    hdr: [..., 3] linear radiance. Mirrors the reference defaults
+    (percentile low/high clipping, AutoExposure.h:21-100). Returns a scalar
+    multiplier such that the clipped geometric-mean luminance maps to
+    ``key_value`` (middle gray).
+    """
+    lum = luminance(hdr.reshape(-1, 3))
+    ok = lum > 1e-8
+    loglum = jnp.clip(jnp.log2(jnp.maximum(lum, 1e-8)), min_log_lum, max_log_lum)
+    t = (loglum - min_log_lum) / (max_log_lum - min_log_lum)
+    idx = jnp.clip((t * bins).astype(jnp.int32), 0, bins - 1)
+    hist = jnp.zeros((bins,)).at[idx].add(jnp.where(ok, 1.0, 0.0))
+    cdf = jnp.cumsum(hist)
+    total = cdf[-1]
+    lo = low_clip * total
+    hi = high_clip * total
+    # weight bins inside the [lo, hi] percentile band
+    prev_cdf = cdf - hist
+    w = jnp.clip(jnp.minimum(cdf, hi) - jnp.maximum(prev_cdf, lo), 0.0, None)
+    centers = min_log_lum + (jnp.arange(bins) + 0.5) / bins * (
+        max_log_lum - min_log_lum
+    )
+    mean_log = jnp.sum(centers * w) / jnp.maximum(jnp.sum(w), 1e-6)
+    avg_lum = jnp.exp2(mean_log)
+    return key_value / jnp.maximum(avg_lum, 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Tonemappers
+# ---------------------------------------------------------------------------
+
+# AgX fitted matrices + 6th-order sigmoid approximation (Benjamin Wrensch's
+# minimal AgX fit of Troy Sobotka's AgX, the same curve family the reference
+# exposes as Tonemapper::AgX_* in Tonemap.hlsli).
+# NOTE: kept as *NumPy* constants. Module-level jnp arrays become device
+# constants inside jit, which on TPU measured 27 ms + a 413 s compile for
+# this pass alone (vs ~0.1 ms as HLO literals). Same pathology as
+# accel.intersect's INF note.
+_AGX_MAT = np.array(
+    [
+        [0.842479062253094, 0.0423282422610123, 0.0423756549057051],
+        [0.0784335999999992, 0.878468636469772, 0.0784336],
+        [0.0792237451477643, 0.0791661274605434, 0.879142973793104],
+    ],
+    dtype=np.float32,
+)
+_AGX_MAT_INV = np.array(
+    [
+        [1.19687900512017, -0.0528968517574562, -0.0529716355144438],
+        [-0.0980208811401368, 1.15190312990417, -0.0980434501171241],
+        [-0.0990297440797205, -0.0989611768448433, 1.15107367264116],
+    ],
+    dtype=np.float32,
+)
+_AGX_MIN_EV = -12.47393
+_AGX_MAX_EV = 4.026069
+
+
+def _agx_sigmoid(x):
+    x2 = x * x
+    x4 = x2 * x2
+    return (
+        15.5 * x4 * x2
+        - 40.14 * x4 * x
+        + 31.96 * x4
+        - 6.868 * x2 * x
+        + 0.4298 * x2
+        + 0.1191 * x
+        - 0.00232
+    )
+
+
+def tonemap_agx(c: jnp.ndarray, look: str = "none") -> jnp.ndarray:
+    """AgX display transform. ``c`` linear rec709 [..., 3] -> display [0,1].
+
+    looks: "none" (default AgX), "golden", "punchy" -- mirroring the
+    reference's AgX Default/Golden/Punchy options (Display.h:105-107).
+    """
+    v = jnp.einsum("ij,...j->...i", _AGX_MAT, jnp.maximum(c, 1e-10))
+    ev = jnp.clip(jnp.log2(v), _AGX_MIN_EV, _AGX_MAX_EV)
+    x = (ev - _AGX_MIN_EV) / (_AGX_MAX_EV - _AGX_MIN_EV)
+    v = _agx_sigmoid(x)
+    if look != "none":
+        if look == "golden":
+            slope, power, sat = 0.8, 0.8, 1.3
+        elif look == "punchy":
+            slope, power, sat = 1.0, 1.35, 1.4
+        else:
+            raise ValueError(f"unknown AgX look: {look}")
+        lum = luminance(v)[..., None]
+        v = jnp.power(jnp.maximum(v * slope, 1e-10), power)
+        v = lum + sat * (v - lum)
+    v = jnp.einsum("ij,...j->...i", _AGX_MAT_INV, v)
+    return jnp.clip(v, 0.0, 1.0)
+
+
+def tonemap_neutral(c: jnp.ndarray) -> jnp.ndarray:
+    """Simple invertible Reinhard-extended placeholder for 'Neutral'
+    (the reference's Neutral uses the Tony McMapface LUT; lands with the
+    DDS loader)."""
+    l = luminance(c)[..., None]
+    return c / (1.0 + l)
+
+
+def tonemap_none(c: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(c, 0.0, 1.0)
+
+
+TONEMAPPERS = {
+    "none": tonemap_none,
+    "neutral": tonemap_neutral,
+    "agx": tonemap_agx,
+    "agx_golden": lambda c: tonemap_agx(c, "golden"),
+    "agx_punchy": lambda c: tonemap_agx(c, "punchy"),
+}
+
+
+def srgb_encode(c: jnp.ndarray) -> jnp.ndarray:
+    """Linear [0,1] -> sRGB [0,1] (the Display pass's sRGB backbuffer)."""
+    c = jnp.clip(c, 0.0, 1.0)
+    lo = 12.92 * c
+    hi = 1.055 * jnp.power(jnp.maximum(c, 1e-8), 1.0 / 2.4) - 0.055
+    return jnp.where(c <= 0.0031308, lo, hi)
+
+
+def to_u8(c: jnp.ndarray) -> jnp.ndarray:
+    return jnp.round(jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.uint8)

@@ -110,3 +110,27 @@ class Camera:
     def pixel_spread_angle(self, height: int) -> float:
         """Approx. angle subtended by one pixel (for ray cones, RT.hlsli:13)."""
         return 2.0 * self.tan_half_fov / height
+
+
+# Register Camera as a pytree so it can be a jit *argument* (never a baked
+# constant -- see render.frame notes). ``lens_radius`` stays static because
+# generate_rays branches on it in Python; everything else is traced so
+# per-frame jitter/motion does not retrigger compilation.
+def _cam_flatten(c: Camera):
+    dynamic = (c.eye, c.right, c.up, c.forward, c.tan_half_fov, c.aspect,
+               c.focus_dist, c.jitter)
+    return dynamic, (c.lens_radius,)
+
+
+def _cam_unflatten(static, dynamic):
+    eye, right, up, forward, thf, aspect, fd, jitter = dynamic
+    return Camera(
+        eye=eye, right=right, up=up, forward=forward, tan_half_fov=thf,
+        aspect=aspect, lens_radius=static[0], focus_dist=fd,
+        jitter=jitter,
+    )
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(Camera, _cam_flatten, _cam_unflatten)

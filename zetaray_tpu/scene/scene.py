@@ -239,6 +239,8 @@ class SceneBuffers:
     em_prob: jnp.ndarray  # [Ep] alias-table prob
     em_alias: jnp.ndarray  # [Ep] alias-table alias
     em_pdf: jnp.ndarray  # [Ep] selection pdf (sums to 1 over true entries)
+    em_area: jnp.ndarray  # [Ep] triangle area
+    em_of_tri: jnp.ndarray  # [Tp] i32: index into em_* for emissive tris, else -1
     em_power: jnp.ndarray  # scalar: total emissive power (luminance * area * pi)
     num_emissives: int
     # world bounds (for sky/tmax)
@@ -295,11 +297,15 @@ def upload_scene(cpu: CpuScene, lane: int = LANE) -> SceneBuffers:
         powers = emissive_powers(cpu)
         prob, alias, pdf = build_alias_table(powers)
         total_power = float(powers.sum())
+        em_area = cpu.areas()[em].astype(np.float32)
     else:
         prob = np.ones(0, np.float32)
         alias = np.zeros(0, np.int32)
         pdf = np.zeros(0, np.float32)
+        em_area = np.zeros(0, np.float32)
         total_power = 0.0
+    em_of_tri = np.full(tp, -1, np.int32)
+    em_of_tri[em] = np.arange(e, dtype=np.int32)
 
     mats = cpu.materials
     return SceneBuffers(
@@ -329,6 +335,8 @@ def upload_scene(cpu: CpuScene, lane: int = LANE) -> SceneBuffers:
         em_prob=jnp.asarray(_pad_to(prob, ep)),
         em_alias=jnp.asarray(_pad_to(alias, ep)),
         em_pdf=jnp.asarray(_pad_to(pdf, ep)),
+        em_area=jnp.asarray(_pad_to(em_area, ep, value=1.0)),
+        em_of_tri=jnp.asarray(em_of_tri),
         em_power=jnp.asarray(total_power, jnp.float32),
         num_emissives=e,
         world_lo=jnp.asarray(cpu.aabb()[0], jnp.float32),
