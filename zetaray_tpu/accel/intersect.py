@@ -208,6 +208,78 @@ def intersect_any(
 
 
 # ---------------------------------------------------------------------------
+# Fused shaded-hit API (Pallas on TPU, jnp+gather oracle on CPU)
+# ---------------------------------------------------------------------------
+
+
+class ShadedHit(NamedTuple):
+    """Closest hit + per-triangle attribute row (scene.A layout)."""
+
+    t: jnp.ndarray  # [N]
+    tri: jnp.ndarray  # [N] i32, -1 = miss
+    u: jnp.ndarray  # [N]
+    v: jnp.ndarray  # [N]
+    attrs: jnp.ndarray  # [N, A.WIDTH], zeros at misses
+
+    @property
+    def valid(self):
+        return self.tri >= 0
+
+
+def _on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pad_rays(o, d, mult=256):
+    n = o.shape[0]
+    np_ = ((n + mult - 1) // mult) * mult
+    if np_ == n:
+        return o, d, n
+    pad = np_ - n
+    return (
+        jnp.pad(o, ((0, pad), (0, 0))),
+        jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0),
+        n,
+    )
+
+
+def intersect_closest_shaded(scene, o, d, t_min=1e-4, t_max=None) -> ShadedHit:
+    """Closest hit with attributes fetched in-kernel (no XLA gathers on TPU)."""
+    if t_max is None:
+        t_max = INF
+    if not _on_cpu():
+        from .pallas_kernels import closest_hit_pallas
+
+        o_p, d_p, n = _pad_rays(o, d)
+        t, tri, u, v, attrs = closest_hit_pallas(
+            scene.woop.reshape(4, 3, -1), scene.tri_attrs, o_p, d_p,
+            t_min=float(t_min), t_max=float(t_max),
+        )
+        return ShadedHit(t[:n], tri[:n], u[:n], v[:n], attrs[:n])
+    hit = intersect_closest(scene, o, d, t_min, t_max)
+    attrs = jnp.where(
+        (hit.tri >= 0)[:, None], scene.tri_attrs[jnp.maximum(hit.tri, 0)], 0.0
+    )
+    return ShadedHit(hit.t, hit.tri, hit.u, hit.v, attrs)
+
+
+def intersect_occluded(scene, o, d, t_min=1e-4, t_max=None) -> jnp.ndarray:
+    """Backend-dispatched any-hit query (Pallas on TPU)."""
+    if t_max is None:
+        t_max = INF
+    if not _on_cpu():
+        from .pallas_kernels import occlusion_pallas
+
+        o_p, d_p, n = _pad_rays(o, d)
+        occ = occlusion_pallas(
+            scene.woop.reshape(4, 3, -1), o_p, d_p,
+            t_min=float(t_min), t_max=float(t_max),
+        )
+        return occ[:n]
+    return intersect_any(scene, o, d, t_min, t_max)
+
+
+# ---------------------------------------------------------------------------
 # Shading-point reconstruction from a Hit
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,372 @@
+"""The path-tracing bounce megakernel (Pallas TPU).
+
+One ``pallas_call`` per bounce does EVERYTHING for a tile of rays without
+leaving VMEM: closest-hit intersection (Woop SoA), one-hot attribute fetch,
+surface reconstruction, emitted-light MIS, NEE against a presampled light
+set, the shadow-ray occlusion test, BSDF sampling, and Russian roulette.
+This replaces ~40 XLA stages whose HBM round trips dominated the split
+implementation (measured: 190 ms -> target <40 ms for 512x512x5 bounces).
+
+Correspondences to the reference:
+  - the whole kernel ~= one ReSTIR-style uber compute pass over the
+    wavefront (IndirectLighting.cpp's PathTracer kernels);
+  - the presampled light set = PreLighting's PresampleEmissives
+    (DefaultRendererImpl.h:37-38: 128 sets x 512 samples); each ray tile
+    reads one set resident in VMEM and picks samples via a K=128 one-hot
+    matmul on the MXU -- O(1) light sampling without in-kernel gathers;
+  - pcg4d (shading_soa) = Sampling.hlsli's per-pixel PCG streams.
+
+Path state lives in a [16, N] SoA f32 array, aliased in/out of the kernel:
+  rows 0-2 o | 3-5 d | 6-8 throughput | 9-11 radiance
+  12 prev_bsdf_pdf | 13 alive | 14 specular-bounce flag | 15 pad
+
+Scene limits (v1): the whole Woop + attribute tables must fit VMEM
+(T <= ~2048 triangles). Larger scenes stream cluster chunks selected by the
+host-built BVH (round 2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import vec3 as v3
+from ..core.vec3 import V3
+from ..ops import shading_soa as S
+from ..scene.scene import A
+
+INF = 3.0e38
+_EPS_RAY = 1e-3
+STATE_ROWS = 16
+LSET_ROWS = 16  # 0-2 pos | 3-5 ng | 6-8 Le | 9 pdf_area | 10 two_sided
+PS = 128  # presampled light samples per set
+NS = 64  # number of presampled sets
+
+
+def _tri_hits_soa(w, o: V3, d: V3, t_min, t_max, tc):
+    """w: [4, 3, tc] Woop chunk; o/d: V3 of [rt]. Returns ([tc, rt] ...)"""
+
+    def row(r):
+        lo = (
+            w[0, r][:, None] * o.x[None, :]
+            + w[1, r][:, None] * o.y[None, :]
+            + w[2, r][:, None] * o.z[None, :]
+            + w[3, r][:, None]
+        )
+        ld = (
+            w[0, r][:, None] * d.x[None, :]
+            + w[1, r][:, None] * d.y[None, :]
+            + w[2, r][:, None] * d.z[None, :]
+        )
+        return lo, ld
+
+    (ou, du) = row(0)
+    (ov, dv) = row(1)
+    (ow, dw) = row(2)
+    par = jnp.abs(dw) < 1e-12
+    t = -ow / jnp.where(par, 1.0, dw)
+    u = ou + t * du
+    v = ov + t * dv
+    valid = (
+        (~par) & (t > t_min) & (t < t_max) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    )
+    return jnp.where(valid, t, INF), u, v
+
+
+def _closest_soa(woop_ref, attrsT_ref, o, d, t_min, rt, tp, tc):
+    """Static chunked closest hit. Returns (t, u, v, attrs [A.WIDTH, rt])."""
+    best_t = jnp.full((rt,), INF)
+    best_u = jnp.zeros((rt,))
+    best_v = jnp.zeros((rt,))
+    attrs = jnp.zeros((A.WIDTH, rt))
+    for c in range(tp // tc):
+        w = woop_ref[:, :, c * tc : (c + 1) * tc]
+        t, u, v = _tri_hits_soa(w, o, d, t_min, INF, tc)
+        tmin_c = jnp.min(t, axis=0)
+        hit_c = tmin_c < INF
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
+        is_min = t == tmin_c[None, :]
+        idx = jnp.max(jnp.where(is_min, iota, -1), axis=0)
+        sel = (iota == idx[None, :]) & hit_c[None, :]
+        sel_f = sel.astype(jnp.float32)
+        att_c = jax.lax.dot_general(
+            attrsT_ref[:, c * tc : (c + 1) * tc],
+            sel_f,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        u_c = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+        v_c = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+        better = tmin_c < best_t
+        best_u = jnp.where(better, u_c, best_u)
+        best_v = jnp.where(better, v_c, best_v)
+        attrs = jnp.where(better[None, :], att_c, attrs)
+        best_t = jnp.where(better, tmin_c, best_t)
+    return best_t, best_u, best_v, attrs
+
+
+def _occluded_soa(woop_ref, o, seg: V3, rt, tp, tc):
+    """Segment occlusion: any hit with t in (1e-3, 1-1e-3) along ``seg``."""
+    occ = jnp.zeros((rt,), bool)
+    for c in range(tp // tc):
+        w = woop_ref[:, :, c * tc : (c + 1) * tc]
+        t, _, _ = _tri_hits_soa(w, o, seg, 1e-3, 1.0 - 1e-3, tc)
+        occ = occ | (jnp.min(t, axis=0) < INF)
+    return occ
+
+
+def _rng8(i, rt, bounce, seed, salt):
+    pix = jax.lax.broadcasted_iota(jnp.uint32, (rt, 1), 0)[:, 0] + (
+        i * rt
+    ).astype(jnp.uint32)
+    b = jnp.full((rt,), bounce, jnp.uint32)
+    s = jnp.full((rt,), seed, jnp.uint32)
+    r0 = S.pcg4d_soa(pix, b, s, jnp.full((rt,), salt, jnp.uint32))
+    r1 = S.pcg4d_soa(pix, b, s, jnp.full((rt,), salt + 1, jnp.uint32))
+    return tuple(S.to_unit_float(x) for x in (*r0, *r1))
+
+
+def _bounce_kernel(
+    scal_ref, state_ref, woop_ref, attrsT_ref, lset_ref, out_ref,
+    *, rt, tp, tc, cfg, last, has_lights,
+):
+    i = pl.program_id(0)
+    bounce = scal_ref[0, 0]
+    seed = scal_ref[1, 0].astype(jnp.uint32)
+
+    st = state_ref[:]
+    o = V3(st[0], st[1], st[2])
+    d = V3(st[3], st[4], st[5])
+    thr = V3(st[6], st[7], st[8])
+    rad = V3(st[9], st[10], st[11])
+    prev_pdf = st[12]
+    alive = st[13] > 0.5
+    spec = st[14] > 0.5
+
+    t_hit, bu, bv, at = _closest_soa(
+        woop_ref, attrsT_ref, o, d, cfg.t_min, rt, tp, tc
+    )
+    hit = t_hit < INF
+    found = hit & alive
+
+    ng_raw = v3.from_rows(at, A.NG)
+    wo_dot_ng = -v3.dot(d, ng_raw)
+
+    # -- emitted radiance with MIS
+    if has_lights:
+        two_sided = at[A.DOUBLE] > 0.5
+        vis_side = two_sided | (wo_dot_ng > 0.0)
+        le = v3.from_rows(at, A.EMISS)
+        pdf_l_sa = at[A.EM_PDF_AREA] * t_hit * t_hit / jnp.maximum(
+            jnp.abs(wo_dot_ng), 1e-8
+        )
+        if cfg.nee:
+            mis = jnp.where(spec, 1.0, S.power_heuristic(prev_pdf, pdf_l_sa))
+        else:
+            mis = jnp.ones((rt,))
+        gain = jnp.where(found & vis_side, mis, 0.0)
+        rad = rad + thr * le * gain
+
+    alive = found
+
+    if not last:
+        # -- surface reconstruction (SoA)
+        w0 = 1.0 - bu - bv
+        ns = v3.normalize(
+            v3.from_rows(at, A.N0) * w0
+            + v3.from_rows(at, A.N1) * bu
+            + v3.from_rows(at, A.N2) * bv
+        )
+        front = wo_dot_ng > 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        ng = ng_raw * sgn
+        ns = ns * sgn
+        ns = v3.where(v3.dot(ns, ng) < 0.0, -ns, ns)
+        pos = o + d * t_hit
+        mat = S.MatSoA(
+            base=v3.from_rows(at, A.BASE),
+            metallic=at[A.METAL],
+            roughness=at[A.ROUGH],
+            ior=jnp.maximum(at[A.IOR], 1.01),
+        )
+        frame = S.make_frame(ns)
+        wo_l = frame.to_local(-d)
+
+        u1, u2, u3, u4, u5, u6, u7, u8 = _rng8(i, rt, bounce, seed, jnp.uint32(0x9E37))
+
+        # -- NEE against the tile's presampled light set
+        if cfg.nee and has_lights:
+            set_idx = jax.lax.rem(i + bounce * 13, NS)
+            lset = lset_ref[set_idx]  # [LSET_ROWS, PS]
+            p = jnp.minimum((u1 * PS).astype(jnp.int32), PS - 1)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (PS, rt), 0) == p[None, :]
+            ).astype(jnp.float32)
+            srow = jax.lax.dot_general(
+                lset, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [LSET_ROWS, rt]
+            lp = v3.from_rows(srow, 0)
+            lng = v3.from_rows(srow, 3)
+            lle = v3.from_rows(srow, 6)
+            lpdf_area = srow[9]
+            l2s = srow[10] > 0.5
+            to_l = lp - pos
+            dist2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
+            inv_d = jax.lax.rsqrt(dist2)
+            wi_w = to_l * inv_d
+            cos_surf = v3.dot(wi_w, ns)
+            cos_l_raw = -v3.dot(wi_w, lng)
+            cos_l = jnp.where(l2s, jnp.abs(cos_l_raw), cos_l_raw)
+            wi_l = frame.to_local(wi_w)
+            f, pdf_b = S.bsdf_eval(mat, wo_l, wi_l)
+            pdf_l_sa2 = lpdf_area * dist2 / jnp.maximum(cos_l, 1e-8)
+            candidate = alive & (cos_surf > 1e-6) & (cos_l > 1e-6) & (lpdf_area > 0.0)
+            shadow_o = pos + ng * _EPS_RAY
+            occ = _occluded_soa(woop_ref, shadow_o, to_l, rt, tp, tc)
+            vis = candidate & ~occ
+            mis2 = S.power_heuristic(pdf_l_sa2, pdf_b)
+            scale = cos_surf * mis2 / jnp.maximum(pdf_l_sa2, 1e-12)
+            contrib = thr * f * lle * scale
+            if cfg.firefly_clamp > 0.0:
+                contrib = V3(
+                    jnp.minimum(contrib.x, cfg.firefly_clamp),
+                    jnp.minimum(contrib.y, cfg.firefly_clamp),
+                    jnp.minimum(contrib.z, cfg.firefly_clamp),
+                )
+            zero = jnp.zeros((rt,))
+            rad = rad + v3.where(vis, contrib, V3(zero, zero, zero))
+
+        # -- BSDF sample
+        wi_l, wgt, pdf = S.bsdf_sample(mat, wo_l, u5, u6, u7)
+        wi_w2 = frame.to_world(wi_l)
+        geo_ok = v3.dot(wi_w2, ng) > 1e-6
+        alive = alive & (pdf > 0.0) & geo_ok
+        thr = thr * wgt
+        prev_pdf = pdf
+        spec_out = jnp.zeros((rt,))
+
+        # -- Russian roulette (runtime bounce index)
+        do_rr = bounce >= cfg.rr_start  # scalar
+        q = jnp.clip(v3.max_component(thr), 0.05, 0.95)
+        survive = u8 < q
+        # Mosaic cannot select() between i1 vectors -- use pure and/or logic.
+        alive = alive & (survive | jnp.logical_not(do_rr))
+        rr_scale = jnp.where(do_rr, 1.0 / q, jnp.ones_like(q))
+        thr = thr * rr_scale
+
+        o = pos + ng * _EPS_RAY
+        d = wi_w2
+    else:
+        spec_out = st[14]
+
+    out_ref[0, :] = o.x
+    out_ref[1, :] = o.y
+    out_ref[2, :] = o.z
+    out_ref[3, :] = d.x
+    out_ref[4, :] = d.y
+    out_ref[5, :] = d.z
+    out_ref[6, :] = thr.x
+    out_ref[7, :] = thr.y
+    out_ref[8, :] = thr.z
+    out_ref[9, :] = rad.x
+    out_ref[10, :] = rad.y
+    out_ref[11, :] = rad.z
+    out_ref[12, :] = prev_pdf
+    out_ref[13, :] = alive.astype(jnp.float32)
+    out_ref[14, :] = spec_out
+    out_ref[15, :] = st[15]
+
+
+def bounce_step(
+    state, woop3, attrsT, light_sets, bounce, seed, cfg, last, has_lights,
+    rt=1024, interpret=False,
+):
+    """Run one bounce over the whole wavefront. state: [16, N] (donated)."""
+    n = state.shape[1]
+    tp = woop3.shape[2]
+    tc = min(128, tp)
+    scal = jnp.stack(
+        [
+            jnp.full((), bounce, jnp.int32),
+            jnp.asarray(seed).astype(jnp.int32).reshape(()),
+        ]
+    ).reshape(2, 1)
+    kernel = functools.partial(
+        _bounce_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg, last=last,
+        has_lights=has_lights,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // rt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(scal, state, woop3, attrsT, light_sets)
+
+
+def build_light_sets(scene, seed: jnp.ndarray):
+    """Presampled emissive sets [NS, LSET_ROWS, PS] (PreLighting analog)."""
+    from ..ops.lights import sample_emissive
+    from ..core.rng import uniform4
+
+    n = NS * PS
+    pix = jnp.arange(n, dtype=jnp.int32)
+    u = uniform4(pix, 0, seed, salt=0xBEEF)
+    ls = sample_emissive(scene, u)
+    rows = jnp.zeros((LSET_ROWS, n))
+    rows = rows.at[0:3].set(ls.pos.T)
+    rows = rows.at[3:6].set(ls.ng.T)
+    rows = rows.at[6:9].set(ls.le.T)
+    rows = rows.at[9].set(ls.pdf_area)
+    rows = rows.at[10].set(ls.two_sided.astype(jnp.float32))
+    return rows.reshape(LSET_ROWS, NS, PS).transpose(1, 0, 2)
+
+
+def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False):
+    """Full path trace via the bounce megakernel. Returns [N, 3] radiance."""
+    n = o.shape[0]
+    n_pad = ((n + rt - 1) // rt) * rt
+    has_lights = scene.num_emissives > 0
+
+    def pad(x):
+        return jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
+
+    o_p, d_p = pad(o), pad(d)
+    state = jnp.zeros((STATE_ROWS, n_pad))
+    state = state.at[0:3].set(o_p.T)
+    state = state.at[3:6].set(d_p.T)
+    state = state.at[6:9].set(1.0)  # throughput
+    state = state.at[13].set(1.0)  # alive
+    state = state.at[14].set(1.0)  # specular (primary)
+
+    woop3 = scene.woop.reshape(4, 3, -1)
+    attrsT = scene.tri_attrs.T
+    if has_lights and cfg.nee:
+        lsets = build_light_sets(scene, seed)
+    else:
+        lsets = jnp.zeros((NS, LSET_ROWS, PS))
+
+    for bounce in range(cfg.max_bounces + 1):
+        state = bounce_step(
+            state, woop3, attrsT, lsets, bounce, seed, cfg,
+            last=(bounce == cfg.max_bounces), has_lights=has_lights,
+            rt=rt, interpret=interpret,
+        )
+    return state[9:12, :n].T

@@ -34,28 +34,39 @@ def sample_emissive(scene, u: jnp.ndarray) -> LightSample:
     """Pick an emissive triangle (power-weighted alias table) + point on it.
 
     ``u``: [N, 4] uniforms (2 for the alias pick, 2 for the barycentrics).
+
+    Attribute fetch is a one-hot matmul against the denormalized em_attrs
+    table (scene.EA layout) instead of a chain of dynamic gathers -- the same
+    gather-to-MXU trick as the Pallas closest-hit kernel.
     """
+    import jax
+    from ..scene.scene import EA
+
     # The em_* arrays are lane-padded; sample over the true (static) count.
     e = scene.num_emissives
     k = sample_alias(scene.em_prob[:e], scene.em_alias[:e], u[..., 0], u[..., 1])
-    tri = scene.em_tri[k]
-    tri_safe = jnp.maximum(tri, 0)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (k.shape[0], e), 1) == k[:, None]
+    ).astype(jnp.float32)
+    row = jnp.dot(
+        onehot,
+        scene.em_attrs[:e],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     b = square_to_triangle(u[..., 2:4])
     pos = (
-        scene.v0[tri_safe]
-        + b[..., 0:1] * scene.e1[tri_safe]
-        + b[..., 1:2] * scene.e2[tri_safe]
+        row[:, EA.V0 : EA.V0 + 3]
+        + b[..., 0:1] * row[:, EA.E1 : EA.E1 + 3]
+        + b[..., 1:2] * row[:, EA.E2 : EA.E2 + 3]
     )
-    mat = scene.mat_id[tri_safe]
-    le = scene.mat_emissive[mat]
-    pdf_area = scene.em_pdf[k] / jnp.maximum(scene.em_area[k], 1e-12)
     return LightSample(
         pos=pos,
-        ng=scene.ng[tri_safe],
-        le=le,
-        pdf_area=pdf_area,
-        tri=tri,
-        two_sided=scene.mat_double_sided[mat],
+        ng=row[:, EA.NG : EA.NG + 3],
+        le=row[:, EA.LE : EA.LE + 3],
+        pdf_area=row[:, EA.PDF_AREA],
+        tri=scene.em_tri[k],
+        two_sided=row[:, EA.TWO_SIDED] > 0.5,
     )
 
 

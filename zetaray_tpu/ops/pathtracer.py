@@ -5,13 +5,17 @@ TPU-native counterpart of the reference's ``PathTracer`` integrator
 with ReSTIR: NEE against the emissive alias table, power-heuristic MIS,
 Russian roulette -- IndirectLighting.h:231-244 DefaultParamVals).
 
-Design: a *wavefront* over a flat ray batch [N]. Each bounce is one dense
-intersect (accel.intersect, MXU) + gathered shading + one shadow-ray
-occlusion test. Dead lanes stay masked rather than compacted -- on TPU the
-dense masked formulation beats compaction until depth gets large, because
-every op is regular and fuses; compaction (sort by alive/material like the
-reference's ReSTIR_PT sort kernels) is the planned optimization for deep
-paths.
+Design: a *wavefront* over a flat ray batch [N]. Each bounce is one fused
+closest-hit+attribute-fetch (accel.intersect_closest_shaded: Woop matmuls +
+one-hot gather, all in VMEM on TPU) + arithmetic-only shading + one fused
+occlusion query for the NEE shadow ray. Dead lanes stay masked rather than
+compacted -- on TPU the dense masked formulation beats compaction until
+depth gets large; material sorting (the reference's ReSTIR_PT sort kernels)
+is the planned optimization for deep/divergent paths.
+
+Randomness is counter-based pcg4d (core.rng) keyed by (pixel, bounce, frame)
+-- the reference's per-pixel PCG pattern (Sampling.hlsli:12-74) without
+per-lane state, ~20x cheaper than threefry on TPU.
 
 The bounce loop is a static Python unroll (max_bounces is small and static),
 so bounce 0 can skip MIS and XLA sees one straight-line program.
@@ -24,7 +28,9 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ..accel.intersect import intersect_closest, intersect_any, hit_surface
+from ..accel.intersect import intersect_closest_shaded, intersect_occluded
+from ..core import rng as R
+from ..scene.scene import A
 from . import bsdf as B
 from . import lights as L
 
@@ -37,15 +43,60 @@ class PTConfig:
     rr_start: int = 3  # bounce index where Russian roulette kicks in
     nee: bool = True  # next-event estimation against emissive lights
     t_min: float = 1e-4
+    firefly_clamp: float = 0.0  # 0 = off; else clamp per-sample radiance
 
 
-def _uniforms(key, salt: int, n: int, m: int):
-    return jax.random.uniform(jax.random.fold_in(key, salt), (n, m))
+def _surface_from(o, d, sh):
+    """Arithmetic-only surface reconstruction from a ShadedHit."""
+    w0 = 1.0 - sh.u - sh.v
+    at = sh.attrs
+    ng_raw = at[:, A.NG : A.NG + 3]
+    ns = (
+        w0[:, None] * at[:, A.N0 : A.N0 + 3]
+        + sh.u[:, None] * at[:, A.N1 : A.N1 + 3]
+        + sh.v[:, None] * at[:, A.N2 : A.N2 + 3]
+    )
+    ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-20)
+    uv = (
+        w0[:, None] * at[:, A.UV0 : A.UV0 + 2]
+        + sh.u[:, None] * at[:, A.UV1 : A.UV1 + 2]
+        + sh.v[:, None] * at[:, A.UV2 : A.UV2 + 2]
+    )
+    front = jnp.sum(d * ng_raw, axis=-1) < 0.0
+    sign = jnp.where(front, 1.0, -1.0)[:, None]
+    ng = ng_raw * sign
+    ns = ns * sign
+    flip_ns = jnp.sum(ns * ng, axis=-1, keepdims=True) < 0.0
+    ns = jnp.where(flip_ns, -ns, ns)
+    pos = o + sh.t[:, None] * d
+    mat = B.MatParams(
+        base_color=at[:, A.BASE : A.BASE + 3],
+        metallic=at[:, A.METAL],
+        roughness=at[:, A.ROUGH],
+        ior=jnp.maximum(at[:, A.IOR], 1.01),
+        transmission=at[:, A.TRANS],
+    )
+    return pos, ng, ns, uv, front, mat, ng_raw
 
 
 def trace(scene, o, d, key, cfg: PTConfig = PTConfig()):
-    """Path-trace radiance for rays (o, d) [N,3]. Returns [N,3] linear HDR."""
+    """Path-trace radiance for rays (o, d) [N,3]. Returns [N,3] linear HDR.
+
+    On TPU this dispatches to the fused bounce megakernel
+    (accel.megakernel); the XLA wavefront below is the CPU/test oracle.
+    """
+    if jax.default_backend() != "cpu" and scene.woop.shape[1] // 3 <= 2048:
+        from ..accel.megakernel import trace_megakernel
+
+        return trace_megakernel(scene, o, d, R.seed_from_key(key), cfg)
+    return trace_reference(scene, o, d, key, cfg)
+
+
+def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
+    """XLA-staged wavefront path tracer (oracle / large-scene fallback)."""
     n = o.shape[0]
+    seed = R.seed_from_key(key)
+    pixel = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     radiance = jnp.zeros((n, 3))
     throughput = jnp.ones((n, 3))
     alive = jnp.ones((n,), bool)
@@ -55,22 +106,21 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig()):
     has_lights = scene.num_emissives > 0
 
     for bounce in range(cfg.max_bounces + 1):
-        hit = intersect_closest(scene, o, d, t_min=cfg.t_min)
-        found = hit.valid & alive
-
-        surf = hit_surface(scene, o, d, hit)
-        mat = B.gather_mat(scene, surf.mat_id)
+        sh = intersect_closest_shaded(scene, o, d, t_min=cfg.t_min)
+        found = sh.valid & alive
+        pos, ng, ns, uv, front, mat, ng_raw = _surface_from(o, d, sh)
 
         # -- emitted radiance at the hit (MIS against NEE of the prev vertex)
         if has_lights:
-            ng_raw = scene.ng[jnp.maximum(hit.tri, 0)]
             wo_dot_ng = -jnp.sum(d * ng_raw, axis=-1)
-            le = L.emitted_radiance(scene, hit.tri, wo_dot_ng)
+            two_sided = sh.attrs[:, A.DOUBLE] > 0.5
+            visible_side = two_sided | (wo_dot_ng > 0.0)
+            le = jnp.where(
+                visible_side[:, None], sh.attrs[:, A.EMISS : A.EMISS + 3], 0.0
+            )
             if cfg.nee and bounce > 0:
-                pdf_l_area = L.light_pdf_area(scene, hit.tri)
-                dist2 = hit.t * hit.t
                 pdf_l_sa = L.pdf_area_to_solid_angle(
-                    pdf_l_area, dist2, jnp.abs(wo_dot_ng)
+                    sh.attrs[:, A.EM_PDF_AREA], sh.t * sh.t, jnp.abs(wo_dot_ng)
                 )
                 mis = jnp.where(
                     spec_bounce, 1.0, L.power_heuristic(prev_pdf, pdf_l_sa)
@@ -86,33 +136,30 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig()):
             break
 
         # -- local frame
-        t_ax, b_ax = B.make_frame(surf.ns)
-        wo_l = B.to_local(surf.ns, t_ax, b_ax, -d)
+        t_ax, b_ax = B.make_frame(ns)
+        wo_l = B.to_local(ns, t_ax, b_ax, -d)
 
         # -- NEE: one shadow ray toward an emissive sample
         if cfg.nee and has_lights:
-            u_l = _uniforms(key, 7919 * bounce + 1, n, 4)
+            u_l = R.uniform4(pixel, bounce, seed, salt=1)
             ls = L.sample_emissive(scene, u_l)
-            to_l = ls.pos - surf.pos
+            to_l = ls.pos - pos
             dist2 = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-12)
-            dist = jnp.sqrt(dist2)
-            wi_w = to_l / dist[..., None]
-            cos_surf = jnp.sum(wi_w * surf.ns, -1)
+            inv_dist = jax.lax.rsqrt(dist2)
+            wi_w = to_l * inv_dist[..., None]
+            cos_surf = jnp.sum(wi_w * ns, -1)
             cos_light_raw = -jnp.sum(wi_w * ls.ng, -1)
             cos_light = jnp.where(
                 ls.two_sided, jnp.abs(cos_light_raw), cos_light_raw
             )
-            wi_l = B.to_local(surf.ns, t_ax, b_ax, wi_w)
+            wi_l = B.to_local(ns, t_ax, b_ax, wi_w)
             f, pdf_b = B.bsdf_eval(mat, wo_l, wi_l)
             pdf_l_sa = L.pdf_area_to_solid_angle(ls.pdf_area, dist2, cos_light)
-            candidate = (
-                alive & (cos_surf > 1e-6) & (cos_light > 1e-6) & (ls.tri >= 0)
-            )
+            candidate = alive & (cos_surf > 1e-6) & (cos_light > 1e-6)
             # Shadow ray with the *unnormalized* segment as direction: the
-            # light sits at t == 1 for every lane, so t_max stays a scalar
-            # (keeps the occlusion kernel free of per-ray bounds).
-            shadow_o = surf.pos + surf.ng * _EPS_RAY
-            occluded = intersect_any(
+            # light sits at t == 1 for every lane, so t_max stays a scalar.
+            shadow_o = pos + ng * _EPS_RAY
+            occluded = intersect_occluded(
                 scene, shadow_o, to_l, t_min=1e-3, t_max=1.0 - 1e-3
             )
             vis = candidate & ~occluded
@@ -123,14 +170,16 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig()):
                 * ls.le
                 * (cos_surf * mis / jnp.maximum(pdf_l_sa, 1e-12))[..., None]
             )
+            if cfg.firefly_clamp > 0.0:
+                contrib = jnp.minimum(contrib, cfg.firefly_clamp)
             radiance = radiance + jnp.where(vis[..., None], contrib, 0.0)
 
         # -- BSDF sample for the next bounce
-        u_b = _uniforms(key, 7919 * bounce + 2, n, 3)
-        wi_l, weight, pdf = B.bsdf_sample(mat, wo_l, u_b)
-        wi_w = B.to_world(surf.ns, t_ax, b_ax, wi_l)
+        u_b = R.uniform4(pixel, bounce, seed, salt=2)
+        wi_l, weight, pdf = B.bsdf_sample(mat, wo_l, u_b[:, :3])
+        wi_w = B.to_world(ns, t_ax, b_ax, wi_l)
         # keep the sampled direction above the *geometric* surface too
-        geo_ok = jnp.sum(wi_w * surf.ng, -1) > 1e-6
+        geo_ok = jnp.sum(wi_w * ng, -1) > 1e-6
         alive = alive & (pdf > 0.0) & geo_ok
         throughput = throughput * weight
         prev_pdf = pdf
@@ -139,31 +188,23 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig()):
         # -- Russian roulette (reference: RussianRoulette default on)
         if bounce >= cfg.rr_start:
             q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
-            u_rr = _uniforms(key, 7919 * bounce + 3, n, 1)[..., 0]
+            u_rr = R.uniform4(pixel, bounce, seed, salt=3)[:, 0]
             survive = u_rr < q
             alive = alive & survive
             throughput = throughput / q[..., None]
 
-        o = surf.pos + surf.ng * _EPS_RAY
+        o = pos + ng * _EPS_RAY
         d = wi_w
 
     return radiance
 
 
 def render_spp(scene, camera, width, height, key, cfg: PTConfig = PTConfig(), spp: int = 1):
-    """Render ``spp`` samples/pixel, returns [H*W, 3] averaged HDR radiance.
-
-    Each sample re-jitters the camera through a folded key; the spp loop is a
-    lax.scan so compile time stays flat in spp.
-    """
+    """Render ``spp`` samples/pixel, returns [H*W, 3] averaged HDR radiance."""
     o, d = camera.generate_rays(width, height)
 
-    def one(carry, i):
-        acc = carry
-        k = jax.random.fold_in(key, i)
-        # sub-pixel jitter via tiny direction perturbation is handled by the
-        # caller re-building the camera; here we vary only the RNG stream.
-        acc = acc + trace(scene, o, d, k, cfg)
+    def one(acc, i):
+        acc = acc + trace(scene, o, d, jax.random.fold_in(key, i), cfg)
         return acc, None
 
     if spp == 1:

@@ -204,6 +204,43 @@ def _pad_to(x: np.ndarray, n: int, value=0):
     return np.pad(x, width, constant_values=value)
 
 
+# Per-triangle attribute table layout (tri_attrs [Tp, ATTR_W] f32).
+# Fetched in-kernel via one-hot matmul (accel.pallas_kernels) so the shading
+# path needs no dynamic gathers. Interpolatable attrs store (A0, A1, A2)
+# vertex rows; shading interpolates w0*A0 + u*A1 + v*A2.
+class A:
+    NG = 0  # 3: geometric normal
+    N0 = 3  # 3x3: vertex normals
+    N1 = 6
+    N2 = 9
+    UV0 = 12  # 3x2: vertex uvs
+    UV1 = 14
+    UV2 = 16
+    BASE = 18  # 3: material base color
+    METAL = 21
+    ROUGH = 22
+    EMISS = 23  # 3: emissive radiance (factor * strength)
+    IOR = 26
+    TRANS = 27
+    DOUBLE = 28  # 1.0 if double-sided
+    MATID = 29  # material index as float (debug/texture lookup later)
+    EM_PDF_AREA = 30  # light-sampling pdf (area measure), 0 if not emissive
+    WIDTH = 32
+
+
+# Emissive-table attribute layout (em_attrs [Ep, EM_ATTR_W] f32), fetched by
+# one-hot matmul in ops.lights after the alias-table pick.
+class EA:
+    V0 = 0  # 3
+    E1 = 3  # 3
+    E2 = 6  # 3
+    NG = 9  # 3
+    LE = 12  # 3
+    PDF_AREA = 15
+    TWO_SIDED = 16
+    WIDTH = 24
+
+
 @dataclass(frozen=True)
 class SceneBuffers:
     """Device-side scene pytree (all jnp arrays, triangle dim padded to LANE).
@@ -212,6 +249,8 @@ class SceneBuffers:
     """
 
     woop: jnp.ndarray  # [4, 3*Tp] f32 unit-triangle transforms
+    tri_attrs: jnp.ndarray  # [Tp, A.WIDTH] per-triangle shading attributes
+    em_attrs: jnp.ndarray  # [Ep, EA.WIDTH] emissive-sampling attributes
     v0: jnp.ndarray  # [Tp, 3]
     e1: jnp.ndarray  # [Tp, 3] v1 - v0
     e2: jnp.ndarray  # [Tp, 3] v2 - v0
@@ -308,8 +347,43 @@ def upload_scene(cpu: CpuScene, lane: int = LANE) -> SceneBuffers:
     em_of_tri[em] = np.arange(e, dtype=np.int32)
 
     mats = cpu.materials
+
+    # -- per-triangle attribute table (see class A)
+    attrs = np.zeros((tp, A.WIDTH), np.float32)
+    mid = cpu.mat_id
+    attrs[:t, A.NG : A.NG + 3] = ng[:t]
+    attrs[:t, A.N0 : A.N0 + 3] = cpu.n0
+    attrs[:t, A.N1 : A.N1 + 3] = cpu.n1
+    attrs[:t, A.N2 : A.N2 + 3] = cpu.n2
+    attrs[:t, A.UV0 : A.UV0 + 2] = cpu.uv0
+    attrs[:t, A.UV1 : A.UV1 + 2] = cpu.uv1
+    attrs[:t, A.UV2 : A.UV2 + 2] = cpu.uv2
+    attrs[:t, A.BASE : A.BASE + 3] = mats.base_color[mid]
+    attrs[:t, A.METAL] = mats.metallic[mid]
+    attrs[:t, A.ROUGH] = mats.roughness[mid]
+    attrs[:t, A.EMISS : A.EMISS + 3] = mats.emissive[mid]
+    attrs[:t, A.IOR] = mats.ior[mid]
+    attrs[:t, A.TRANS] = mats.transmission[mid]
+    attrs[:t, A.DOUBLE] = mats.double_sided[mid].astype(np.float32)
+    attrs[:t, A.MATID] = mid.astype(np.float32)
+    if e > 0:
+        attrs[em, A.EM_PDF_AREA] = pdf / np.maximum(em_area, 1e-12)
+
+    # -- emissive sampling table (see class EA)
+    em_attrs = np.zeros((ep, EA.WIDTH), np.float32)
+    if e > 0:
+        em_attrs[:e, EA.V0 : EA.V0 + 3] = v0[em]
+        em_attrs[:e, EA.E1 : EA.E1 + 3] = (v1 - v0)[em]
+        em_attrs[:e, EA.E2 : EA.E2 + 3] = (v2 - v0)[em]
+        em_attrs[:e, EA.NG : EA.NG + 3] = ng[em]
+        em_attrs[:e, EA.LE : EA.LE + 3] = mats.emissive[mid[em]]
+        em_attrs[:e, EA.PDF_AREA] = pdf / np.maximum(em_area, 1e-12)
+        em_attrs[:e, EA.TWO_SIDED] = mats.double_sided[mid[em]].astype(np.float32)
+
     return SceneBuffers(
         woop=jnp.asarray(woop),
+        tri_attrs=jnp.asarray(attrs),
+        em_attrs=jnp.asarray(em_attrs),
         v0=jnp.asarray(v0),
         e1=jnp.asarray(v1 - v0),
         e2=jnp.asarray(v2 - v0),
