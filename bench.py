@@ -24,6 +24,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 import jax
 
+# Persistent compilation cache: Mosaic/XLA compiles via the remote compile
+# service are slow and high-variance; cache hits make reruns start fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/zetaray_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REPO = Path(__file__).resolve().parent
 ASSET = REPO.parent / "reference" / "Assets" / "CornellBox" / "cornell_emissive.gltf"
 NORTH_STAR_MS = 33.0  # BASELINE.md: < 33 ms/frame north star

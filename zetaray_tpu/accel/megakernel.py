@@ -170,6 +170,10 @@ def _bounce_kernel(
         else:
             mis = jnp.ones((rt,))
         gain = jnp.where(found & vis_side, mis, 0.0)
+        if cfg.skip_direct:
+            # direct light (visible emissives at b0, first-vertex direct at
+            # b1) is produced by the ReSTIR DI pass instead
+            gain = jnp.where(bounce >= 2, gain, 0.0)
         rad = rad + thr * le * gain
 
     alive = found
@@ -228,6 +232,8 @@ def _bounce_kernel(
             f, pdf_b = S.bsdf_eval(mat, wo_l, wi_l)
             pdf_l_sa2 = lpdf_area * dist2 / jnp.maximum(cos_l, 1e-8)
             candidate = alive & (cos_surf > 1e-6) & (cos_l > 1e-6) & (lpdf_area > 0.0)
+            if cfg.skip_direct:
+                candidate = candidate & (bounce >= 1)
             shadow_o = pos + ng * _EPS_RAY
             occ = _occluded_soa(woop_ref, shadow_o, to_l, rt, tp, tc)
             vis = candidate & ~occ
@@ -282,6 +288,106 @@ def _bounce_kernel(
     out_ref[13, :] = alive.astype(jnp.float32)
     out_ref[14, :] = spec_out
     out_ref[15, :] = st[15]
+
+
+# --------------------------------------------------------------------------
+# G-buffer kernel (GBufferRT equivalent): primary hits -> SoA planes
+# --------------------------------------------------------------------------
+
+# G-buffer SoA rows (the 10-plane G-buffer of the reference, GBuffer.cpp,
+# in SoA form; packing to the reference's exact formats happens at export).
+class G:
+    POS = 0  # 3
+    NS = 3  # 3 shading normal (flipped toward viewer)
+    NG = 6  # 3 geometric normal (flipped)
+    BASE = 9  # 3
+    METAL = 12
+    ROUGH = 13
+    IOR = 14
+    VALID = 15
+    DEPTH = 16
+    WO = 17  # 3 unit direction toward the camera
+    EMISS = 20  # 3 emitted radiance toward camera (visible side resolved)
+    EM_PDF_AREA = 23
+    ROWS = 24
+
+
+def _gbuffer_kernel(rays_ref, woop_ref, attrsT_ref, out_ref, *, rt, tp, tc, t_min):
+    r = rays_ref[:]
+    o = V3(r[0], r[1], r[2])
+    d = V3(r[3], r[4], r[5])
+    t_hit, bu, bv, at = _closest_soa(woop_ref, attrsT_ref, o, d, t_min, rt, tp, tc)
+    hit = t_hit < INF
+    ng_raw = v3.from_rows(at, A.NG)
+    wo_dot_ng = -v3.dot(d, ng_raw)
+    front = wo_dot_ng > 0.0
+    sgn = jnp.where(front, 1.0, -1.0)
+    ng = ng_raw * sgn
+    w0 = 1.0 - bu - bv
+    ns = v3.normalize(
+        v3.from_rows(at, A.N0) * w0
+        + v3.from_rows(at, A.N1) * bu
+        + v3.from_rows(at, A.N2) * bv
+    ) * sgn
+    ns = v3.where(v3.dot(ns, ng) < 0.0, -ns, ns)
+    pos = o + d * t_hit
+    two_sided = at[A.DOUBLE] > 0.5
+    vis_side = two_sided | front
+    le_gain = jnp.where(hit & vis_side, 1.0, 0.0)
+    hf = hit.astype(jnp.float32)
+    out_ref[G.POS, :] = pos.x
+    out_ref[G.POS + 1, :] = pos.y
+    out_ref[G.POS + 2, :] = pos.z
+    out_ref[G.NS, :] = ns.x
+    out_ref[G.NS + 1, :] = ns.y
+    out_ref[G.NS + 2, :] = ns.z
+    out_ref[G.NG, :] = ng.x
+    out_ref[G.NG + 1, :] = ng.y
+    out_ref[G.NG + 2, :] = ng.z
+    out_ref[G.BASE, :] = at[A.BASE]
+    out_ref[G.BASE + 1, :] = at[A.BASE + 1]
+    out_ref[G.BASE + 2, :] = at[A.BASE + 2]
+    out_ref[G.METAL, :] = at[A.METAL]
+    out_ref[G.ROUGH, :] = at[A.ROUGH]
+    out_ref[G.IOR, :] = jnp.maximum(at[A.IOR], 1.01)
+    out_ref[G.VALID, :] = hf
+    out_ref[G.DEPTH, :] = jnp.where(hit, t_hit, 0.0)
+    out_ref[G.WO, :] = -d.x
+    out_ref[G.WO + 1, :] = -d.y
+    out_ref[G.WO + 2, :] = -d.z
+    out_ref[G.EMISS, :] = at[A.EMISS] * le_gain
+    out_ref[G.EMISS + 1, :] = at[A.EMISS + 1] * le_gain
+    out_ref[G.EMISS + 2, :] = at[A.EMISS + 2] * le_gain
+    out_ref[G.EM_PDF_AREA, :] = at[A.EM_PDF_AREA]
+
+
+def gbuffer(scene, o, d, t_min=1e-4, rt=1024, interpret=False):
+    """Primary-hit G-buffer pass. Returns [G.ROWS, N] SoA planes."""
+    n = o.shape[0]
+    n_pad = ((n + rt - 1) // rt) * rt
+    rays = jnp.zeros((6, n_pad))
+    rays = rays.at[0:3, :n].set(o.T)
+    rays = rays.at[3:6, :n].set(d.T)
+    woop3 = scene.woop.reshape(4, 3, -1)
+    attrsT = scene.tri_attrs.T
+    tp = woop3.shape[2]
+    tc = min(128, tp)
+    kernel = functools.partial(
+        _gbuffer_kernel, rt=rt, tp=tp, tc=tc, t_min=t_min
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // rt,),
+        in_specs=[
+            pl.BlockSpec((6, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G.ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G.ROWS, n_pad), jnp.float32),
+        interpret=interpret,
+    )(rays, woop3, attrsT)
+    return out[:, :n]
 
 
 def bounce_step(

@@ -44,6 +44,11 @@ class PTConfig:
     nee: bool = True  # next-event estimation against emissive lights
     t_min: float = 1e-4
     firefly_clamp: float = 0.0  # 0 = off; else clamp per-sample radiance
+    # Skip all *direct* lighting (visible emissives + first-vertex direct):
+    # used when a ReSTIR DI pass provides direct light and this integrator
+    # only contributes indirect bounces (the reference's DirectLighting /
+    # IndirectLighting split, composited in Compositing.hlsl).
+    skip_direct: bool = False
 
 
 def _surface_from(o, d, sh):
@@ -111,7 +116,7 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
         pos, ng, ns, uv, front, mat, ng_raw = _surface_from(o, d, sh)
 
         # -- emitted radiance at the hit (MIS against NEE of the prev vertex)
-        if has_lights:
+        if has_lights and not (cfg.skip_direct and bounce < 2):
             wo_dot_ng = -jnp.sum(d * ng_raw, axis=-1)
             two_sided = sh.attrs[:, A.DOUBLE] > 0.5
             visible_side = two_sided | (wo_dot_ng > 0.0)
@@ -140,7 +145,7 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
         wo_l = B.to_local(ns, t_ax, b_ax, -d)
 
         # -- NEE: one shadow ray toward an emissive sample
-        if cfg.nee and has_lights:
+        if cfg.nee and has_lights and not (cfg.skip_direct and bounce == 0):
             u_l = R.uniform4(pixel, bounce, seed, salt=1)
             ls = L.sample_emissive(scene, u_l)
             to_l = ls.pos - pos

@@ -1,0 +1,402 @@
+"""ReSTIR DI: reservoir-based direct lighting from emissive triangles.
+
+TPU-native rebuild of the reference's DirectLighting pass
+(DirectLighting.h:20-144: ReSTIR_DI_Temporal/Spatial kernels +
+Resampling.hlsli/Reservoir.hlsli): weighted reservoir sampling over many
+light candidates, with temporal reuse (reprojected previous-frame
+reservoirs, M clamped to M_MAX=20x like DirectLighting.h:95) and spatial
+reuse over nearby pixels.
+
+TPU mapping:
+  - initial candidates (RIS over M0 presampled lights) run in a Pallas
+    kernel over G-buffer SoA rows -- candidates come from the VMEM-resident
+    presampled sets via one-hot matmuls (zero gathers);
+  - temporal/spatial merges are image-space elementwise XLA with one
+    row-gather per reuse (jnp.take over the flat pixel axis), the analog of
+    the reference's reservoir texture fetches;
+  - final shading traces ONE shadow ray per pixel (Pallas occlusion).
+
+The estimator is the standard biased-but-practical combine (target p-hat
+without visibility, M-clamping); the unbiased Z-counting variant is a
+planned toggle.
+
+Reservoir SoA rows (all [N]-wide f32):
+  0-2 y_pos | 3-5 y_ng | 6-8 y_Le | 9 w_sum | 10 M | 11 W
+  12 y_two_sided | 13 y_phat (target at this pixel) | 14-15 pad
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import vec3 as v3
+from ..core.vec3 import V3
+from ..accel.megakernel import G, LSET_ROWS, NS, PS, _occluded_soa
+from . import shading_soa as S
+
+R_ROWS = 16
+_EPS_RAY = 1e-3
+
+
+@dataclass(frozen=True)
+class ReSTIRConfig:
+    num_candidates: int = 16  # M0 initial light candidates per pixel
+    temporal: bool = True
+    m_max_factor: float = 20.0  # clamp temporal M to factor * M0
+    spatial_iterations: int = 1
+    spatial_radius: int = 16  # pixels
+    depth_tolerance: float = 0.1  # relative depth test for reuse validity
+    normal_tolerance: float = 0.9  # min dot(ns, ns_prev) for reuse
+
+
+def _surface_from_gbuf(gb):
+    """gb: [G.ROWS, n] -> (pos, ns, ng, wo, mat, valid)."""
+    pos = v3.from_rows(gb, G.POS)
+    ns = v3.from_rows(gb, G.NS)
+    ng = v3.from_rows(gb, G.NG)
+    wo = v3.from_rows(gb, G.WO)
+    mat = S.MatSoA(
+        base=v3.from_rows(gb, G.BASE),
+        metallic=gb[G.METAL],
+        roughness=gb[G.ROUGH],
+        ior=gb[G.IOR],
+    )
+    return pos, ns, ng, wo, mat, gb[G.VALID] > 0.5
+
+
+def _phat(mat, frame, wo_l, pos, ns, y_pos: V3, y_ng: V3, y_le: V3, y_two):
+    """Target function: unshadowed luminance of the sample's contribution
+    in *area measure* (f * Le * cos_surf * cos_light / dist^2)."""
+    to_l = y_pos - pos
+    dist2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
+    inv_d = jax.lax.rsqrt(dist2)
+    wi_w = to_l * inv_d
+    cos_surf = v3.dot(wi_w, ns)
+    cos_l_raw = -v3.dot(wi_w, y_ng)
+    cos_l = jnp.where(y_two, jnp.abs(cos_l_raw), cos_l_raw)
+    wi_l = frame.to_local(wi_w)
+    f, _ = S.bsdf_eval(mat, wo_l, wi_l)
+    lum = v3.luminance(f * y_le) * cos_surf * cos_l / dist2
+    ok = (cos_surf > 1e-6) & (cos_l > 1e-6)
+    return jnp.where(ok, jnp.maximum(lum, 0.0), 0.0), wi_w, dist2, cos_surf, cos_l, f
+
+
+# ---------------------------------------------------------------------------
+# Initial candidates (Pallas kernel)
+# ---------------------------------------------------------------------------
+
+
+def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, *, rt, m0):
+    i = pl.program_id(0)
+    seed = scal_ref[0, 0].astype(jnp.uint32)
+    gb = gb_ref[:]
+    pos, ns, ng, wo, mat, valid = _surface_from_gbuf(gb)
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+
+    zero = jnp.zeros((rt,))
+    y_pos = V3(zero, zero, zero)
+    y_ng = V3(zero, zero, zero)
+    y_le = V3(zero, zero, zero)
+    y_two_f = zero  # kept as f32: Mosaic cannot select between i1 vectors
+    y_phat = zero
+    w_sum = zero
+
+    pix = jax.lax.broadcasted_iota(jnp.uint32, (rt, 1), 0)[:, 0] + (
+        i * rt
+    ).astype(jnp.uint32)
+
+    def body(m, carry):
+        # fori_loop (not unrolled): Mosaic reuses the [PS, rt] candidate
+        # buffers across iterations; a static unroll OOMed scoped VMEM.
+        y_pos, y_ng, y_le, y_two_f, y_phat, w_sum = carry
+        bits = S.pcg4d_soa(
+            pix,
+            jnp.full((rt,), m, jnp.int32).astype(jnp.uint32),
+            jnp.full((rt,), seed, jnp.uint32),
+            jnp.full((rt,), 0x51E5, jnp.uint32),
+        )
+        u1 = S.to_unit_float(bits[0])
+        u2 = S.to_unit_float(bits[1])
+        set_idx = jax.lax.rem(i * 31 + m * 7, NS)
+        lset = lset_ref[set_idx]
+        p = jnp.minimum((u1 * PS).astype(jnp.int32), PS - 1)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (PS, rt), 0) == p[None, :]
+        ).astype(jnp.float32)
+        srow = jax.lax.dot_general(
+            lset, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        c_pos = v3.from_rows(srow, 0)
+        c_ng = v3.from_rows(srow, 3)
+        c_le = v3.from_rows(srow, 6)
+        c_pdf = srow[9]
+        c_two_f = srow[10]
+        phat, *_ = _phat(
+            mat, frame, wo_l, pos, ns, c_pos, c_ng, c_le, c_two_f > 0.5
+        )
+        w = jnp.where(valid & (c_pdf > 0.0), phat / jnp.maximum(c_pdf, 1e-12), 0.0)
+        w_sum = w_sum + w
+        take = u2 * w_sum < w  # streaming reservoir update
+        y_pos = v3.where(take, c_pos, y_pos)
+        y_ng = v3.where(take, c_ng, y_ng)
+        y_le = v3.where(take, c_le, y_le)
+        y_two_f = jnp.where(take, c_two_f, y_two_f)
+        y_phat = jnp.where(take, phat, y_phat)
+        return (y_pos, y_ng, y_le, y_two_f, y_phat, w_sum)
+
+    (y_pos, y_ng, y_le, y_two_f, y_phat, w_sum) = jax.lax.fori_loop(
+        0, m0, body, (y_pos, y_ng, y_le, y_two_f, y_phat, w_sum)
+    )
+
+    m_count = jnp.full((rt,), float(m0))
+    big_w = w_sum / jnp.maximum(m_count * y_phat, 1e-12)
+    big_w = jnp.where(y_phat > 0.0, big_w, 0.0)
+
+    out_ref[0, :] = y_pos.x
+    out_ref[1, :] = y_pos.y
+    out_ref[2, :] = y_pos.z
+    out_ref[3, :] = y_ng.x
+    out_ref[4, :] = y_ng.y
+    out_ref[5, :] = y_ng.z
+    out_ref[6, :] = y_le.x
+    out_ref[7, :] = y_le.y
+    out_ref[8, :] = y_le.z
+    out_ref[9, :] = w_sum
+    out_ref[10, :] = m_count
+    out_ref[11, :] = big_w
+    out_ref[12, :] = y_two_f
+    out_ref[13, :] = y_phat
+    out_ref[14, :] = zero
+    out_ref[15, :] = zero
+
+
+def initial_candidates(gbuf, light_sets, seed, cfg: ReSTIRConfig, rt=1024, interpret=False):
+    """RIS over M0 presampled lights per pixel -> reservoir rows [16, N]."""
+    n = gbuf.shape[1]
+    n_pad = ((n + rt - 1) // rt) * rt
+    gb = jnp.pad(gbuf, ((0, 0), (0, n_pad - n))) if n_pad != n else gbuf
+    scal = jnp.asarray(seed).astype(jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_ris_kernel, rt=rt, m0=cfg.num_candidates)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // rt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((G.ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_ROWS, n_pad), jnp.float32),
+        interpret=interpret,
+    )(scal, gb, light_sets)
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Reservoir merging (XLA, image space)
+# ---------------------------------------------------------------------------
+
+
+def _merge(res_a, res_b, surf, u, m_cap=None):
+    """Combine reservoir B into A, re-evaluating B's sample at ``surf``.
+
+    surf = (pos, ns, mat, frame, wo_l, valid). Standard ReSTIR combine:
+    treat B's sample as one candidate with weight phat_b_here * W_b * M_b.
+    """
+    pos, ns, mat, frame, wo_l, valid = surf
+    yb_pos = v3.from_rows(res_b, 0)
+    yb_ng = v3.from_rows(res_b, 3)
+    yb_le = v3.from_rows(res_b, 6)
+    yb_two = res_b[12] > 0.5
+    m_b = res_b[10]
+    if m_cap is not None:
+        m_b = jnp.minimum(m_b, m_cap)
+    phat_b, *_ = _phat(mat, frame, wo_l, pos, ns, yb_pos, yb_ng, yb_le, yb_two)
+    w_b = phat_b * res_b[11] * m_b
+    w_b = jnp.where(valid, w_b, 0.0)
+
+    w_sum = res_a[9] + w_b
+    take = u * w_sum < w_b
+    out = jnp.where(take[None, :], res_b, res_a)  # copies y fields (+junk rows)
+    y_phat = jnp.where(take, phat_b, res_a[13])
+    m_new = res_a[10] + m_b
+    big_w = jnp.where(
+        y_phat > 0.0, w_sum / jnp.maximum(m_new * y_phat, 1e-12), 0.0
+    )
+    out = out.at[9].set(w_sum)
+    out = out.at[10].set(m_new)
+    out = out.at[11].set(big_w)
+    out = out.at[13].set(y_phat)
+    return out
+
+
+def _gather_rows(arr, idx):
+    """arr [R, N], idx [N] -> arr[:, idx] (one XLA gather)."""
+    return jnp.take(arr, idx, axis=1)
+
+
+def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg):
+    """Merge reprojected previous-frame reservoirs into the current ones."""
+    n = res.shape[1]
+    pos = v3.from_rows(gbuf, G.POS)
+    ns = v3.from_rows(gbuf, G.NS)
+    wo = v3.from_rows(gbuf, G.WO)
+    mat = S.MatSoA(
+        base=v3.from_rows(gbuf, G.BASE), metallic=gbuf[G.METAL],
+        roughness=gbuf[G.ROUGH], ior=gbuf[G.IOR],
+    )
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    valid = gbuf[G.VALID] > 0.5
+
+    p_world = jnp.stack([pos.x, pos.y, pos.z], axis=-1)
+    px, py, depth_prev_est = prev_cam.project(p_world, width, height)
+    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
+    inside = (px >= -0.5) & (px <= width - 0.5) & (py >= -0.5) & (py <= height - 0.5)
+    idx = iy * width + ix
+
+    prev_r = _gather_rows(prev_res, idx)
+    prev_g = _gather_rows(prev_gbuf, idx)
+    # reuse validity: geometry agreement with the reprojected prev pixel
+    ns_prev = v3.from_rows(prev_g, G.NS)
+    depth_prev = prev_g[G.DEPTH]
+    depth_ok = jnp.abs(depth_prev - depth_prev_est) < (
+        cfg.depth_tolerance * jnp.maximum(depth_prev_est, 1e-3)
+    )
+    normal_ok = v3.dot(ns, ns_prev) > cfg.normal_tolerance
+    ok = inside & depth_ok & normal_ok & (prev_g[G.VALID] > 0.5) & valid
+    prev_r = prev_r.at[10].set(jnp.where(ok, prev_r[10], 0.0))
+    prev_r = prev_r.at[11].set(jnp.where(ok, prev_r[11], 0.0))
+
+    from ..core.rng import uniform4
+
+    pix = jnp.arange(n, dtype=jnp.int32)
+    u = uniform4(pix, 0, seed, salt=0x7E17)[:, 0]
+    m_cap = cfg.m_max_factor * cfg.num_candidates
+    surf = (pos, ns, mat, frame, wo_l, valid)
+    return _merge(res, prev_r, surf, u, m_cap=m_cap)
+
+
+def spatial_reuse(res, gbuf, width, height, seed, cfg: ReSTIRConfig):
+    """Merge reservoirs from random nearby pixels (per-pixel offsets)."""
+    n = res.shape[1]
+    pos = v3.from_rows(gbuf, G.POS)
+    ns = v3.from_rows(gbuf, G.NS)
+    wo = v3.from_rows(gbuf, G.WO)
+    mat = S.MatSoA(
+        base=v3.from_rows(gbuf, G.BASE), metallic=gbuf[G.METAL],
+        roughness=gbuf[G.ROUGH], ior=gbuf[G.IOR],
+    )
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    valid = gbuf[G.VALID] > 0.5
+    surf = (pos, ns, mat, frame, wo_l, valid)
+
+    from ..core.rng import uniform4
+
+    pix = jnp.arange(n, dtype=jnp.int32)
+    x = pix % width
+    y = pix // width
+    out = res
+    for it in range(cfg.spatial_iterations):
+        u = uniform4(pix, it, seed, salt=0x5A71)
+        r = cfg.spatial_radius * jnp.sqrt(u[:, 0])
+        phi = 2.0 * jnp.pi * u[:, 1]
+        dx = jnp.round(r * jnp.cos(phi)).astype(jnp.int32)
+        dy = jnp.round(r * jnp.sin(phi)).astype(jnp.int32)
+        nx = jnp.clip(x + dx, 0, width - 1)
+        ny = jnp.clip(y + dy, 0, height - 1)
+        nidx = ny * width + nx
+        nb = _gather_rows(out, nidx)
+        # geometry agreement with the neighbor's surface
+        nb_g = _gather_rows(gbuf, nidx)
+        depth = gbuf[G.DEPTH]
+        depth_nb = nb_g[G.DEPTH]
+        ok = (
+            (jnp.abs(depth_nb - depth) < cfg.depth_tolerance * jnp.maximum(depth, 1e-3))
+            & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
+            & (nb_g[G.VALID] > 0.5)
+        )
+        nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
+        nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
+        out = _merge(out, nb, surf, u[:, 2])
+    return out
+
+
+def visibility_reuse(scene, res, gbuf):
+    """Zero the reservoir when its winner is occluded (original-paper
+    'visibility reuse', reference: initial-candidate visibility option).
+    Cleans the reservoirs *before* temporal feedback and spatial reuse so
+    occluded winners don't spread shadow noise."""
+    from ..accel.intersect import intersect_occluded
+
+    pos = v3.from_rows(gbuf, G.POS)
+    ng = v3.from_rows(gbuf, G.NG)
+    y_pos = v3.from_rows(res, 0)
+    to_l = y_pos - pos
+    so = pos + ng * _EPS_RAY
+    shadow_o = jnp.stack([so.x, so.y, so.z], axis=-1)
+    seg = jnp.stack([to_l.x, to_l.y, to_l.z], axis=-1)
+    occ = intersect_occluded(scene, shadow_o, seg, t_min=1e-3, t_max=1.0 - 1e-3)
+    live = (gbuf[G.VALID] > 0.5) & (res[11] > 0.0) & ~occ
+    keep = live.astype(jnp.float32)
+    res = res.at[9].set(res[9] * keep)
+    res = res.at[11].set(res[11] * keep)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Final shading
+# ---------------------------------------------------------------------------
+
+
+def shade(scene, res, gbuf, interpret=False):
+    """Shadow-test the surviving sample and return direct radiance [N, 3]
+    (plus directly-visible emissive from the G-buffer)."""
+    from ..accel.intersect import intersect_occluded
+
+    pos = v3.from_rows(gbuf, G.POS)
+    ns = v3.from_rows(gbuf, G.NS)
+    ng = v3.from_rows(gbuf, G.NG)
+    wo = v3.from_rows(gbuf, G.WO)
+    mat = S.MatSoA(
+        base=v3.from_rows(gbuf, G.BASE), metallic=gbuf[G.METAL],
+        roughness=gbuf[G.ROUGH], ior=gbuf[G.IOR],
+    )
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    valid = gbuf[G.VALID] > 0.5
+
+    y_pos = v3.from_rows(res, 0)
+    y_ng = v3.from_rows(res, 3)
+    y_le = v3.from_rows(res, 6)
+    y_two = res[12] > 0.5
+    big_w = res[11]
+
+    phat, wi_w, dist2, cos_surf, cos_l, f = _phat(
+        mat, frame, wo_l, pos, ns, y_pos, y_ng, y_le, y_two
+    )
+    lit = valid & (phat > 0.0) & (big_w > 0.0)
+
+    to_l = y_pos - pos
+    shadow_o = jnp.stack([(pos + ng * _EPS_RAY).x, (pos + ng * _EPS_RAY).y,
+                          (pos + ng * _EPS_RAY).z], axis=-1)
+    seg = jnp.stack([to_l.x, to_l.y, to_l.z], axis=-1)
+    occ = intersect_occluded(scene, shadow_o, seg, t_min=1e-3, t_max=1.0 - 1e-3)
+    vis = lit & ~occ
+
+    scale = jnp.where(vis, cos_surf * cos_l / jnp.maximum(dist2, 1e-12) * big_w, 0.0)
+    contrib = f * y_le * scale
+    emiss = v3.from_rows(gbuf, G.EMISS)
+    out = contrib + emiss
+    return jnp.stack([out.x, out.y, out.z], axis=-1)

@@ -1,1 +1,8 @@
-from .frame import RenderConfig, render_frame, render_frame_jit  # noqa: F401
+from .frame import (  # noqa: F401
+    RenderConfig,
+    FrameState,
+    render_frame,
+    render_frame_jit,
+    render_frame_restir,
+    render_frame_restir_jit,
+)

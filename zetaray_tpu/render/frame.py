@@ -15,13 +15,15 @@ like the reference's DefaultRenderer::Update wires its passes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.pathtracer import PTConfig, trace
+from ..ops.restir_di import ReSTIRConfig
 from ..ops import post
 
 
@@ -37,10 +39,73 @@ class RenderConfig:
 
     width: int = 512
     height: int = 512
+    # integrator mode: "pt" = unidirectional path tracer;
+    # "restir_di" = ReSTIR direct lighting + PT indirect (the reference's
+    # DirectLighting + IndirectLighting + Compositing frame structure)
+    mode: str = "pt"
     pt: PTConfig = field(default_factory=PTConfig)
+    restir: ReSTIRConfig = field(default_factory=ReSTIRConfig)
+    indirect: bool = True  # add the indirect PT pass in restir_di mode
     tonemapper: str = "agx"
     auto_exposure: bool = True
     manual_exposure: float = 1.0
+
+
+class FrameState(NamedTuple):
+    """Temporal state carried between frames (the reference's ping-pong
+    reservoir/G-buffer textures, DirectLighting.h:106-116)."""
+
+    reservoirs: jnp.ndarray  # [R_ROWS, N]
+    gbuf: jnp.ndarray  # [G.ROWS, N]
+    camera_prev: object  # Camera pytree
+
+
+def _postprocess(hdr, cfg):
+    if cfg.auto_exposure:
+        exposure = post.histogram_exposure(hdr)
+    else:
+        exposure = cfg.manual_exposure
+    ldr = post.TONEMAPPERS[cfg.tonemapper](hdr * exposure)
+    return post.to_u8(post.srgb_encode(ldr))
+
+
+def _on_cpu():
+    return jax.default_backend() == "cpu"
+
+
+def render_frame_restir(scene, camera, key, cfg: RenderConfig, state: FrameState | None):
+    """ReSTIR DI direct + PT indirect frame. Returns (outputs, FrameState)."""
+    from ..accel.megakernel import gbuffer, build_light_sets
+    from ..ops import restir_di as RD
+    from ..core.rng import seed_from_key
+
+    w, h = cfg.width, cfg.height
+    o, d = camera.generate_rays(w, h)
+    seed = seed_from_key(key)
+    interp = _on_cpu()
+
+    gb = gbuffer(scene, o, d, interpret=interp)
+    lsets = build_light_sets(scene, seed)
+    res = RD.initial_candidates(gb, lsets, seed, cfg.restir, interpret=interp)
+    if cfg.restir.temporal and state is not None:
+        res = RD.temporal_reuse(
+            res, state.reservoirs, state.gbuf, gb, state.camera_prev,
+            w, h, seed, cfg.restir,
+        )
+    res = RD.visibility_reuse(scene, res, gb)
+    res_sp = RD.spatial_reuse(res, gb, w, h, seed, cfg.restir)
+    direct = RD.shade(scene, res_sp, gb)
+    if cfg.indirect:
+        pt_cfg = replace(cfg.pt, skip_direct=True)
+        indirect = trace(scene, o, d, key, pt_cfg)
+    else:
+        indirect = jnp.zeros_like(direct)
+    hdr = (direct + indirect).reshape(h, w, 3)
+    ldr = _postprocess(hdr, cfg)
+    # Temporal feedback stores the *pre-spatial* reservoirs (the reference
+    # feeds the temporal reservoirs forward, DirectLighting.cpp).
+    new_state = FrameState(reservoirs=res, gbuf=gb, camera_prev=camera)
+    return {"hdr": hdr, "ldr": ldr}, new_state
 
 
 def render_frame(scene, camera, key, cfg: RenderConfig, shard_rays=None):
@@ -55,15 +120,7 @@ def render_frame(scene, camera, key, cfg: RenderConfig, shard_rays=None):
     if shard_rays is not None:
         o, d = shard_rays(o), shard_rays(d)
     hdr = trace(scene, o, d, key, cfg.pt).reshape(h, w, 3)
-
-    if cfg.auto_exposure:
-        exposure = post.histogram_exposure(hdr)
-    else:
-        exposure = cfg.manual_exposure
-    exposed = hdr * exposure
-    ldr = post.TONEMAPPERS[cfg.tonemapper](exposed)
-    ldr = post.to_u8(post.srgb_encode(ldr))
-    return {"hdr": hdr, "ldr": ldr}
+    return {"hdr": hdr, "ldr": _postprocess(hdr, cfg)}
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -72,3 +129,9 @@ def render_frame_jit(scene, camera, key, cfg: RenderConfig):
     closed-over device arrays become baked constants, which measured ~1000x
     slower on TPU -- see accel.intersect notes)."""
     return render_frame(scene, camera, key, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frame_restir_jit(scene, camera, key, cfg: RenderConfig, state):
+    """Jitted stateful ReSTIR frame (state=None on the first frame)."""
+    return render_frame_restir(scene, camera, key, cfg, state)

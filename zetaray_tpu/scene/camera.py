@@ -111,6 +111,25 @@ class Camera:
         """Approx. angle subtended by one pixel (for ray cones, RT.hlsli:13)."""
         return 2.0 * self.tan_half_fov / height
 
+    def project(self, p: jnp.ndarray, width: int, height: int):
+        """World points [N, 3] -> (px, py, depth) pixel coords (float).
+
+        Inverse of generate_rays (ignoring jitter); used for temporal
+        reprojection (TAA / ReSTIR temporal reuse motion vectors, matching
+        the reference's prev-frame matrices in cbFrameConstants).
+        """
+        eye = jnp.asarray(self.eye)
+        rel = p - eye
+        u = rel @ jnp.asarray(self.right)
+        v = rel @ jnp.asarray(self.up)
+        w = rel @ jnp.asarray(self.forward)
+        w_safe = jnp.maximum(w, 1e-6)
+        sx = u / (w_safe * self.aspect * self.tan_half_fov)
+        sy = v / (w_safe * self.tan_half_fov)
+        px = (sx + 1.0) * 0.5 * width - 0.5
+        py = (1.0 - sy) * 0.5 * height - 0.5
+        return px, py, w
+
 
 # Register Camera as a pytree so it can be a jit *argument* (never a baked
 # constant -- see render.frame notes). ``lens_radius`` stays static because
