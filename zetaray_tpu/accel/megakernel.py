@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -110,12 +111,12 @@ def _closest_soa(woop_ref, attrsT_ref, o, d, t_min, rt, tp, tc):
     return best_t, best_u, best_v, attrs
 
 
-def _occluded_soa(woop_ref, o, seg: V3, rt, tp, tc):
-    """Segment occlusion: any hit with t in (1e-3, 1-1e-3) along ``seg``."""
+def _occluded_soa(woop_ref, o, seg: V3, rt, tp, tc, t_min=1e-3, t_max=1.0 - 1e-3):
+    """Segment occlusion: any hit with t in (t_min, t_max) along ``seg``."""
     occ = jnp.zeros((rt,), bool)
     for c in range(tp // tc):
         w = woop_ref[:, :, c * tc : (c + 1) * tc]
-        t, _, _ = _tri_hits_soa(w, o, seg, 1e-3, 1.0 - 1e-3, tc)
+        t, _, _ = _tri_hits_soa(w, o, seg, t_min, t_max, tc)
         occ = occ | (jnp.min(t, axis=0) < INF)
     return occ
 
@@ -153,6 +154,30 @@ def _bounce_kernel(
     )
     hit = t_hit < INF
     found = hit & alive
+
+    # -- environment (sun + sky) on miss rays
+    if cfg.sky is not None:
+        from ..ops import sky as SK
+
+        miss = alive & ~hit
+        env = SK.sky_radiance(d, cfg.sky, with_disk=False)
+        if cfg.sun_nee:
+            # sun disk only on primary/specular rays (NEE owns the rest)
+            disk_gain = jnp.where(spec, 1.0, 0.0)
+        else:
+            disk_gain = jnp.ones((rt,))
+        sun = np.asarray(cfg.sky.sun_dir, np.float64)
+        sun = sun / np.linalg.norm(sun)
+        c_sun = d.x * float(sun[0]) + d.y * float(sun[1]) + d.z * float(sun[2])
+        cos_r = float(np.cos(cfg.sky.sun_angular_radius))
+        edge = jnp.clip((c_sun - cos_r) / max(1e-6, 1.0 - cos_r) * 4.0, 0.0, 1.0)
+        disk = edge * (cfg.sky.sun_intensity * SK.SUN_RADIANCE_SCALE) * disk_gain
+        gain_env = jnp.where(miss, 1.0, 0.0)
+        rad = rad + thr * V3(
+            (env.x + disk * SK.SUN_COLOR[0]) * gain_env,
+            (env.y + disk * SK.SUN_COLOR[1]) * gain_env,
+            (env.z + disk * SK.SUN_COLOR[2]) * gain_env,
+        )
 
     ng_raw = v3.from_rows(at, A.NG)
     wo_dot_ng = -v3.dot(d, ng_raw)
@@ -248,6 +273,32 @@ def _bounce_kernel(
                 )
             zero = jnp.zeros((rt,))
             rad = rad + v3.where(vis, contrib, V3(zero, zero, zero))
+
+        # -- sun NEE (delta light: one shadow ray toward the sun; SkyDI-lite)
+        if cfg.sky is not None and cfg.sun_nee:
+            from ..ops import sky as SK
+
+            sun = np.asarray(cfg.sky.sun_dir, np.float64)
+            sun = sun / np.linalg.norm(sun)
+            sdir = V3(
+                jnp.full((rt,), float(sun[0])),
+                jnp.full((rt,), float(sun[1])),
+                jnp.full((rt,), float(sun[2])),
+            )
+            cos_s = v3.dot(sdir, ns)
+            f_s, _ = S.bsdf_eval(mat, wo_l, frame.to_local(sdir))
+            occ_s = _occluded_soa(
+                woop_ref, pos + ng * _EPS_RAY, sdir, rt, tp, tc,
+                t_min=1e-3, t_max=1e8,
+            )
+            e_sun = SK.sun_irradiance(cfg.sky)
+            sun_ok = alive & (cos_s > 1e-6) & ~occ_s
+            gain_s = jnp.where(sun_ok, cos_s, 0.0)
+            rad = rad + thr * V3(
+                f_s.x * float(e_sun[0]) * gain_s,
+                f_s.y * float(e_sun[1]) * gain_s,
+                f_s.z * float(e_sun[2]) * gain_s,
+            )
 
         # -- BSDF sample
         wi_l, wgt, pdf = S.bsdf_sample(mat, wo_l, u5, u6, u7)

@@ -49,6 +49,11 @@ class PTConfig:
     # only contributes indirect bounces (the reference's DirectLighting /
     # IndirectLighting split, composited in Compositing.hlsl).
     skip_direct: bool = False
+    # Sun + sky environment (reference: Sky pass + SkyDI). None = no sky.
+    # Miss rays pick up analytic sky radiance; ``sun_nee`` adds one shadow
+    # ray toward the sun per bounce (delta-light NEE, the SkyDI-lite path).
+    sky: object = None  # ops.sky.SkyParams | None
+    sun_nee: bool = True
 
 
 def _surface_from(o, d, sh):
@@ -115,6 +120,23 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
         found = sh.valid & alive
         pos, ng, ns, uv, front, mat, ng_raw = _surface_from(o, d, sh)
 
+        # -- environment (sun + sky) on miss rays
+        if cfg.sky is not None:
+            from ..core.vec3 import V3
+            from . import sky as SK
+
+            miss = alive & ~sh.valid
+            env = SK.sky_radiance(
+                V3(d[:, 0], d[:, 1], d[:, 2]), cfg.sky, with_disk=False
+            )
+            env_rgb = jnp.stack([env.x, env.y, env.z], -1)
+            disk = SK.sun_disk(d, cfg.sky)
+            if cfg.sun_nee:
+                disk = disk * spec_bounce[:, None].astype(disk.dtype)
+            radiance = radiance + jnp.where(
+                miss[:, None], throughput * (env_rgb + disk), 0.0
+            )
+
         # -- emitted radiance at the hit (MIS against NEE of the prev vertex)
         if has_lights and not (cfg.skip_direct and bounce < 2):
             wo_dot_ng = -jnp.sum(d * ng_raw, axis=-1)
@@ -178,6 +200,25 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
             if cfg.firefly_clamp > 0.0:
                 contrib = jnp.minimum(contrib, cfg.firefly_clamp)
             radiance = radiance + jnp.where(vis[..., None], contrib, 0.0)
+
+        # -- sun NEE (delta light, SkyDI-lite)
+        if cfg.sky is not None and cfg.sun_nee:
+            import numpy as _np
+            from . import sky as SK
+
+            sun = _np.asarray(cfg.sky.sun_dir, _np.float64)
+            sun = (sun / _np.linalg.norm(sun)).astype(_np.float32)
+            sdir = jnp.broadcast_to(jnp.asarray(sun), (n, 3))
+            cos_s = jnp.sum(sdir * ns, -1)
+            f_s, _ = B.bsdf_eval(mat, wo_l, B.to_local(ns, t_ax, b_ax, sdir))
+            occ_s = intersect_occluded(
+                scene, pos + ng * _EPS_RAY, sdir, t_min=1e-3, t_max=1e8
+            )
+            e_sun = jnp.asarray(SK.sun_irradiance(cfg.sky))
+            sun_ok = alive & (cos_s > 1e-6) & ~occ_s
+            radiance = radiance + jnp.where(
+                sun_ok[:, None], throughput * f_s * e_sun * cos_s[:, None], 0.0
+            )
 
         # -- BSDF sample for the next bounce
         u_b = R.uniform4(pixel, bounce, seed, salt=2)

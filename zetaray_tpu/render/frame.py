@@ -49,6 +49,10 @@ class RenderConfig:
     tonemapper: str = "agx"
     auto_exposure: bool = True
     manual_exposure: float = 1.0
+    # post chain (reference: FireflyFilter -> [denoise] -> TAA -> Display)
+    firefly_factor: float = 0.0  # 0 = off
+    denoise: bool = False  # a-trous edge-aware filter
+    taa: bool = True  # temporal AA / temporal accumulation on HDR
 
 
 class FrameState(NamedTuple):
@@ -58,6 +62,7 @@ class FrameState(NamedTuple):
     reservoirs: jnp.ndarray  # [R_ROWS, N]
     gbuf: jnp.ndarray  # [G.ROWS, N]
     camera_prev: object  # Camera pytree
+    history: jnp.ndarray  # [H, W, 3] TAA color history (HDR)
 
 
 def _postprocess(hdr, cfg):
@@ -101,10 +106,31 @@ def render_frame_restir(scene, camera, key, cfg: RenderConfig, state: FrameState
     else:
         indirect = jnp.zeros_like(direct)
     hdr = (direct + indirect).reshape(h, w, 3)
+
+    # -- post chain: firefly -> a-trous -> TAA (reference Compositing tail)
+    from ..accel.megakernel import G
+    from ..ops import denoise as DN
+    from ..ops import taa as TA
+
+    if cfg.firefly_factor > 0.0:
+        hdr = DN.firefly_filter(hdr, cfg.firefly_factor)
+    normal_img = gb[G.NS : G.NS + 3].T.reshape(h, w, 3)
+    depth_img = gb[G.DEPTH].reshape(h, w)
+    valid_img = (gb[G.VALID] > 0.5).reshape(h, w)
+    if cfg.denoise:
+        hdr = DN.atrous_denoise(hdr, normal_img, depth_img, valid_img)
+    if cfg.taa and state is not None:
+        pos_img = gb[G.POS : G.POS + 3].T.reshape(h, w, 3)
+        hdr = TA.taa_resolve(
+            hdr, state.history, pos_img, valid_img, state.camera_prev
+        )
+
     ldr = _postprocess(hdr, cfg)
     # Temporal feedback stores the *pre-spatial* reservoirs (the reference
     # feeds the temporal reservoirs forward, DirectLighting.cpp).
-    new_state = FrameState(reservoirs=res, gbuf=gb, camera_prev=camera)
+    new_state = FrameState(
+        reservoirs=res, gbuf=gb, camera_prev=camera, history=hdr
+    )
     return {"hdr": hdr, "ldr": ldr}, new_state
 
 
