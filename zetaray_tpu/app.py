@@ -1,0 +1,162 @@
+"""Application shell (ZetaLab analog): load a glTF, run the frame loop,
+write frames + stats.
+
+The reference's WinMain is: InitAndGetInterface -> App::Init -> glTF::Load
+-> App::Run (ZetaLab.cpp:33-74). The headless TPU equivalent:
+
+    python -m zetaray_tpu.app scene.gltf --mode restir_di --frames 8 \
+        --size 512x512 --out /tmp/frames
+
+Registers the standard tweakables in utils.params (the reference's ~20
+ParamVariants, DefaultRenderer.cpp:328-430), runs the frame loop with
+FrameStats, and writes PNG captures (CaptureScreen analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from dataclasses import replace
+from pathlib import Path
+
+import numpy as np
+
+
+def _register_params(cfg_holder):
+    from .utils.params import add_param
+
+    def upd(field):
+        def cb(v):
+            cfg_holder[0] = replace(cfg_holder[0], **{field: v})
+
+        return cb
+
+    add_param("Renderer", "General", "Mode", "enum", cfg_holder[0].mode,
+              choices=("pt", "restir_di"), on_change=upd("mode"))
+    add_param("Renderer", "General", "Tonemapper", "enum", cfg_holder[0].tonemapper,
+              choices=("none", "neutral", "agx", "agx_golden", "agx_punchy"),
+              on_change=upd("tonemapper"))
+    add_param("Renderer", "General", "AutoExposure", "bool",
+              cfg_holder[0].auto_exposure, on_change=upd("auto_exposure"))
+    add_param("Renderer", "Post", "FireflyFactor", "float",
+              cfg_holder[0].firefly_factor, min=0.0, max=16.0,
+              on_change=upd("firefly_factor"))
+    add_param("Renderer", "Post", "Denoise", "bool", cfg_holder[0].denoise,
+              on_change=upd("denoise"))
+    add_param("Renderer", "Post", "TAA", "bool", cfg_holder[0].taa,
+              on_change=upd("taa"))
+
+    def upd_pt(field):
+        def cb(v):
+            cfg_holder[0] = replace(
+                cfg_holder[0], pt=replace(cfg_holder[0].pt, **{field: v})
+            )
+
+        return cb
+
+    add_param("PathTracer", "Path", "MaxBounces", "int",
+              cfg_holder[0].pt.max_bounces, min=0, max=16,
+              on_change=upd_pt("max_bounces"))
+    add_param("PathTracer", "Path", "RussianRouletteStart", "int",
+              cfg_holder[0].pt.rr_start, min=1, max=16, on_change=upd_pt("rr_start"))
+
+    def upd_rs(field):
+        def cb(v):
+            cfg_holder[0] = replace(
+                cfg_holder[0], restir=replace(cfg_holder[0].restir, **{field: v})
+            )
+
+        return cb
+
+    add_param("ReSTIR", "DI", "NumCandidates", "int",
+              cfg_holder[0].restir.num_candidates, min=1, max=64,
+              on_change=upd_rs("num_candidates"))
+    add_param("ReSTIR", "DI", "Temporal", "bool", cfg_holder[0].restir.temporal,
+              on_change=upd_rs("temporal"))
+    add_param("ReSTIR", "DI", "SpatialRadius", "int",
+              cfg_holder[0].restir.spatial_radius, min=1, max=64,
+              on_change=upd_rs("spatial_radius"))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="zetaray_tpu headless renderer")
+    parser.add_argument("scene", help="glTF/GLB scene path")
+    parser.add_argument("--mode", default="restir_di", choices=("pt", "restir_di"))
+    parser.add_argument("--frames", type=int, default=8)
+    parser.add_argument("--size", default="512x512")
+    parser.add_argument("--bounces", type=int, default=4)
+    parser.add_argument("--out", default="/tmp/zetaray_frames")
+    parser.add_argument("--eye", default="0,1,3.5")
+    parser.add_argument("--target", default="0,1,0")
+    parser.add_argument("--fov", type=float, default=45.0)
+    parser.add_argument("--sun", default=None, help="x,y,z enables sun+sky")
+    parser.add_argument("--denoise", action="store_true")
+    parser.add_argument("--dump-graph", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/zetaray_jax_cache")
+    from .scene import load_scene, upload_scene, Camera
+    from .render import RenderConfig, render_frame_jit, render_frame_restir_jit
+    from .render.graph import frame_dag
+    from .ops.pathtracer import PTConfig
+    from .ops.sky import SkyParams
+    from .utils.png import write_png
+    from .utils.stats import stats
+    from .utils import log
+
+    w, h = (int(v) for v in args.size.split("x"))
+    sky = None
+    if args.sun:
+        sky = SkyParams(sun_dir=tuple(float(v) for v in args.sun.split(",")))
+    cfg = RenderConfig(
+        width=w, height=h, mode=args.mode,
+        pt=PTConfig(max_bounces=args.bounces, sky=sky),
+        denoise=args.denoise,
+    )
+    cfg_holder = [cfg]
+    _register_params(cfg_holder)
+
+    log.info(f"loading {args.scene}")
+    t0 = time.time()
+    cpu = load_scene(args.scene)
+    scene = upload_scene(cpu)
+    log.info(
+        f"scene: {cpu.num_tris} tris, {len(cpu.emissive_tris)} emissive "
+        f"({time.time() - t0:.2f}s)"
+    )
+    eye = tuple(float(v) for v in args.eye.split(","))
+    target = tuple(float(v) for v in args.target.split(","))
+    cam0 = Camera.look_at(eye, target, vfov_deg=args.fov, aspect=w / h)
+
+    if args.dump_graph:
+        print(frame_dag(cfg_holder[0]))
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    state = None
+    for i in range(args.frames):
+        from .utils.params import registry
+
+        registry.apply_pending()
+        cfg = cfg_holder[0]
+        stats.begin_frame()
+        cam = cam0.with_jitter(i)
+        key = jax.random.PRNGKey(i)
+        if cfg.mode == "restir_di" and scene.num_emissives > 0:
+            out, state = render_frame_restir_jit(scene, cam, key, cfg, state)
+        else:
+            out = render_frame_jit(scene, cam, key, cfg)
+        ldr = np.asarray(out["ldr"])  # forces completion
+        stats.add("frame", "mean_radiance", float(np.asarray(out["hdr"]).mean()))
+        dt = stats.end_frame()
+        write_png(str(out_dir / f"frame_{i:04d}.png"), ldr)
+        log.info(f"frame {i}: {dt * 1000:.1f} ms")
+    print(stats.report())
+    log.info(f"wrote {args.frames} frames to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
