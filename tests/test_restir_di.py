@@ -73,7 +73,9 @@ def test_skip_direct_partition(cornell_dev):
     cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=1.0)
     o, d = cam.generate_rays(20, 20)
     cfg_full = PTConfig(max_bounces=2, rr_start=99)
-    cfg_ind = PTConfig(max_bounces=2, rr_start=99, skip_direct=True)
+    cfg_ind = PTConfig(
+        max_bounces=2, rr_start=99, min_emissive_bounce=2, min_nee_bounce=1
+    )
     n = 24
     full = np.mean(
         [np.asarray(trace_reference(cornell_dev, o, d, jax.random.PRNGKey(i), cfg_full)) for i in range(n)]

@@ -195,10 +195,9 @@ def _bounce_kernel(
         else:
             mis = jnp.ones((rt,))
         gain = jnp.where(found & vis_side, mis, 0.0)
-        if cfg.skip_direct:
-            # direct light (visible emissives at b0, first-vertex direct at
-            # b1) is produced by the ReSTIR DI pass instead
-            gain = jnp.where(bounce >= 2, gain, 0.0)
+        if cfg.min_emissive_bounce > 0:
+            # masked components are produced by a ReSTIR pass instead
+            gain = jnp.where(bounce >= cfg.min_emissive_bounce, gain, 0.0)
         rad = rad + thr * le * gain
 
     alive = found
@@ -257,8 +256,8 @@ def _bounce_kernel(
             f, pdf_b = S.bsdf_eval(mat, wo_l, wi_l)
             pdf_l_sa2 = lpdf_area * dist2 / jnp.maximum(cos_l, 1e-8)
             candidate = alive & (cos_surf > 1e-6) & (cos_l > 1e-6) & (lpdf_area > 0.0)
-            if cfg.skip_direct:
-                candidate = candidate & (bounce >= 1)
+            if cfg.min_nee_bounce > 0:
+                candidate = candidate & (bounce >= cfg.min_nee_bounce)
             shadow_o = pos + ng * _EPS_RAY
             occ = _occluded_soa(woop_ref, shadow_o, to_l, rt, tp, tc)
             vis = candidate & ~occ

@@ -33,7 +33,7 @@ def _register_params(cfg_holder):
         return cb
 
     add_param("Renderer", "General", "Mode", "enum", cfg_holder[0].mode,
-              choices=("pt", "restir_di"), on_change=upd("mode"))
+              choices=("pt", "restir_di", "restir_gi"), on_change=upd("mode"))
     add_param("Renderer", "General", "Tonemapper", "enum", cfg_holder[0].tonemapper,
               choices=("none", "neutral", "agx", "agx_golden", "agx_punchy"),
               on_change=upd("tonemapper"))
@@ -82,7 +82,7 @@ def _register_params(cfg_holder):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="zetaray_tpu headless renderer")
     parser.add_argument("scene", help="glTF/GLB scene path")
-    parser.add_argument("--mode", default="restir_di", choices=("pt", "restir_di"))
+    parser.add_argument("--mode", default="restir_di", choices=("pt", "restir_di", "restir_gi"))
     parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--size", default="512x512")
     parser.add_argument("--bounces", type=int, default=4)
@@ -145,7 +145,7 @@ def main(argv=None):
         stats.begin_frame()
         cam = cam0.with_jitter(i)
         key = jax.random.PRNGKey(i)
-        if cfg.mode == "restir_di" and scene.num_emissives > 0:
+        if cfg.mode in ("restir_di", "restir_gi") and scene.num_emissives > 0:
             out, state = render_frame_restir_jit(scene, cam, key, cfg, state)
         else:
             out = render_frame_jit(scene, cam, key, cfg)

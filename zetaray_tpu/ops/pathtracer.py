@@ -44,11 +44,19 @@ class PTConfig:
     nee: bool = True  # next-event estimation against emissive lights
     t_min: float = 1e-4
     firefly_clamp: float = 0.0  # 0 = off; else clamp per-sample radiance
-    # Skip all *direct* lighting (visible emissives + first-vertex direct):
-    # used when a ReSTIR DI pass provides direct light and this integrator
-    # only contributes indirect bounces (the reference's DirectLighting /
-    # IndirectLighting split, composited in Compositing.hlsl).
-    skip_direct: bool = False
+    # Lighting-component masks for integrator composition (the reference's
+    # DirectLighting / IndirectLighting split, composited in
+    # Compositing.hlsl). Emission at bounce < min_emissive_bounce and NEE at
+    # bounce < min_nee_bounce are skipped:
+    #   full PT:                (0, 0)
+    #   indirect-only (DI done by ReSTIR):       (2, 1)
+    #   GI-sample radiance (exclude own emission): (1, 0)
+    min_emissive_bounce: int = 0
+    min_nee_bounce: int = 0
+
+    @property
+    def skip_direct(self) -> bool:
+        return self.min_emissive_bounce >= 2 and self.min_nee_bounce >= 1
     # Sun + sky environment (reference: Sky pass + SkyDI). None = no sky.
     # Miss rays pick up analytic sky radiance; ``sun_nee`` adds one shadow
     # ray toward the sun per bounce (delta-light NEE, the SkyDI-lite path).
@@ -138,7 +146,7 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
             )
 
         # -- emitted radiance at the hit (MIS against NEE of the prev vertex)
-        if has_lights and not (cfg.skip_direct and bounce < 2):
+        if has_lights and bounce >= cfg.min_emissive_bounce:
             wo_dot_ng = -jnp.sum(d * ng_raw, axis=-1)
             two_sided = sh.attrs[:, A.DOUBLE] > 0.5
             visible_side = two_sided | (wo_dot_ng > 0.0)
@@ -167,7 +175,7 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
         wo_l = B.to_local(ns, t_ax, b_ax, -d)
 
         # -- NEE: one shadow ray toward an emissive sample
-        if cfg.nee and has_lights and not (cfg.skip_direct and bounce == 0):
+        if cfg.nee and has_lights and bounce >= cfg.min_nee_bounce:
             u_l = R.uniform4(pixel, bounce, seed, salt=1)
             ls = L.sample_emissive(scene, u_l)
             to_l = ls.pos - pos

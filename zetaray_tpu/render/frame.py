@@ -40,12 +40,20 @@ class RenderConfig:
     width: int = 512
     height: int = 512
     # integrator mode: "pt" = unidirectional path tracer;
-    # "restir_di" = ReSTIR direct lighting + PT indirect (the reference's
+    # "restir_di" = ReSTIR direct lighting + PT indirect;
+    # "restir_gi" = ReSTIR direct + ReSTIR GI indirect (the reference's
     # DirectLighting + IndirectLighting + Compositing frame structure)
     mode: str = "pt"
     pt: PTConfig = field(default_factory=PTConfig)
     restir: ReSTIRConfig = field(default_factory=ReSTIRConfig)
-    indirect: bool = True  # add the indirect PT pass in restir_di mode
+    restir_gi: "object" = None  # ReSTIRGIConfig; default built in __post_init__
+    indirect: bool = True  # add the indirect pass in restir modes
+
+    def __post_init__(self):
+        if self.restir_gi is None:
+            from ..ops.restir_gi import ReSTIRGIConfig
+
+            object.__setattr__(self, "restir_gi", ReSTIRGIConfig())
     tonemapper: str = "agx"
     auto_exposure: bool = True
     manual_exposure: float = 1.0
@@ -59,7 +67,8 @@ class FrameState(NamedTuple):
     """Temporal state carried between frames (the reference's ping-pong
     reservoir/G-buffer textures, DirectLighting.h:106-116)."""
 
-    reservoirs: jnp.ndarray  # [R_ROWS, N]
+    reservoirs: jnp.ndarray  # [R_ROWS, N] DI reservoirs
+    gi_reservoirs: jnp.ndarray  # [R_ROWS, N] GI reservoirs (zeros if unused)
     gbuf: jnp.ndarray  # [G.ROWS, N]
     camera_prev: object  # Camera pytree
     history: jnp.ndarray  # [H, W, 3] TAA color history (HDR)
@@ -100,11 +109,25 @@ def render_frame_restir(scene, camera, key, cfg: RenderConfig, state: FrameState
     res = RD.visibility_reuse(scene, res, gb)
     res_sp = RD.spatial_reuse(res, gb, w, h, seed, cfg.restir)
     direct = RD.shade(scene, res_sp, gb)
-    if cfg.indirect:
-        pt_cfg = replace(cfg.pt, skip_direct=True)
-        indirect = trace(scene, o, d, key, pt_cfg)
-    else:
+
+    gi_res = jnp.zeros_like(res)
+    if not cfg.indirect:
         indirect = jnp.zeros_like(direct)
+    elif cfg.mode == "restir_gi":
+        from ..ops import restir_gi as RG
+
+        pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
+        gi_res = RG.initial_samples(scene, gb, key, pt_cfg, seed)
+        if cfg.restir_gi.temporal and state is not None:
+            gi_res = RG.temporal_reuse(
+                gi_res, state.gi_reservoirs, state.gbuf, gb,
+                state.camera_prev, w, h, seed, cfg.restir_gi,
+            )
+        gi_sp = RG.spatial_reuse(gi_res, gb, w, h, seed, cfg.restir_gi)
+        indirect = RG.shade(scene, gi_sp, gb)
+    else:
+        pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
+        indirect = trace(scene, o, d, key, pt_cfg)
     hdr = (direct + indirect).reshape(h, w, 3)
 
     # -- post chain: firefly -> a-trous -> TAA (reference Compositing tail)
@@ -129,7 +152,8 @@ def render_frame_restir(scene, camera, key, cfg: RenderConfig, state: FrameState
     # Temporal feedback stores the *pre-spatial* reservoirs (the reference
     # feeds the temporal reservoirs forward, DirectLighting.cpp).
     new_state = FrameState(
-        reservoirs=res, gbuf=gb, camera_prev=camera, history=hdr
+        reservoirs=res, gi_reservoirs=gi_res, gbuf=gb, camera_prev=camera,
+        history=hdr,
     )
     return {"hdr": hdr, "ldr": ldr}, new_state
 
