@@ -216,11 +216,14 @@ def _bounce_kernel(
         ns = ns * sgn
         ns = v3.where(v3.dot(ns, ng) < 0.0, -ns, ns)
         pos = o + d * t_hit
+        ior = jnp.maximum(at[A.IOR], 1.01)
         mat = S.MatSoA(
             base=v3.from_rows(at, A.BASE),
             metallic=at[A.METAL],
             roughness=at[A.ROUGH],
-            ior=jnp.maximum(at[A.IOR], 1.01),
+            ior=ior,
+            transmission=at[A.TRANS],
+            eta=jnp.where(front, 1.0 / ior, ior),
         )
         frame = S.make_frame(ns)
         wo_l = frame.to_local(-d)
@@ -302,7 +305,11 @@ def _bounce_kernel(
         # -- BSDF sample
         wi_l, wgt, pdf = S.bsdf_sample(mat, wo_l, u5, u6, u7)
         wi_w2 = frame.to_world(wi_l)
-        geo_ok = v3.dot(wi_w2, ng) > 1e-6
+        # reflected rays leave above the geometric surface, transmitted below
+        # (and/or logic: Mosaic cannot select between i1 vectors)
+        transmitted = wi_l.z < 0.0
+        side = v3.dot(wi_w2, ng)
+        geo_ok = (transmitted & (side < -1e-6)) | (~transmitted & (side > 1e-6))
         alive = alive & (pdf > 0.0) & geo_ok
         thr = thr * wgt
         prev_pdf = pdf
@@ -317,7 +324,8 @@ def _bounce_kernel(
         rr_scale = jnp.where(do_rr, 1.0 / q, jnp.ones_like(q))
         thr = thr * rr_scale
 
-        o = pos + ng * _EPS_RAY
+        offs = jnp.where(transmitted, -_EPS_RAY, _EPS_RAY)
+        o = pos + ng * offs
         d = wi_w2
     else:
         spec_out = st[14]

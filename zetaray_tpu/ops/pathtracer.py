@@ -173,6 +173,7 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
         # -- local frame
         t_ax, b_ax = B.make_frame(ns)
         wo_l = B.to_local(ns, t_ax, b_ax, -d)
+        eta = jnp.where(front, 1.0 / mat.ior, mat.ior)
 
         # -- NEE: one shadow ray toward an emissive sample
         if cfg.nee and has_lights and bounce >= cfg.min_nee_bounce:
@@ -188,7 +189,7 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
                 ls.two_sided, jnp.abs(cos_light_raw), cos_light_raw
             )
             wi_l = B.to_local(ns, t_ax, b_ax, wi_w)
-            f, pdf_b = B.bsdf_eval(mat, wo_l, wi_l)
+            f, pdf_b = B.bsdf_eval(mat, wo_l, wi_l, eta=eta)
             pdf_l_sa = L.pdf_area_to_solid_angle(ls.pdf_area, dist2, cos_light)
             candidate = alive & (cos_surf > 1e-6) & (cos_light > 1e-6)
             # Shadow ray with the *unnormalized* segment as direction: the
@@ -230,10 +231,13 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
 
         # -- BSDF sample for the next bounce
         u_b = R.uniform4(pixel, bounce, seed, salt=2)
-        wi_l, weight, pdf = B.bsdf_sample(mat, wo_l, u_b[:, :3])
+        wi_l, weight, pdf = B.bsdf_sample(mat, wo_l, u_b[:, :3], eta=eta)
         wi_w = B.to_world(ns, t_ax, b_ax, wi_l)
-        # keep the sampled direction above the *geometric* surface too
-        geo_ok = jnp.sum(wi_w * ng, -1) > 1e-6
+        # geometric-side consistency: reflected rays leave above the
+        # geometric surface, transmitted rays below it
+        transmitted = wi_l[:, 2] < 0.0
+        side = jnp.sum(wi_w * ng, -1)
+        geo_ok = jnp.where(transmitted, side < -1e-6, side > 1e-6)
         alive = alive & (pdf > 0.0) & geo_ok
         throughput = throughput * weight
         prev_pdf = pdf
@@ -247,7 +251,8 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
             alive = alive & survive
             throughput = throughput / q[..., None]
 
-        o = pos + ng * _EPS_RAY
+        offset_sign = jnp.where(transmitted, -1.0, 1.0)[:, None]
+        o = pos + ng * _EPS_RAY * offset_sign
         d = wi_w
 
     return radiance

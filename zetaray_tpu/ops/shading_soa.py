@@ -27,6 +27,21 @@ class MatSoA(NamedTuple):
     metallic: jnp.ndarray
     roughness: jnp.ndarray
     ior: jnp.ndarray
+    # transmission weight [0,1] and relative IOR along the ray
+    # (eta = eta_incident / eta_transmitted: entering glass -> 1/ior).
+    # Both default to opaque-entering so existing call sites stay valid.
+    transmission: jnp.ndarray | None = None
+    eta: jnp.ndarray | None = None
+
+    def trans(self):
+        return (
+            self.transmission
+            if self.transmission is not None
+            else jnp.zeros_like(self.metallic)
+        )
+
+    def eta_rel(self):
+        return self.eta if self.eta is not None else 1.0 / self.ior
 
 
 class Frame(NamedTuple):
@@ -85,47 +100,111 @@ def _lobe_params(mat: MatSoA):
     alpha = jnp.maximum(mat.roughness * mat.roughness, _MIN_ALPHA)
     f0d = _f0_from_ior(mat.ior)
     m = mat.metallic
+    t = mat.trans()
     f0 = V3(
         f0d * (1.0 - m) + mat.base.x * m,
         f0d * (1.0 - m) + mat.base.y * m,
         f0d * (1.0 - m) + mat.base.z * m,
     )
-    kd = mat.base * (1.0 - m)
-    return alpha, f0, kd
+    kd = mat.base * ((1.0 - m) * (1.0 - t))
+    kt = mat.base * ((1.0 - m) * t)
+    return alpha, f0, kd, kt
 
 
-def _spec_prob(f0: V3, kd: V3, cos_o):
+def _lobe_probs(f0: V3, kd: V3, kt: V3, cos_o):
+    """(q_spec, q_diff, q_trans): one-sample lobe selection probabilities."""
     s = v3.luminance(_fresnel(f0, cos_o))
     d = v3.luminance(kd)
-    return jnp.clip(s / jnp.maximum(s + d, 1e-8), 0.05, 1.0)
+    t = v3.luminance(kt)
+    tot = jnp.maximum(s + d + t, 1e-8)
+    q_s = jnp.clip(s / tot, 0.05, 1.0)
+    q_t = t / tot * (1.0 - q_s) / jnp.maximum(1.0 - s / tot, 1e-8)
+    q_t = jnp.minimum(q_t, 1.0 - q_s)
+    q_d = jnp.maximum(1.0 - q_s - q_t, 0.0)
+    return q_s, q_d, q_t
+
+
+def _fresnel_scalar_dielectric(cos_i, eta):
+    """Exact unpolarized dielectric Fresnel; eta = eta_i/eta_t; TIR -> 1."""
+    cos_i = jnp.clip(cos_i, 0.0, 1.0)
+    sin2_t = eta * eta * (1.0 - cos_i * cos_i)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    r_par = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-8)
+    r_perp = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-8)
+    f = 0.5 * (r_par * r_par + r_perp * r_perp)
+    return jnp.where(tir, 1.0, jnp.clip(f, 0.0, 1.0))
+
+
+def _transmission_terms(mat: MatSoA, wo: V3, wi: V3, alpha, kt: V3):
+    """Walter-2007 rough dielectric BTDF + half-vector pdf for wi.z < 0.
+
+    Follows the pbrt formulation with eta = eta_i/eta_t along the ray and
+    includes the (eta^2) radiance transport factor (matching the
+    reference's GLOSSY_T conventions, BSDF.hlsli).
+    """
+    eta = mat.eta_rel()
+    inv_eta = 1.0 / eta
+    a2 = alpha * alpha
+    cos_o = jnp.maximum(wo.z, 1e-6)
+    cos_i = jnp.maximum(-wi.z, 1e-6)
+    h = v3.normalize(wo + wi * inv_eta, eps=1e-24)
+    h = v3.where(h.z < 0.0, -h, h)
+    odoth = v3.dot(wo, h)
+    idoth = v3.dot(wi, h)
+    valid = (odoth > 1e-6) & (idoth < -1e-6)
+    dt = _ggx_d(a2, jnp.clip(h.z, 0.0, 1.0))
+    g2 = _g2(a2, cos_o, cos_i)
+    fr = _fresnel_scalar_dielectric(odoth, eta)
+    denom = odoth + inv_eta * idoth
+    denom2 = jnp.maximum(denom * denom, 1e-12)
+    # Walter's eta_t^2 numerator cancels exactly against the radiance
+    # transport factor (etaI/etaT)^2 once the denominator is normalized by
+    # eta_t (pbrt's formulation), so no eta factor remains here; the smooth
+    # limit of f*cos/pdf is then (1-F)/eta_pbrt^2, matching specular glass.
+    scale = (
+        (1.0 - fr) * dt * g2 * jnp.abs(idoth) * jnp.abs(odoth)
+        / (cos_o * cos_i * denom2)
+    )
+    f_t = kt * jnp.where(valid, scale, 0.0)
+    dwh_dwi = jnp.abs(idoth) * (inv_eta * inv_eta) / denom2
+    pdf_t = _g1(a2, cos_o) * dt * jnp.maximum(odoth, 0.0) / cos_o * dwh_dwi
+    return f_t, jnp.where(valid, pdf_t, 0.0), fr, h
 
 
 def bsdf_eval(mat: MatSoA, wo: V3, wi: V3):
-    """(f [V3], pdf) in the local frame; zero below the hemisphere."""
-    alpha, f0, kd = _lobe_params(mat)
+    """(f [V3], pdf) in the local frame.
+
+    wi.z > 0: GGX reflection + Lambert diffuse (diffuse and transmission
+    energy split by the transmission factor). wi.z < 0: rough dielectric
+    transmission (Walter 2007).
+    """
+    alpha, f0, kd, kt = _lobe_params(mat)
     a2 = alpha * alpha
     cos_o = jnp.maximum(wo.z, 1e-6)
+    q_s, q_d, q_t = _lobe_probs(f0, kd, kt, cos_o)
     up = wi.z > 1e-6
+    down = wi.z < -1e-6
     cos_i = jnp.maximum(wi.z, 1e-6)
 
+    # reflection side
     h = v3.normalize(wo + wi, eps=1e-24)
     cos_h = jnp.clip(h.z, 0.0, 1.0)
     odoth = jnp.maximum(v3.dot(wo, h), 1e-6)
-
     dt = _ggx_d(a2, cos_h)
     g2 = _g2(a2, cos_o, cos_i)
     fr = _fresnel(f0, odoth)
-    spec_scale = dt * g2 / (4.0 * cos_o * cos_i)
-    f = fr * spec_scale + kd * _INV_PI
-
+    f_refl = fr * (dt * g2 / (4.0 * cos_o * cos_i)) + kd * _INV_PI
     pdf_spec = _g1(a2, cos_o) * dt / (4.0 * cos_o)
-    pdf_diff = cos_i * _INV_PI
-    q = _spec_prob(f0, kd, cos_o)
-    pdf = q * pdf_spec + (1.0 - q) * pdf_diff
+    pdf_refl = q_s * pdf_spec + q_d * (cos_i * _INV_PI)
 
-    zero = jnp.zeros_like(pdf)
-    f = v3.where(up, f, V3(zero, zero, zero))
-    pdf = jnp.where(up, pdf, 0.0)
+    # transmission side
+    f_tr, pdf_tr_h, _, _ = _transmission_terms(mat, wo, wi, alpha, kt)
+    pdf_tr = q_t * pdf_tr_h
+
+    zero = jnp.zeros_like(cos_o)
+    f = v3.where(up, f_refl, v3.where(down, f_tr, V3(zero, zero, zero)))
+    pdf = jnp.where(up, pdf_refl, jnp.where(down, pdf_tr, 0.0))
     return f, pdf
 
 
@@ -169,22 +248,39 @@ def _ggx_vndf(wo: V3, alpha, u1, u2) -> V3:
 
 
 def bsdf_sample(mat: MatSoA, wo: V3, u1, u2, u3):
-    """Sample wi. Returns (wi [V3], weight f*cos/pdf [V3], pdf)."""
-    alpha, f0, kd = _lobe_params(mat)
+    """Sample wi. Returns (wi [V3], weight f*|cos|/pdf [V3], pdf).
+
+    One-sample lobe mixture over {GGX reflection, diffuse, GGX
+    transmission}. TIR on the transmission pick kills the sample (small,
+    documented energy loss at grazing glass; exact TIR-as-reflection
+    accounting is a follow-up).
+    """
+    alpha, f0, kd, kt = _lobe_params(mat)
     cos_o = jnp.maximum(wo.z, 1e-6)
-    q = _spec_prob(f0, kd, cos_o)
-    pick_spec = u1 < q
+    q_s, q_d, q_t = _lobe_probs(f0, kd, kt, cos_o)
+    pick_spec = u1 < q_s
+    pick_trans = (u1 >= q_s) & (u1 < q_s + q_t)
 
     h = _ggx_vndf(wo, alpha, u2, u3)
     wi_spec = h * (2.0 * v3.dot(wo, h)) - wo
     wi_diff = _cosine_hemisphere(u2, u3)
-    wi = v3.where(pick_spec, wi_spec, wi_diff)
+    # refraction through the sampled half-vector
+    eta = mat.eta_rel()
+    odoth = v3.dot(wo, h)
+    sin2_t = eta * eta * (1.0 - odoth * odoth)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    wi_trans = (h * (eta * odoth - cos_t)) - wo * eta
 
+    wi = v3.where(pick_spec, wi_spec, v3.where(pick_trans, wi_trans, wi_diff))
     f, pdf = bsdf_eval(mat, wo, wi)
-    good = (pdf > 1e-12) & (wi.z > 1e-6)
-    scale = jnp.where(good, jnp.maximum(wi.z, 0.0) / jnp.maximum(pdf, 1e-12), 0.0)
-    w = f * scale
-    return wi, w, jnp.where(good, pdf, 0.0)
+    # and/or logic (Mosaic cannot select between i1 vectors)
+    hemi_ok = (pick_trans & (wi.z < -1e-6) & ~tir) | (
+        ~pick_trans & (wi.z > 1e-6)
+    )
+    good = (pdf > 1e-12) & hemi_ok
+    scale = jnp.where(good, jnp.abs(wi.z) / jnp.maximum(pdf, 1e-12), 0.0)
+    return wi, f * scale, jnp.where(good, pdf, 0.0)
 
 
 def power_heuristic(pdf_a, pdf_b):
