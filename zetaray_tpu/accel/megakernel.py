@@ -134,7 +134,7 @@ def _rng8(i, rt, bounce, seed, salt):
 
 def _bounce_kernel(
     scal_ref, state_ref, woop_ref, attrsT_ref, lset_ref, out_ref,
-    *, rt, tp, tc, cfg, last, has_lights,
+    *, rt, tp, tc, cfg, last, has_lights, has_transmission,
 ):
     i = pl.program_id(0)
     bounce = scal_ref[0, 0]
@@ -222,8 +222,9 @@ def _bounce_kernel(
             metallic=at[A.METAL],
             roughness=at[A.ROUGH],
             ior=ior,
-            transmission=at[A.TRANS],
-            eta=jnp.where(front, 1.0 / ior, ior),
+            # None compiles the transmission lobe out (all-opaque scenes)
+            transmission=at[A.TRANS] if has_transmission else None,
+            eta=jnp.where(front, 1.0 / ior, ior) if has_transmission else None,
         )
         frame = S.make_frame(ns)
         wo_l = frame.to_local(-d)
@@ -450,7 +451,7 @@ def gbuffer(scene, o, d, t_min=1e-4, rt=1024, interpret=False):
 
 def bounce_step(
     state, woop3, attrsT, light_sets, bounce, seed, cfg, last, has_lights,
-    rt=1024, interpret=False,
+    has_transmission=False, rt=1024, interpret=False,
 ):
     """Run one bounce over the whole wavefront. state: [16, N] (donated)."""
     n = state.shape[1]
@@ -464,7 +465,7 @@ def bounce_step(
     ).reshape(2, 1)
     kernel = functools.partial(
         _bounce_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg, last=last,
-        has_lights=has_lights,
+        has_lights=has_lights, has_transmission=has_transmission,
     )
     return pl.pallas_call(
         kernel,
@@ -531,6 +532,7 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False):
         state = bounce_step(
             state, woop3, attrsT, lsets, bounce, seed, cfg,
             last=(bounce == cfg.max_bounces), has_lights=has_lights,
+            has_transmission=scene.has_transmission,
             rt=rt, interpret=interpret,
         )
     return state[9:12, :n].T

@@ -106,12 +106,22 @@ def normal_matrix(m: np.ndarray) -> np.ndarray:
 
 
 def look_at(eye, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
-    """Camera-to-world 4x4. Camera space: +X right, +Y up, -Z forward."""
+    """Camera-to-world 4x4. Camera space: +X right, +Y up, -Z forward.
+
+    Degenerate forward || up falls back to a perpendicular up axis rather
+    than producing NaNs.
+    """
     eye = np.asarray(eye, dtype=np.float64)
     fwd = np.asarray(target, dtype=np.float64) - eye
     fwd = fwd / np.linalg.norm(fwd)
-    right = np.cross(fwd, np.asarray(up, dtype=np.float64))
-    right = right / np.linalg.norm(right)
+    up = np.asarray(up, dtype=np.float64)
+    right = np.cross(fwd, up)
+    n = np.linalg.norm(right)
+    if n < 1e-8:
+        alt = np.array([0.0, 0.0, 1.0]) if abs(fwd[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+        right = np.cross(fwd, alt)
+        n = np.linalg.norm(right)
+    right = right / n
     upv = np.cross(right, fwd)
     m = np.eye(4)
     m[:3, 0] = right

@@ -97,15 +97,20 @@ def _g2(a2, co, ci):
 
 
 def _lobe_params(mat: MatSoA):
+    """kt is None when the material table has no transmission -- callers
+    static-branch on it so the transmission lobe compiles out entirely
+    (the reference's shader-variant specialization)."""
     alpha = jnp.maximum(mat.roughness * mat.roughness, _MIN_ALPHA)
     f0d = _f0_from_ior(mat.ior)
     m = mat.metallic
-    t = mat.trans()
     f0 = V3(
         f0d * (1.0 - m) + mat.base.x * m,
         f0d * (1.0 - m) + mat.base.y * m,
         f0d * (1.0 - m) + mat.base.z * m,
     )
+    if mat.transmission is None:
+        return alpha, f0, mat.base * (1.0 - m), None
+    t = mat.transmission
     kd = mat.base * ((1.0 - m) * (1.0 - t))
     kt = mat.base * ((1.0 - m) * t)
     return alpha, f0, kd, kt
@@ -115,6 +120,9 @@ def _lobe_probs(f0: V3, kd: V3, kt: V3, cos_o):
     """(q_spec, q_diff, q_trans): one-sample lobe selection probabilities."""
     s = v3.luminance(_fresnel(f0, cos_o))
     d = v3.luminance(kd)
+    if kt is None:
+        q_s = jnp.clip(s / jnp.maximum(s + d, 1e-8), 0.05, 1.0)
+        return q_s, 1.0 - q_s, None
     t = v3.luminance(kt)
     tot = jnp.maximum(s + d + t, 1e-8)
     q_s = jnp.clip(s / tot, 0.05, 1.0)
@@ -198,11 +206,15 @@ def bsdf_eval(mat: MatSoA, wo: V3, wi: V3):
     pdf_spec = _g1(a2, cos_o) * dt / (4.0 * cos_o)
     pdf_refl = q_s * pdf_spec + q_d * (cos_i * _INV_PI)
 
+    zero = jnp.zeros_like(cos_o)
+    if kt is None:  # opaque: transmission lobe compiled out
+        f = v3.where(up, f_refl, V3(zero, zero, zero))
+        return f, jnp.where(up, pdf_refl, 0.0)
+
     # transmission side
     f_tr, pdf_tr_h, _, _ = _transmission_terms(mat, wo, wi, alpha, kt)
     pdf_tr = q_t * pdf_tr_h
 
-    zero = jnp.zeros_like(cos_o)
     f = v3.where(up, f_refl, v3.where(down, f_tr, V3(zero, zero, zero)))
     pdf = jnp.where(up, pdf_refl, jnp.where(down, pdf_tr, 0.0))
     return f, pdf
@@ -259,11 +271,19 @@ def bsdf_sample(mat: MatSoA, wo: V3, u1, u2, u3):
     cos_o = jnp.maximum(wo.z, 1e-6)
     q_s, q_d, q_t = _lobe_probs(f0, kd, kt, cos_o)
     pick_spec = u1 < q_s
-    pick_trans = (u1 >= q_s) & (u1 < q_s + q_t)
 
     h = _ggx_vndf(wo, alpha, u2, u3)
     wi_spec = h * (2.0 * v3.dot(wo, h)) - wo
     wi_diff = _cosine_hemisphere(u2, u3)
+
+    if kt is None:  # opaque: two-lobe path only
+        wi = v3.where(pick_spec, wi_spec, wi_diff)
+        f, pdf = bsdf_eval(mat, wo, wi)
+        good = (pdf > 1e-12) & (wi.z > 1e-6)
+        scale = jnp.where(good, jnp.abs(wi.z) / jnp.maximum(pdf, 1e-12), 0.0)
+        return wi, f * scale, jnp.where(good, pdf, 0.0)
+
+    pick_trans = (u1 >= q_s) & (u1 < q_s + q_t)
     # refraction through the sampled half-vector
     eta = mat.eta_rel()
     odoth = v3.dot(wo, h)

@@ -3,9 +3,11 @@
 The reference is single-GPU; its only concurrency is dual-queue async compute
 + CPU/GPU pipelining (SURVEY.md section 2.6). The TPU-native scale axis is the
 pixel grid: image rows are sharded over a 1D mesh ("tiles"), the scene is
-replicated, and XLA SPMD partitions every per-ray op automatically -- rays
-never communicate in the wavefront path tracer, so the only collectives are
-for the frame-wide exposure histogram (an all-reduce XLA inserts on its own).
+replicated, and the trace stage runs under ``shard_map`` -- each device path
+traces its own ray shard (the Pallas megakernel runs per device), with NO
+collectives in the trace itself (wavefront rays never communicate). The only
+frame-wide coupling is auto-exposure, which runs outside the shard_map on
+the gathered image (XLA inserts the all-gather).
 
 Stencil passes that read neighbors (spatial ReSTIR reuse, a-trous, TAA) keep
 the same sharding and exchange halos via ppermute when they land; the
@@ -22,9 +24,11 @@ from functools import lru_cache, partial
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..render.frame import RenderConfig, render_frame
+from ..render.frame import RenderConfig, _postprocess
+from ..ops.pathtracer import trace
 
 TILE_AXIS = "tiles"
 
@@ -38,14 +42,24 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 @lru_cache(maxsize=32)
 def _sharded_frame_fn(mesh: Mesh, cfg: RenderConfig):
-    rays_sharding = NamedSharding(mesh, P(TILE_AXIS, None))
+    def traced_shard(scene, o, d, key):
+        # decorrelate RNG streams across shards (pixel ids restart per shard)
+        key = jax.random.fold_in(key, jax.lax.axis_index(TILE_AXIS))
+        return trace(scene, o, d, key, cfg.pt)
 
-    def shard_rays(x):
-        return jax.lax.with_sharding_constraint(x, rays_sharding)
+    sharded_trace = jax.shard_map(
+        traced_shard,
+        mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS, None), P(TILE_AXIS, None), P()),
+        out_specs=P(TILE_AXIS, None),
+        check_vma=False,
+    )
 
-    @partial(jax.jit, donate_argnums=())
+    @jax.jit
     def f(scene, camera, key):
-        return render_frame(scene, camera, key, cfg, shard_rays=shard_rays)
+        o, d = camera.generate_rays(cfg.width, cfg.height)
+        hdr = sharded_trace(scene, o, d, key).reshape(cfg.height, cfg.width, 3)
+        return {"hdr": hdr, "ldr": _postprocess(hdr, cfg)}
 
     return f
 

@@ -69,6 +69,14 @@ class CpuScene:
     mat_id: np.ndarray  # [T] int32
     materials: MaterialsSoA
     emissive_tris: np.ndarray  # [E] int32 indices into triangle arrays
+    inst_id: np.ndarray | None = None  # [T] int32 instance index per tri
+    inst_names: list | None = None  # instance index -> node name (picking)
+
+    def __post_init__(self):
+        if self.inst_id is None:
+            self.inst_id = np.zeros(self.v0.shape[0], np.int32)
+        if self.inst_names is None:
+            self.inst_names = ["<anon>"]
 
     @property
     def num_tris(self) -> int:
@@ -119,8 +127,10 @@ def load_scene(path: str | Path) -> CpuScene:
     mats = list(doc.materials) if doc.materials else [_DEFAULT_MATERIAL]
 
     v0s, v1s, v2s, n0s, n1s, n2s = [], [], [], [], [], []
-    uv0s, uv1s, uv2s, mids = [], [], [], []
-    for inst in doc.instances:
+    uv0s, uv1s, uv2s, mids, iids = [], [], [], [], []
+    inst_names = []
+    for inst_idx, inst in enumerate(doc.instances):
+        inst_names.append(inst.name)
         world = inst.world
         nrm_m = T.normal_matrix(world)
         for prim in inst.mesh_prims:
@@ -147,6 +157,7 @@ def load_scene(path: str | Path) -> CpuScene:
                 uv0s.append(z); uv1s.append(z); uv2s.append(z)
             mid = prim.material if prim.material >= 0 else 0
             mids.append(np.full(idx.shape[0], mid, np.int32))
+            iids.append(np.full(idx.shape[0], inst_idx, np.int32))
 
     cat = lambda xs, dt=np.float32: np.concatenate(xs).astype(dt)
     mat_id = cat(mids, np.int32)
@@ -157,6 +168,8 @@ def load_scene(path: str | Path) -> CpuScene:
         n0=cat(n0s), n1=cat(n1s), n2=cat(n2s),
         uv0=cat(uv0s), uv1=cat(uv1s), uv2=cat(uv2s),
         mat_id=mat_id,
+        inst_id=cat(iids, np.int32),
+        inst_names=inst_names,
         materials=materials,
         emissive_tris=np.nonzero(em_mask)[0].astype(np.int32),
     )
@@ -262,6 +275,7 @@ class SceneBuffers:
     uv1: jnp.ndarray
     uv2: jnp.ndarray
     mat_id: jnp.ndarray  # [Tp] i32
+    inst_id: jnp.ndarray  # [Tp] i32 instance index (picking)
     num_tris: int  # static: true triangle count (rest is padding)
     # material table
     mat_base_color: jnp.ndarray  # [M, 3]
@@ -282,12 +296,16 @@ class SceneBuffers:
     em_of_tri: jnp.ndarray  # [Tp] i32: index into em_* for emissive tris, else -1
     em_power: jnp.ndarray  # scalar: total emissive power (luminance * area * pi)
     num_emissives: int
+    # static: True if any material transmits -- compiles the transmission
+    # lobe out of the megakernel for all-opaque scenes (the reference's
+    # shader-variant trick, IndirectLighting.h's 31 kernel variants)
+    has_transmission: bool
     # world bounds (for sky/tmax)
     world_lo: jnp.ndarray  # [3]
     world_hi: jnp.ndarray  # [3]
 
     def tree_flatten(self):
-        static = (self.num_tris, self.num_emissives)
+        static = (self.num_tris, self.num_emissives, self.has_transmission)
         dynamic = tuple(
             getattr(self, f)
             for f in _SCENE_DYNAMIC_FIELDS
@@ -297,12 +315,14 @@ class SceneBuffers:
     @classmethod
     def tree_unflatten(cls, static, dynamic):
         kw = dict(zip(_SCENE_DYNAMIC_FIELDS, dynamic))
-        kw["num_tris"], kw["num_emissives"] = static
+        kw["num_tris"], kw["num_emissives"], kw["has_transmission"] = static
         return cls(**kw)
 
 
 _SCENE_DYNAMIC_FIELDS = [
-    f for f in SceneBuffers.__dataclass_fields__ if f not in ("num_tris", "num_emissives")
+    f
+    for f in SceneBuffers.__dataclass_fields__
+    if f not in ("num_tris", "num_emissives", "has_transmission")
 ]
 
 import jax.tree_util  # noqa: E402
@@ -395,6 +415,7 @@ def upload_scene(cpu: CpuScene, lane: int = LANE) -> SceneBuffers:
         uv1=jnp.asarray(_pad_to(cpu.uv1, tp)),
         uv2=jnp.asarray(_pad_to(cpu.uv2, tp)),
         mat_id=jnp.asarray(_pad_to(cpu.mat_id, tp)),
+        inst_id=jnp.asarray(_pad_to(cpu.inst_id, tp, value=-1)),
         num_tris=t,
         mat_base_color=jnp.asarray(mats.base_color),
         mat_metallic=jnp.asarray(mats.metallic),
@@ -413,6 +434,7 @@ def upload_scene(cpu: CpuScene, lane: int = LANE) -> SceneBuffers:
         em_of_tri=jnp.asarray(em_of_tri),
         em_power=jnp.asarray(total_power, jnp.float32),
         num_emissives=e,
+        has_transmission=bool((mats.transmission > 0).any()),
         world_lo=jnp.asarray(cpu.aabb()[0], jnp.float32),
         world_hi=jnp.asarray(cpu.aabb()[1], jnp.float32),
     )
