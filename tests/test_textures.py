@@ -1,0 +1,80 @@
+"""Native BCn decoder + texture sampling tests."""
+
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zetaray_tpu.native import decode_bcn
+from zetaray_tpu.scene.textures import sample_bilinear, load_texture
+
+
+def _bc1_block(c0_565, c1_565, indices):
+    idx = 0
+    for t, s in enumerate(indices):
+        idx |= (s & 3) << (2 * t)
+    return struct.pack("<HHI", c0_565, c1_565, idx)
+
+
+def _rgb565(r, g, b):
+    return ((r >> 3) << 11) | ((g >> 2) << 5) | (b >> 3)
+
+
+def test_bc1_solid_colors():
+    red = _rgb565(255, 0, 0)
+    blue = _rgb565(0, 0, 255)
+    block = _bc1_block(red, blue, [0] * 16)  # all index 0 -> c0 (red)
+    img = decode_bcn("BC1", block, 4, 4)
+    assert img.shape == (4, 4, 4)
+    np.testing.assert_array_equal(img[0, 0], [255, 0, 0, 255])
+    block = _bc1_block(red, blue, [1] * 16)  # all index 1 -> c1 (blue)
+    img = decode_bcn("BC1", block, 4, 4)
+    np.testing.assert_array_equal(img[2, 3], [0, 0, 255, 255])
+
+
+def test_bc1_interpolants_and_punchthrough():
+    red = _rgb565(255, 0, 0)
+    blue = _rgb565(0, 0, 255)
+    hi, lo = max(red, blue), min(red, blue)
+    # 4-color mode (c0 > c1): index 2 = 2/3 c0 + 1/3 c1
+    img = decode_bcn("BC1", _bc1_block(hi, lo, [2] * 16), 4, 4)
+    assert img[0, 0, 3] == 255
+    # 3-color mode (c0 <= c1): index 3 = transparent black
+    img = decode_bcn("BC1", _bc1_block(lo, hi, [3] * 16), 4, 4)
+    np.testing.assert_array_equal(img[0, 0], [0, 0, 0, 0])
+
+
+def test_bc3_alpha_ramp():
+    # alpha block: a0=255, a1=0 (8-value mode), all indices 0 -> alpha 255
+    ab = struct.pack("<BB", 255, 0) + b"\x00" * 6
+    cb = _bc1_block(_rgb565(0, 255, 0), _rgb565(0, 0, 0), [0] * 16)
+    img = decode_bcn("BC3", ab + cb, 4, 4)
+    np.testing.assert_array_equal(img[0, 0], [0, 255, 0, 255])
+
+
+def test_bc4_bc5_channels():
+    ab = struct.pack("<BB", 200, 0) + b"\x00" * 6
+    img4 = decode_bcn("BC4", ab, 4, 4)
+    np.testing.assert_array_equal(img4[0, 0], [200, 0, 0, 255])
+    img5 = decode_bcn("BC5", ab + struct.pack("<BB", 100, 0) + b"\x00" * 6, 4, 4)
+    np.testing.assert_array_equal(img5[0, 0], [200, 100, 0, 255])
+
+
+def test_bc7_unsupported_clean():
+    with pytest.raises(NotImplementedError):
+        decode_bcn("BC7", b"\x00" * 16, 4, 4)
+    # and the cornell checkerboard (BC7 DDS) falls back to None
+    tex = load_texture(
+        "/root/reference/Assets/CornellBox/compressed/checkerboard.dds"
+    )
+    assert tex is None
+
+
+def test_bilinear_sampling():
+    tex = jnp.zeros((4, 4, 4)).at[:, 2:].set(1.0)  # left black, right white
+    uv = jnp.asarray([[0.125, 0.125], [0.875, 0.125], [0.5, 0.5]])
+    out = np.asarray(sample_bilinear(tex, uv))
+    assert out[0, 0] < 0.05
+    assert out[1, 0] > 0.95
+    assert 0.3 < out[2, 0] < 0.7  # straddles the edge

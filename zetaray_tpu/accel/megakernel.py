@@ -368,7 +368,9 @@ class G:
     WO = 17  # 3 unit direction toward the camera
     EMISS = 20  # 3 emitted radiance toward camera (visible side resolved)
     EM_PDF_AREA = 23
-    ROWS = 24
+    UV = 24  # 2 interpolated texture coords
+    TEXID = 26  # base-color texture id as float (-1 = none)
+    ROWS = 32
 
 
 def _gbuffer_kernel(rays_ref, woop_ref, attrsT_ref, out_ref, *, rt, tp, tc, t_min):
@@ -418,6 +420,16 @@ def _gbuffer_kernel(rays_ref, woop_ref, attrsT_ref, out_ref, *, rt, tp, tc, t_mi
     out_ref[G.EMISS + 1, :] = at[A.EMISS + 1] * le_gain
     out_ref[G.EMISS + 2, :] = at[A.EMISS + 2] * le_gain
     out_ref[G.EM_PDF_AREA, :] = at[A.EM_PDF_AREA]
+    w0b = 1.0 - bu - bv
+    out_ref[G.UV, :] = (
+        w0b * at[A.UV0] + bu * at[A.UV1] + bv * at[A.UV2]
+    )
+    out_ref[G.UV + 1, :] = (
+        w0b * at[A.UV0 + 1] + bu * at[A.UV1 + 1] + bv * at[A.UV2 + 1]
+    )
+    out_ref[G.TEXID, :] = jnp.where(hit, at[A.TEXID], -1.0)
+    for r in range(G.TEXID + 1, G.ROWS):
+        out_ref[r, :] = jnp.zeros((rt,))
 
 
 def gbuffer(scene, o, d, t_min=1e-4, rt=1024, interpret=False):

@@ -123,6 +123,14 @@ def main(argv=None):
     t0 = time.time()
     cpu = load_scene(args.scene)
     scene = upload_scene(cpu)
+    from .scene.textures import load_scene_textures
+
+    textures = load_scene_textures(cpu)
+    if cpu.texture_paths and len(textures) < len([t for t in cpu.texture_paths if t]):
+        log.warning(
+            f"decoded {len(textures)}/{len(cpu.texture_paths)} textures "
+            "(BC6/BC7 decode pending; falling back to material factors)"
+        )
     log.info(
         f"scene: {cpu.num_tris} tris, {len(cpu.emissive_tris)} emissive "
         f"({time.time() - t0:.2f}s)"
@@ -146,7 +154,9 @@ def main(argv=None):
         cam = cam0.with_jitter(i)
         key = jax.random.PRNGKey(i)
         if cfg.mode in ("restir_di", "restir_gi") and scene.num_emissives > 0:
-            out, state = render_frame_restir_jit(scene, cam, key, cfg, state)
+            out, state = render_frame_restir_jit(
+                scene, cam, key, cfg, state, textures or None
+            )
         else:
             out = render_frame_jit(scene, cam, key, cfg)
         ldr = np.asarray(out["ldr"])  # forces completion

@@ -87,8 +87,14 @@ def _on_cpu():
     return jax.default_backend() == "cpu"
 
 
-def render_frame_restir(scene, camera, key, cfg: RenderConfig, state: FrameState | None):
-    """ReSTIR DI direct + PT indirect frame. Returns (outputs, FrameState)."""
+def render_frame_restir(
+    scene, camera, key, cfg: RenderConfig, state: FrameState | None, textures=None
+):
+    """ReSTIR DI direct + PT indirect frame. Returns (outputs, FrameState).
+
+    ``textures``: optional {index: [H,W,4] jnp} dict (scene.textures); base
+    color is modulated at primary visibility.
+    """
     from ..accel.megakernel import gbuffer, build_light_sets
     from ..ops import restir_di as RD
     from ..core.rng import seed_from_key
@@ -99,6 +105,10 @@ def render_frame_restir(scene, camera, key, cfg: RenderConfig, state: FrameState
     interp = _on_cpu()
 
     gb = gbuffer(scene, o, d, interpret=interp)
+    if textures:
+        from ..scene.textures import apply_textures_to_gbuffer
+
+        gb = apply_textures_to_gbuffer(gb, textures)
     lsets = build_light_sets(scene, seed)
     res = RD.initial_candidates(gb, lsets, seed, cfg.restir, interpret=interp)
     if cfg.restir.temporal and state is not None:
@@ -182,6 +192,6 @@ def render_frame_jit(scene, camera, key, cfg: RenderConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def render_frame_restir_jit(scene, camera, key, cfg: RenderConfig, state):
+def render_frame_restir_jit(scene, camera, key, cfg: RenderConfig, state, textures=None):
     """Jitted stateful ReSTIR frame (state=None on the first frame)."""
-    return render_frame_restir(scene, camera, key, cfg, state)
+    return render_frame_restir(scene, camera, key, cfg, state, textures)

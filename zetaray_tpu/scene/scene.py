@@ -71,6 +71,7 @@ class CpuScene:
     emissive_tris: np.ndarray  # [E] int32 indices into triangle arrays
     inst_id: np.ndarray | None = None  # [T] int32 instance index per tri
     inst_names: list | None = None  # instance index -> node name (picking)
+    texture_paths: list | None = None  # texture index -> resolved path/uri
 
     def __post_init__(self):
         if self.inst_id is None:
@@ -170,6 +171,7 @@ def load_scene(path: str | Path) -> CpuScene:
         mat_id=mat_id,
         inst_id=cat(iids, np.int32),
         inst_names=inst_names,
+        texture_paths=doc.textures,
         materials=materials,
         emissive_tris=np.nonzero(em_mask)[0].astype(np.int32),
     )
@@ -238,6 +240,7 @@ class A:
     DOUBLE = 28  # 1.0 if double-sided
     MATID = 29  # material index as float (debug/texture lookup later)
     EM_PDF_AREA = 30  # light-sampling pdf (area measure), 0 if not emissive
+    TEXID = 31  # base-color texture index as float (-1 = none)
     WIDTH = 32
 
 
@@ -386,6 +389,7 @@ def upload_scene(cpu: CpuScene, lane: int = LANE) -> SceneBuffers:
     attrs[:t, A.TRANS] = mats.transmission[mid]
     attrs[:t, A.DOUBLE] = mats.double_sided[mid].astype(np.float32)
     attrs[:t, A.MATID] = mid.astype(np.float32)
+    attrs[:t, A.TEXID] = mats.base_color_tex[mid].astype(np.float32)
     if e > 0:
         attrs[em, A.EM_PDF_AREA] = pdf / np.maximum(em_area, 1e-12)
 
