@@ -92,6 +92,8 @@ def main(argv=None):
     parser.add_argument("--fov", type=float, default=45.0)
     parser.add_argument("--sun", default=None, help="x,y,z enables sun+sky")
     parser.add_argument("--denoise", action="store_true")
+    parser.add_argument("--orbit", type=float, default=0.0,
+                        help="degrees/frame camera orbit around the target")
     parser.add_argument("--dump-graph", action="store_true")
     args = parser.parse_args(argv)
 
@@ -151,6 +153,18 @@ def main(argv=None):
         registry.apply_pending()
         cfg = cfg_holder[0]
         stats.begin_frame()
+        if args.orbit:
+            import math
+
+            ang = math.radians(args.orbit * i)
+            rel = np.asarray(eye) - np.asarray(target)
+            rot = np.array(
+                [[math.cos(ang), 0, math.sin(ang)],
+                 [0, 1, 0],
+                 [-math.sin(ang), 0, math.cos(ang)]]
+            )
+            cam0 = Camera.look_at(tuple(np.asarray(target) + rot @ rel),
+                                  target, vfov_deg=args.fov, aspect=w / h)
         cam = cam0.with_jitter(i)
         key = jax.random.PRNGKey(i)
         if cfg.mode in ("restir_di", "restir_gi") and scene.num_emissives > 0:
