@@ -78,14 +78,18 @@ def _tri_hits_soa(w, o: V3, d: V3, t_min, t_max, tc):
     return jnp.where(valid, t, INF), u, v
 
 
+# Unroll the triangle-chunk loop only for small scenes; larger ones use a
+# fori_loop (bounded compile time + VMEM reuse across iterations).
+_UNROLL_CHUNKS = 4
+
+
 def _closest_soa(woop_ref, attrsT_ref, o, d, t_min, rt, tp, tc):
-    """Static chunked closest hit. Returns (t, u, v, attrs [A.WIDTH, rt])."""
-    best_t = jnp.full((rt,), INF)
-    best_u = jnp.zeros((rt,))
-    best_v = jnp.zeros((rt,))
-    attrs = jnp.zeros((A.WIDTH, rt))
-    for c in range(tp // tc):
-        w = woop_ref[:, :, c * tc : (c + 1) * tc]
+    """Chunked closest hit over all tris. Returns (t, u, v, attrs)."""
+    n_chunks = tp // tc
+
+    def chunk(c, carry):
+        best_t, best_u, best_v, attrs = carry
+        w = woop_ref[:, :, pl.ds(c * tc, tc)]
         t, u, v = _tri_hits_soa(w, o, d, t_min, INF, tc)
         tmin_c = jnp.min(t, axis=0)
         hit_c = tmin_c < INF
@@ -95,7 +99,7 @@ def _closest_soa(woop_ref, attrsT_ref, o, d, t_min, rt, tp, tc):
         sel = (iota == idx[None, :]) & hit_c[None, :]
         sel_f = sel.astype(jnp.float32)
         att_c = jax.lax.dot_general(
-            attrsT_ref[:, c * tc : (c + 1) * tc],
+            attrsT_ref[:, pl.ds(c * tc, tc)],
             sel_f,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -108,17 +112,42 @@ def _closest_soa(woop_ref, attrsT_ref, o, d, t_min, rt, tp, tc):
         best_v = jnp.where(better, v_c, best_v)
         attrs = jnp.where(better[None, :], att_c, attrs)
         best_t = jnp.where(better, tmin_c, best_t)
-    return best_t, best_u, best_v, attrs
+        return (best_t, best_u, best_v, attrs)
+
+    init = (
+        jnp.full((rt,), INF),
+        jnp.zeros((rt,)),
+        jnp.zeros((rt,)),
+        jnp.zeros((A.WIDTH, rt)),
+    )
+    if n_chunks <= _UNROLL_CHUNKS:
+        carry = init
+        for c in range(n_chunks):
+            carry = chunk(c, carry)
+        return carry
+    return jax.lax.fori_loop(0, n_chunks, chunk, init)
 
 
 def _occluded_soa(woop_ref, o, seg: V3, rt, tp, tc, t_min=1e-3, t_max=1.0 - 1e-3):
-    """Segment occlusion: any hit with t in (t_min, t_max) along ``seg``."""
-    occ = jnp.zeros((rt,), bool)
-    for c in range(tp // tc):
-        w = woop_ref[:, :, c * tc : (c + 1) * tc]
+    """Segment occlusion: any hit with t in (t_min, t_max) along ``seg``.
+
+    The running mask is carried as f32 (Mosaic cannot legalize scf.for
+    with i1 vector carries).
+    """
+    n_chunks = tp // tc
+
+    def chunk(c, occ_f):
+        w = woop_ref[:, :, pl.ds(c * tc, tc)]
         t, _, _ = _tri_hits_soa(w, o, seg, t_min, t_max, tc)
-        occ = occ | (jnp.min(t, axis=0) < INF)
-    return occ
+        return jnp.maximum(occ_f, (jnp.min(t, axis=0) < INF).astype(jnp.float32))
+
+    init = jnp.zeros((rt,))
+    if n_chunks <= _UNROLL_CHUNKS:
+        occ = init
+        for c in range(n_chunks):
+            occ = chunk(c, occ)
+        return occ > 0.5
+    return jax.lax.fori_loop(0, n_chunks, chunk, init) > 0.5
 
 
 def _rng8(i, rt, bounce, seed, salt):

@@ -103,7 +103,10 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig()):
     On TPU this dispatches to the fused bounce megakernel
     (accel.megakernel); the XLA wavefront below is the CPU/test oracle.
     """
-    if jax.default_backend() != "cpu" and scene.woop.shape[1] // 3 <= 2048:
+    # megakernel VMEM budget: whole Woop + attr tables resident (~8k tris);
+    # larger scenes fall back to the chunk-scanned XLA path until the
+    # BVH-streaming kernel lands (GAPS.md item 8)
+    if jax.default_backend() != "cpu" and scene.woop.shape[1] // 3 <= 8192:
         from ..accel.megakernel import trace_megakernel
 
         return trace_megakernel(scene, o, d, R.seed_from_key(key), cfg)
