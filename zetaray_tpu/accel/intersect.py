@@ -244,13 +244,30 @@ def _pad_rays(o, d, mult=256):
 
 
 def intersect_closest_shaded(scene, o, d, t_min=1e-4, t_max=None) -> ShadedHit:
-    """Closest hit with attributes fetched in-kernel (no XLA gathers on TPU)."""
+    """Closest hit with attributes fetched in-kernel (no XLA gathers on TPU).
+
+    Scenes with a cluster BVH (scene.cluster_aabb set) use the streaming
+    traversal (accel.stream) -- triangles beyond the VMEM ceiling stream
+    from HBM with tile-level AABB culling; the winning triangle's attributes
+    come from one XLA gather (1/C of the attribute bandwidth)."""
     if t_max is None:
         t_max = INF
     if not _on_cpu():
+        o_p, d_p, n = _pad_rays(o, d)
+        if scene.cluster_aabb is not None:
+            from .stream import closest_hit_stream
+
+            t, tri, u, v = closest_hit_stream(
+                scene.woop.reshape(4, 3, -1), scene.cluster_aabb, o_p, d_p,
+                t_min=float(t_min), t_max=float(t_max),
+            )
+            tri = tri[:n]
+            attrs = jnp.where(
+                (tri >= 0)[:, None], scene.tri_attrs[jnp.maximum(tri, 0)], 0.0
+            )
+            return ShadedHit(t[:n], tri, u[:n], v[:n], attrs)
         from .pallas_kernels import closest_hit_pallas
 
-        o_p, d_p, n = _pad_rays(o, d)
         t, tri, u, v, attrs = closest_hit_pallas(
             scene.woop.reshape(4, 3, -1), scene.tri_attrs, o_p, d_p,
             t_min=float(t_min), t_max=float(t_max),
@@ -268,9 +285,17 @@ def intersect_occluded(scene, o, d, t_min=1e-4, t_max=None) -> jnp.ndarray:
     if t_max is None:
         t_max = INF
     if not _on_cpu():
+        o_p, d_p, n = _pad_rays(o, d)
+        if scene.cluster_aabb is not None:
+            from .stream import occlusion_stream
+
+            occ = occlusion_stream(
+                scene.woop.reshape(4, 3, -1), scene.cluster_aabb, o_p, d_p,
+                t_min=float(t_min), t_max=float(t_max),
+            )
+            return occ[:n]
         from .pallas_kernels import occlusion_pallas
 
-        o_p, d_p, n = _pad_rays(o, d)
         occ = occlusion_pallas(
             scene.woop.reshape(4, 3, -1), o_p, d_p,
             t_min=float(t_min), t_max=float(t_max),

@@ -21,8 +21,8 @@ Path state lives in a [16, N] SoA f32 array, aliased in/out of the kernel:
   12 prev_bsdf_pdf | 13 alive | 14 specular-bounce flag | 15 pad
 
 Scene limits (v1): the whole Woop + attribute tables must fit VMEM
-(T <= ~2048 triangles). Larger scenes stream cluster chunks selected by the
-host-built BVH (round 2).
+(T <= 8192 triangles with the chunked fori loops). Larger scenes stream
+BVH clusters from HBM (accel.bvh_stream).
 """
 
 from __future__ import annotations
@@ -168,6 +168,9 @@ def _bounce_kernel(
     i = pl.program_id(0)
     bounce = scal_ref[0, 0]
     seed = scal_ref[1, 0].astype(jnp.uint32)
+    # global tile index: pix0/rt + i, so RNG streams and light-set choices
+    # are identical whether the wavefront is whole or a per-device shard
+    i = scal_ref[2, 0] + i
 
     st = state_ref[:]
     o = V3(st[0], st[1], st[2])
@@ -399,6 +402,8 @@ class G:
     EM_PDF_AREA = 23
     UV = 24  # 2 interpolated texture coords
     TEXID = 26  # base-color texture id as float (-1 = none)
+    TRANS = 27  # transmission weight [0,1]
+    ETA = 28  # relative IOR along the primary ray (front: 1/ior, back: ior)
     ROWS = 32
 
 
@@ -457,12 +462,74 @@ def _gbuffer_kernel(rays_ref, woop_ref, attrsT_ref, out_ref, *, rt, tp, tc, t_mi
         w0b * at[A.UV0 + 1] + bu * at[A.UV1 + 1] + bv * at[A.UV2 + 1]
     )
     out_ref[G.TEXID, :] = jnp.where(hit, at[A.TEXID], -1.0)
-    for r in range(G.TEXID + 1, G.ROWS):
+    ior = jnp.maximum(at[A.IOR], 1.01)
+    out_ref[G.TRANS, :] = at[A.TRANS]
+    out_ref[G.ETA, :] = jnp.where(front, 1.0 / ior, ior)
+    for r in range(G.ETA + 1, G.ROWS):
         out_ref[r, :] = jnp.zeros((rt,))
+
+
+def gbuffer_xla(scene, o, d, t_min=1e-4):
+    """G-buffer via the backend-dispatched intersection path (jnp assembly).
+
+    Used for clustered scenes where the dense kernel's whole-table VMEM
+    residency is impossible -- intersect_closest_shaded streams BVH clusters
+    (accel.stream). Row-for-row identical semantics to _gbuffer_kernel.
+    """
+    from .intersect import intersect_closest_shaded
+
+    n = o.shape[0]
+    sh = intersect_closest_shaded(scene, o, d, t_min=t_min)
+    at = sh.attrs.T  # [A.WIDTH, n]
+    ov = V3(o[:, 0], o[:, 1], o[:, 2])
+    dv = V3(d[:, 0], d[:, 1], d[:, 2])
+    hit = sh.valid
+    bu, bv = sh.u, sh.v
+    ng_raw = v3.from_rows(at, A.NG)
+    wo_dot_ng = -v3.dot(dv, ng_raw)
+    front = wo_dot_ng > 0.0
+    sgn = jnp.where(front, 1.0, -1.0)
+    ng = ng_raw * sgn
+    w0 = 1.0 - bu - bv
+    ns = v3.normalize(
+        v3.from_rows(at, A.N0) * w0
+        + v3.from_rows(at, A.N1) * bu
+        + v3.from_rows(at, A.N2) * bv
+    ) * sgn
+    ns = v3.where(v3.dot(ns, ng) < 0.0, -ns, ns)
+    pos = ov + dv * sh.t
+    two_sided = at[A.DOUBLE] > 0.5
+    le_gain = jnp.where(hit & (two_sided | front), 1.0, 0.0)
+    ior = jnp.maximum(at[A.IOR], 1.01)
+    gb = jnp.zeros((G.ROWS, n))
+    gb = gb.at[G.POS].set(pos.x).at[G.POS + 1].set(pos.y).at[G.POS + 2].set(pos.z)
+    gb = gb.at[G.NS].set(ns.x).at[G.NS + 1].set(ns.y).at[G.NS + 2].set(ns.z)
+    gb = gb.at[G.NG].set(ng.x).at[G.NG + 1].set(ng.y).at[G.NG + 2].set(ng.z)
+    gb = gb.at[G.BASE].set(at[A.BASE]).at[G.BASE + 1].set(at[A.BASE + 1])
+    gb = gb.at[G.BASE + 2].set(at[A.BASE + 2])
+    gb = gb.at[G.METAL].set(at[A.METAL]).at[G.ROUGH].set(at[A.ROUGH])
+    gb = gb.at[G.IOR].set(ior)
+    gb = gb.at[G.VALID].set(hit.astype(jnp.float32))
+    gb = gb.at[G.DEPTH].set(jnp.where(hit, sh.t, 0.0))
+    gb = gb.at[G.WO].set(-dv.x).at[G.WO + 1].set(-dv.y).at[G.WO + 2].set(-dv.z)
+    gb = gb.at[G.EMISS].set(at[A.EMISS] * le_gain)
+    gb = gb.at[G.EMISS + 1].set(at[A.EMISS + 1] * le_gain)
+    gb = gb.at[G.EMISS + 2].set(at[A.EMISS + 2] * le_gain)
+    gb = gb.at[G.EM_PDF_AREA].set(at[A.EM_PDF_AREA])
+    gb = gb.at[G.UV].set(w0 * at[A.UV0] + bu * at[A.UV1] + bv * at[A.UV2])
+    gb = gb.at[G.UV + 1].set(
+        w0 * at[A.UV0 + 1] + bu * at[A.UV1 + 1] + bv * at[A.UV2 + 1]
+    )
+    gb = gb.at[G.TEXID].set(jnp.where(hit, at[A.TEXID], -1.0))
+    gb = gb.at[G.TRANS].set(at[A.TRANS])
+    gb = gb.at[G.ETA].set(jnp.where(front, 1.0 / ior, ior))
+    return gb
 
 
 def gbuffer(scene, o, d, t_min=1e-4, rt=1024, interpret=False):
     """Primary-hit G-buffer pass. Returns [G.ROWS, N] SoA planes."""
+    if scene.cluster_aabb is not None:
+        return gbuffer_xla(scene, o, d, t_min=t_min)
     n = o.shape[0]
     n_pad = ((n + rt - 1) // rt) * rt
     rays = jnp.zeros((6, n_pad))
@@ -492,7 +559,7 @@ def gbuffer(scene, o, d, t_min=1e-4, rt=1024, interpret=False):
 
 def bounce_step(
     state, woop3, attrsT, light_sets, bounce, seed, cfg, last, has_lights,
-    has_transmission=False, rt=1024, interpret=False,
+    has_transmission=False, rt=1024, interpret=False, pix0=0,
 ):
     """Run one bounce over the whole wavefront. state: [16, N] (donated)."""
     n = state.shape[1]
@@ -502,8 +569,9 @@ def bounce_step(
         [
             jnp.full((), bounce, jnp.int32),
             jnp.asarray(seed).astype(jnp.int32).reshape(()),
+            (jnp.asarray(pix0) // rt).astype(jnp.int32).reshape(()),
         ]
-    ).reshape(2, 1)
+    ).reshape(3, 1)
     kernel = functools.partial(
         _bounce_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg, last=last,
         has_lights=has_lights, has_transmission=has_transmission,
@@ -545,7 +613,7 @@ def build_light_sets(scene, seed: jnp.ndarray):
     return rows.reshape(LSET_ROWS, NS, PS).transpose(1, 0, 2)
 
 
-def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False):
+def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0):
     """Full path trace via the bounce megakernel. Returns [N, 3] radiance."""
     n = o.shape[0]
     n_pad = ((n + rt - 1) // rt) * rt
@@ -574,6 +642,6 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False):
             state, woop3, attrsT, lsets, bounce, seed, cfg,
             last=(bounce == cfg.max_bounces), has_lights=has_lights,
             has_transmission=scene.has_transmission,
-            rt=rt, interpret=interpret,
+            rt=rt, interpret=interpret, pix0=pix0,
         )
     return state[9:12, :n].T

@@ -47,6 +47,44 @@ class ATrousConfig:
 _B3 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 
 
+def atrous_iteration(out, normal, depth, vf, step: int, cfg: ATrousConfig = ATrousConfig()):
+    """One a-trous pass at tap spacing ``step`` (vf: validity as f32).
+
+    Separated out so the sharded frame can halo-exchange between iterations
+    (each pass reads up to 2*step rows away); jnp.roll wraparound at the
+    array boundary matches the circular halo exchange exactly.
+    """
+    lum_c = luminance(out)
+    acc = jnp.zeros_like(out)
+    wacc = jnp.zeros(out.shape[:2])
+    for j, wy in enumerate(_B3):
+        for i, wx in enumerate(_B3):
+            dy = (j - 2) * step
+            dx = (i - 2) * step
+            w_k = wy * wx
+            sh = lambda a: jnp.roll(jnp.roll(a, dy, axis=0), dx, axis=1)
+            c_n = sh(out)
+            n_n = sh(normal)
+            d_n = sh(depth)
+            v_n = sh(vf)
+            w_col = jnp.exp(
+                -jnp.abs(luminance(c_n) - lum_c) / cfg.sigma_color
+            )
+            w_nrm = jnp.maximum(jnp.sum(n_n * normal, -1), 0.0) ** cfg.sigma_normal
+            w_dep = jnp.exp(
+                -jnp.abs(d_n - depth)
+                / (cfg.sigma_depth * jnp.maximum(depth, 1e-3))
+            )
+            wgt = w_k * w_col * w_nrm * w_dep * v_n
+            acc = acc + c_n * wgt[..., None]
+            wacc = wacc + wgt
+    return jnp.where(
+        ((vf > 0.5) & (wacc > 1e-6))[..., None],
+        acc / jnp.maximum(wacc, 1e-6)[..., None],
+        out,
+    )
+
+
 def atrous_denoise(img, normal, depth, valid, cfg: ATrousConfig = ATrousConfig()):
     """Edge-aware a-trous wavelet filtering.
 
@@ -57,34 +95,5 @@ def atrous_denoise(img, normal, depth, valid, cfg: ATrousConfig = ATrousConfig()
     out = img
     vf = valid.astype(jnp.float32)
     for it in range(cfg.iterations):
-        step = 1 << it
-        lum_c = luminance(out)
-        acc = jnp.zeros_like(out)
-        wacc = jnp.zeros(out.shape[:2])
-        for j, wy in enumerate(_B3):
-            for i, wx in enumerate(_B3):
-                dy = (j - 2) * step
-                dx = (i - 2) * step
-                w_k = wy * wx
-                sh = lambda a: jnp.roll(jnp.roll(a, dy, axis=0), dx, axis=1)
-                c_n = sh(out)
-                n_n = sh(normal)
-                d_n = sh(depth)
-                v_n = sh(vf)
-                w_col = jnp.exp(
-                    -jnp.abs(luminance(c_n) - lum_c) / cfg.sigma_color
-                )
-                w_nrm = jnp.maximum(jnp.sum(n_n * normal, -1), 0.0) ** cfg.sigma_normal
-                w_dep = jnp.exp(
-                    -jnp.abs(d_n - depth)
-                    / (cfg.sigma_depth * jnp.maximum(depth, 1e-3))
-                )
-                wgt = w_k * w_col * w_nrm * w_dep * v_n
-                acc = acc + c_n * wgt[..., None]
-                wacc = wacc + wgt
-        out = jnp.where(
-            (valid & (wacc > 1e-6))[..., None],
-            acc / jnp.maximum(wacc, 1e-6)[..., None],
-            out,
-        )
+        out = atrous_iteration(out, normal, depth, vf, 1 << it, cfg)
     return out

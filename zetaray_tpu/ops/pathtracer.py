@@ -97,27 +97,34 @@ def _surface_from(o, d, sh):
     return pos, ng, ns, uv, front, mat, ng_raw
 
 
-def trace(scene, o, d, key, cfg: PTConfig = PTConfig()):
+def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024):
     """Path-trace radiance for rays (o, d) [N,3]. Returns [N,3] linear HDR.
 
     On TPU this dispatches to the fused bounce megakernel
     (accel.megakernel); the XLA wavefront below is the CPU/test oracle.
+    ``pix0``: global flat index of the first ray (nonzero under pixel-tile
+    sharding so per-pixel RNG streams match the unsharded frame).
     """
-    # megakernel VMEM budget: whole Woop + attr tables resident (~8k tris);
-    # larger scenes fall back to the chunk-scanned XLA path until the
-    # BVH-streaming kernel lands (GAPS.md item 8)
-    if jax.default_backend() != "cpu" and scene.woop.shape[1] // 3 <= 8192:
+    # Dispatch: small scenes (whole Woop + attr tables VMEM-resident) use
+    # the fused bounce megakernel; clustered scenes (scene.cluster_aabb set)
+    # use the XLA wavefront whose intersection queries stream BVH clusters
+    # from HBM with tile culling (accel.stream).
+    if (
+        jax.default_backend() != "cpu"
+        and scene.cluster_aabb is None
+        and scene.woop.shape[1] // 3 <= 8192
+    ):
         from ..accel.megakernel import trace_megakernel
 
-        return trace_megakernel(scene, o, d, R.seed_from_key(key), cfg)
-    return trace_reference(scene, o, d, key, cfg)
+        return trace_megakernel(scene, o, d, R.seed_from_key(key), cfg, rt=rt, pix0=pix0)
+    return trace_reference(scene, o, d, key, cfg, pix0=pix0)
 
 
-def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig()):
+def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0):
     """XLA-staged wavefront path tracer (oracle / large-scene fallback)."""
     n = o.shape[0]
     seed = R.seed_from_key(key)
-    pixel = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    pixel = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] + pix0
     radiance = jnp.zeros((n, 3))
     throughput = jnp.ones((n, 3))
     alive = jnp.ones((n,), bool)

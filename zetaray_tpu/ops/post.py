@@ -31,6 +31,7 @@ def histogram_exposure(
     low_clip: float = 0.6,
     high_clip: float = 0.95,
     key_value: float = 0.18,
+    axis_name: str | None = None,
 ):
     """Exposure scale from a clipped log-luminance histogram.
 
@@ -38,13 +39,22 @@ def histogram_exposure(
     (percentile low/high clipping, AutoExposure.h:21-100). Returns a scalar
     multiplier such that the clipped geometric-mean luminance maps to
     ``key_value`` (middle gray).
+
+    ``axis_name``: under pixel-tile sharding, each shard histograms its own
+    pixels and the partial histograms are psum-reduced -- bit-identical to
+    the whole-image histogram (the TPU analog of the reference's
+    wave-cooperative histogram, AutoExposure_Histogram.hlsl:46-62).
     """
+    import jax
+
     lum = luminance(hdr.reshape(-1, 3))
     ok = lum > 1e-8
     loglum = jnp.clip(jnp.log2(jnp.maximum(lum, 1e-8)), min_log_lum, max_log_lum)
     t = (loglum - min_log_lum) / (max_log_lum - min_log_lum)
     idx = jnp.clip((t * bins).astype(jnp.int32), 0, bins - 1)
     hist = jnp.zeros((bins,)).at[idx].add(jnp.where(ok, 1.0, 0.0))
+    if axis_name is not None:
+        hist = jax.lax.psum(hist, axis_name)
     cdf = jnp.cumsum(hist)
     total = cdf[-1]
     lo = low_clip * total

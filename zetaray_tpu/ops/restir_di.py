@@ -55,8 +55,12 @@ class ReSTIRConfig:
     normal_tolerance: float = 0.9  # min dot(ns, ns_prev) for reuse
 
 
-def _surface_from_gbuf(gb):
-    """gb: [G.ROWS, n] -> (pos, ns, ng, wo, mat, valid)."""
+def _surface_from_gbuf(gb, trans: bool = False):
+    """gb: [G.ROWS, n] -> (pos, ns, ng, wo, mat, valid).
+
+    ``trans``: statically include the transmission lobe (G.TRANS/G.ETA rows)
+    so glass shades consistently with the pt mode; False compiles it out.
+    """
     pos = v3.from_rows(gb, G.POS)
     ns = v3.from_rows(gb, G.NS)
     ng = v3.from_rows(gb, G.NG)
@@ -66,6 +70,8 @@ def _surface_from_gbuf(gb):
         metallic=gb[G.METAL],
         roughness=gb[G.ROUGH],
         ior=gb[G.IOR],
+        transmission=gb[G.TRANS] if trans else None,
+        eta=gb[G.ETA] if trans else None,
     )
     return pos, ns, ng, wo, mat, gb[G.VALID] > 0.5
 
@@ -92,11 +98,13 @@ def _phat(mat, frame, wo_l, pos, ns, y_pos: V3, y_ng: V3, y_le: V3, y_two):
 # ---------------------------------------------------------------------------
 
 
-def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, *, rt, m0):
+def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, *, rt, m0, trans):
     i = pl.program_id(0)
     seed = scal_ref[0, 0].astype(jnp.uint32)
+    tile0 = scal_ref[1, 0]  # global tile index of this shard's first tile
+    gi = tile0 + i  # global tile index (sharding-invariant RNG/set choice)
     gb = gb_ref[:]
-    pos, ns, ng, wo, mat, valid = _surface_from_gbuf(gb)
+    pos, ns, ng, wo, mat, valid = _surface_from_gbuf(gb, trans)
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
 
@@ -109,7 +117,7 @@ def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, *, rt, m0):
     w_sum = zero
 
     pix = jax.lax.broadcasted_iota(jnp.uint32, (rt, 1), 0)[:, 0] + (
-        i * rt
+        gi * rt
     ).astype(jnp.uint32)
 
     def body(m, carry):
@@ -124,7 +132,7 @@ def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, *, rt, m0):
         )
         u1 = S.to_unit_float(bits[0])
         u2 = S.to_unit_float(bits[1])
-        set_idx = jax.lax.rem(i * 31 + m * 7, NS)
+        set_idx = jax.lax.rem(gi * 31 + m * 7, NS)
         lset = lset_ref[set_idx]
         p = jnp.minimum((u1 * PS).astype(jnp.int32), PS - 1)
         onehot = (
@@ -179,13 +187,23 @@ def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, *, rt, m0):
     out_ref[15, :] = zero
 
 
-def initial_candidates(gbuf, light_sets, seed, cfg: ReSTIRConfig, rt=1024, interpret=False):
-    """RIS over M0 presampled lights per pixel -> reservoir rows [16, N]."""
+def initial_candidates(
+    gbuf, light_sets, seed, cfg: ReSTIRConfig, rt=1024, interpret=False,
+    trans=False, pix0=0,
+):
+    """RIS over M0 presampled lights per pixel -> reservoir rows [16, N].
+
+    ``pix0``: global flat index of this shard's first pixel (must be a
+    multiple of ``rt`` for sharding-invariant results; 0 when unsharded).
+    """
     n = gbuf.shape[1]
     n_pad = ((n + rt - 1) // rt) * rt
     gb = jnp.pad(gbuf, ((0, 0), (0, n_pad - n))) if n_pad != n else gbuf
-    scal = jnp.asarray(seed).astype(jnp.int32).reshape(1, 1)
-    kernel = functools.partial(_ris_kernel, rt=rt, m0=cfg.num_candidates)
+    scal = jnp.stack([
+        jnp.asarray(seed).astype(jnp.int32).reshape(()),
+        (jnp.asarray(pix0) // rt).astype(jnp.int32).reshape(()),
+    ]).reshape(2, 1)
+    kernel = functools.partial(_ris_kernel, rt=rt, m0=cfg.num_candidates, trans=trans)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // rt,),
@@ -244,26 +262,43 @@ def _gather_rows(arr, idx):
     return jnp.take(arr, idx, axis=1)
 
 
-def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg):
-    """Merge reprojected previous-frame reservoirs into the current ones."""
+def temporal_reuse(
+    res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
+    trans=False, pix=None, prev_row0=0, prev_rows=None,
+):
+    """Merge reprojected previous-frame reservoirs into the current ones.
+
+    Sharding hooks (parallel.mesh): ``pix`` = global flat pixel indices of
+    this shard's pixels (RNG streams stay bit-identical to the unsharded
+    frame); ``prev_row0``/``prev_rows`` describe the halo-extended previous
+    arrays (first row's global row index and row count) -- reprojections
+    landing outside the halo simply reject reuse.
+    """
     n = res.shape[1]
-    pos = v3.from_rows(gbuf, G.POS)
-    ns = v3.from_rows(gbuf, G.NS)
-    wo = v3.from_rows(gbuf, G.WO)
-    mat = S.MatSoA(
-        base=v3.from_rows(gbuf, G.BASE), metallic=gbuf[G.METAL],
-        roughness=gbuf[G.ROUGH], ior=gbuf[G.IOR],
-    )
+    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans)
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
-    valid = gbuf[G.VALID] > 0.5
 
     p_world = jnp.stack([pos.x, pos.y, pos.z], axis=-1)
-    px, py, depth_prev_est = prev_cam.project(p_world, width, height)
+    px, py, w_fwd = prev_cam.project(p_world, width, height)
+    # G.DEPTH stores the primary-hit ray parameter t (Euclidean distance:
+    # primary dirs are unit), so the reuse test must compare Euclidean
+    # distance to the previous eye -- NOT project()'s view-forward depth,
+    # which is off by 1/cos(theta) toward the image periphery.
+    rel = p_world - jnp.asarray(prev_cam.eye)
+    depth_prev_est = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-12))
     ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
     iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
-    inside = (px >= -0.5) & (px <= width - 0.5) & (py >= -0.5) & (py <= height - 0.5)
-    idx = iy * width + ix
+    inside = (
+        (px >= -0.5) & (px <= width - 0.5) & (py >= -0.5) & (py <= height - 0.5)
+        & (w_fwd > 0.0)
+    )
+    if prev_rows is None:
+        prev_rows = height
+    ey = iy - prev_row0
+    inside = inside & (ey >= 0) & (ey < prev_rows)
+    ey = jnp.clip(ey, 0, prev_rows - 1)
+    idx = ey * width + ix
 
     prev_r = _gather_rows(prev_res, idx)
     prev_g = _gather_rows(prev_gbuf, idx)
@@ -280,56 +315,69 @@ def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed
 
     from ..core.rng import uniform4
 
-    pix = jnp.arange(n, dtype=jnp.int32)
+    if pix is None:
+        pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 0, seed, salt=0x7E17)[:, 0]
     m_cap = cfg.m_max_factor * cfg.num_candidates
     surf = (pos, ns, mat, frame, wo_l, valid)
     return _merge(res, prev_r, surf, u, m_cap=m_cap)
 
 
-def spatial_reuse(res, gbuf, width, height, seed, cfg: ReSTIRConfig):
-    """Merge reservoirs from random nearby pixels (per-pixel offsets)."""
+def spatial_step(
+    res, gbuf, width, height, seed, it, cfg: ReSTIRConfig,
+    trans=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
+):
+    """One spatial-reuse iteration.
+
+    ``res_src``/``gbuf_src``: gather source arrays (halo-extended under
+    sharding; default: ``res``/``gbuf`` themselves). ``src_row0`` is the
+    global row index of the source's first row; ``pix`` the global flat
+    pixel indices (defaults reproduce the single-device behavior exactly).
+    """
     n = res.shape[1]
-    pos = v3.from_rows(gbuf, G.POS)
-    ns = v3.from_rows(gbuf, G.NS)
-    wo = v3.from_rows(gbuf, G.WO)
-    mat = S.MatSoA(
-        base=v3.from_rows(gbuf, G.BASE), metallic=gbuf[G.METAL],
-        roughness=gbuf[G.ROUGH], ior=gbuf[G.IOR],
-    )
+    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans)
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
-    valid = gbuf[G.VALID] > 0.5
     surf = (pos, ns, mat, frame, wo_l, valid)
+    if res_src is None:
+        res_src = res
+    if gbuf_src is None:
+        gbuf_src = gbuf
 
     from ..core.rng import uniform4
 
-    pix = jnp.arange(n, dtype=jnp.int32)
+    if pix is None:
+        pix = jnp.arange(n, dtype=jnp.int32)
     x = pix % width
     y = pix // width
+    u = uniform4(pix, it, seed, salt=0x5A71)
+    r = cfg.spatial_radius * jnp.sqrt(u[:, 0])
+    phi = 2.0 * jnp.pi * u[:, 1]
+    dx = jnp.round(r * jnp.cos(phi)).astype(jnp.int32)
+    dy = jnp.round(r * jnp.sin(phi)).astype(jnp.int32)
+    nx = jnp.clip(x + dx, 0, width - 1)
+    ny = jnp.clip(y + dy, 0, height - 1)
+    nidx = (ny - src_row0) * width + nx
+    nb = _gather_rows(res_src, nidx)
+    # geometry agreement with the neighbor's surface
+    nb_g = _gather_rows(gbuf_src, nidx)
+    depth = gbuf[G.DEPTH]
+    depth_nb = nb_g[G.DEPTH]
+    ok = (
+        (jnp.abs(depth_nb - depth) < cfg.depth_tolerance * jnp.maximum(depth, 1e-3))
+        & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
+        & (nb_g[G.VALID] > 0.5)
+    )
+    nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
+    nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
+    return _merge(res, nb, surf, u[:, 2])
+
+
+def spatial_reuse(res, gbuf, width, height, seed, cfg: ReSTIRConfig, trans=False, pix=None):
+    """Merge reservoirs from random nearby pixels (per-pixel offsets)."""
     out = res
     for it in range(cfg.spatial_iterations):
-        u = uniform4(pix, it, seed, salt=0x5A71)
-        r = cfg.spatial_radius * jnp.sqrt(u[:, 0])
-        phi = 2.0 * jnp.pi * u[:, 1]
-        dx = jnp.round(r * jnp.cos(phi)).astype(jnp.int32)
-        dy = jnp.round(r * jnp.sin(phi)).astype(jnp.int32)
-        nx = jnp.clip(x + dx, 0, width - 1)
-        ny = jnp.clip(y + dy, 0, height - 1)
-        nidx = ny * width + nx
-        nb = _gather_rows(out, nidx)
-        # geometry agreement with the neighbor's surface
-        nb_g = _gather_rows(gbuf, nidx)
-        depth = gbuf[G.DEPTH]
-        depth_nb = nb_g[G.DEPTH]
-        ok = (
-            (jnp.abs(depth_nb - depth) < cfg.depth_tolerance * jnp.maximum(depth, 1e-3))
-            & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
-            & (nb_g[G.VALID] > 0.5)
-        )
-        nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
-        nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
-        out = _merge(out, nb, surf, u[:, 2])
+        out = spatial_step(out, gbuf, width, height, seed, it, cfg, trans, pix)
     return out
 
 
@@ -360,22 +408,14 @@ def visibility_reuse(scene, res, gbuf):
 # ---------------------------------------------------------------------------
 
 
-def shade(scene, res, gbuf, interpret=False):
+def shade(scene, res, gbuf, interpret=False, trans=False):
     """Shadow-test the surviving sample and return direct radiance [N, 3]
     (plus directly-visible emissive from the G-buffer)."""
     from ..accel.intersect import intersect_occluded
 
-    pos = v3.from_rows(gbuf, G.POS)
-    ns = v3.from_rows(gbuf, G.NS)
-    ng = v3.from_rows(gbuf, G.NG)
-    wo = v3.from_rows(gbuf, G.WO)
-    mat = S.MatSoA(
-        base=v3.from_rows(gbuf, G.BASE), metallic=gbuf[G.METAL],
-        roughness=gbuf[G.ROUGH], ior=gbuf[G.IOR],
-    )
+    pos, ns, ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans)
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
-    valid = gbuf[G.VALID] > 0.5
 
     y_pos = v3.from_rows(res, 0)
     y_ng = v3.from_rows(res, 3)

@@ -44,7 +44,7 @@ class ReSTIRGIConfig:
     normal_tolerance: float = 0.9
 
 
-def _surf(gbuf):
+def _surf(gbuf, trans: bool = False):
     pos = v3.from_rows(gbuf, G.POS)
     ns = v3.from_rows(gbuf, G.NS)
     ng = v3.from_rows(gbuf, G.NG)
@@ -52,6 +52,8 @@ def _surf(gbuf):
     mat = S.MatSoA(
         base=v3.from_rows(gbuf, G.BASE), metallic=gbuf[G.METAL],
         roughness=gbuf[G.ROUGH], ior=gbuf[G.IOR],
+        transmission=gbuf[G.TRANS] if trans else None,
+        eta=gbuf[G.ETA] if trans else None,
     )
     frame = S.make_frame(ns)
     return pos, ns, ng, wo, mat, frame, gbuf[G.VALID] > 0.5
@@ -72,12 +74,21 @@ def _phat_area(mat, frame, wo_l, pos, ns, x2: V3, n2: V3, l2: V3):
     return jnp.where(ok, phat, 0.0), f, geom, wi
 
 
-def initial_samples(scene, gbuf, key, pt_cfg, seed):
+# Reconnection vertices for rays that escape to the sky sit on a far sphere:
+# the area-measure reservoir machinery then handles environment GI with no
+# special cases (phat ~ 1/d^2 and pdf_area ~ 1/d^2 cancel; f32-safe at 1e4).
+SKY_DIST = 1.0e4
+
+
+def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, pix=None, pix0=0, rt=1024):
     """Generate one GI sample per pixel.
 
     Samples a BSDF direction at the primary hit, finds x2/n2 with one
     closest-hit query, and evaluates L2 = outgoing radiance at x2 (PT from
-    the secondary ray, emission at x2 excluded). Returns reservoir rows.
+    the secondary ray, emission at x2 excluded). Rays that miss into a sky
+    (pt_cfg.sky) become far-sphere reconnection vertices carrying the sky
+    radiance, so environment light participates in GI reuse. Returns
+    reservoir rows.
     """
     from ..accel.intersect import intersect_closest_shaded
     from ..core.rng import uniform4
@@ -85,9 +96,10 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed):
     from .pathtracer import trace
 
     n = gbuf.shape[1]
-    pos, ns, ng, wo, mat, frame, valid = _surf(gbuf)
+    pos, ns, ng, wo, mat, frame, valid = _surf(gbuf, trans)
     wo_l = frame.to_local(wo)
-    pix = jnp.arange(n, dtype=jnp.int32)
+    if pix is None:
+        pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 101, seed, salt=0x61AA)
     wi_l, _, pdf_sa = S.bsdf_sample(mat, wo_l, u[:, 0], u[:, 1], u[:, 2])
     wi = frame.to_world(wi_l)
@@ -113,8 +125,21 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed):
         min_emissive_bounce=max(pt_cfg.min_emissive_bounce - 1, 1),
         min_nee_bounce=0,
     )
-    l2_rgb = trace(scene, o2, d2, key, l2_cfg)
+    l2_rgb = trace(scene, o2, d2, key, l2_cfg, pix0=pix0, rt=rt)
     l2 = V3(*l2_rgb.T)
+
+    if pt_cfg.sky is not None:
+        # escaped rays: reconnection vertex on the far sphere, L2 = sky
+        # radiance (sun disk excluded -- the primary sun-NEE term owns it)
+        from . import sky as SK
+
+        sky_miss = live & ~sh.valid
+        env = SK.sky_radiance(V3(*d2.T), pt_cfg.sky, with_disk=False)
+        wi_v = V3(*d2.T)
+        x2 = v3.where(sky_miss, V3(*(o2.T)) + wi_v * SKY_DIST, x2)
+        n2 = v3.where(sky_miss, -wi_v, n2)
+        l2 = v3.where(sky_miss, env, l2)
+        hit = hit | sky_miss
 
     phat, _, _, _ = _phat_area(mat, frame, wo_l, pos, ns, x2, n2, l2)
     # source pdf in area measure
@@ -157,19 +182,34 @@ def _merge(res_a, res_b, surf, u, m_cap=None):
     return out
 
 
-def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg):
+def temporal_reuse(
+    res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
+    trans=False, pix=None, prev_row0=0, prev_rows=None,
+):
     from ..core.rng import uniform4
 
     n = res.shape[1]
-    surf = _surf(gbuf)
+    surf = _surf(gbuf, trans)
     pos = surf[0]
     ns = surf[1]
     p_world = jnp.stack([pos.x, pos.y, pos.z], -1)
-    px, py, depth_est = prev_cam.project(p_world, width, height)
+    px, py, w_fwd = prev_cam.project(p_world, width, height)
+    # compare Euclidean distance to the previous eye against the stored
+    # ray-parameter depth (see restir_di.temporal_reuse)
+    rel = p_world - jnp.asarray(prev_cam.eye)
+    depth_est = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-12))
     ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
     iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
-    inside = (px >= -0.5) & (px <= width - 0.5) & (py >= -0.5) & (py <= height - 0.5)
-    idx = iy * width + ix
+    inside = (
+        (px >= -0.5) & (px <= width - 0.5) & (py >= -0.5) & (py <= height - 0.5)
+        & (w_fwd > 0.0)
+    )
+    if prev_rows is None:
+        prev_rows = height
+    ey = iy - prev_row0
+    inside = inside & (ey >= 0) & (ey < prev_rows)
+    ey = jnp.clip(ey, 0, prev_rows - 1)
+    idx = ey * width + ix
     prev_r = jnp.take(prev_res, idx, axis=1)
     prev_g = jnp.take(prev_gbuf, idx, axis=1)
     ok = (
@@ -180,46 +220,61 @@ def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed
     )
     prev_r = prev_r.at[10].set(jnp.where(ok, prev_r[10], 0.0))
     prev_r = prev_r.at[11].set(jnp.where(ok, prev_r[11], 0.0))
-    u = uniform4(jnp.arange(n, dtype=jnp.int32), 102, seed, salt=0x6E31)[:, 0]
+    if pix is None:
+        pix = jnp.arange(n, dtype=jnp.int32)
+    u = uniform4(pix, 102, seed, salt=0x6E31)[:, 0]
     return _merge(res, prev_r, surf, u, m_cap=cfg.m_max)
 
 
-def spatial_reuse(res, gbuf, width, height, seed, cfg):
+def spatial_step(
+    res, gbuf, width, height, seed, it, cfg,
+    trans=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
+):
+    """One GI spatial-reuse iteration (sharding hooks as restir_di.spatial_step)."""
     from ..core.rng import uniform4
 
     n = res.shape[1]
-    surf = _surf(gbuf)
+    surf = _surf(gbuf, trans)
     ns = surf[1]
-    pix = jnp.arange(n, dtype=jnp.int32)
+    if res_src is None:
+        res_src = res
+    if gbuf_src is None:
+        gbuf_src = gbuf
+    if pix is None:
+        pix = jnp.arange(n, dtype=jnp.int32)
     x = pix % width
     y = pix // width
+    u = uniform4(pix, 103 + it, seed, salt=0x51A7)
+    r = cfg.spatial_radius * jnp.sqrt(u[:, 0])
+    phi = 2.0 * jnp.pi * u[:, 1]
+    nx = jnp.clip(x + jnp.round(r * jnp.cos(phi)).astype(jnp.int32), 0, width - 1)
+    ny = jnp.clip(y + jnp.round(r * jnp.sin(phi)).astype(jnp.int32), 0, height - 1)
+    nidx = (ny - src_row0) * width + nx
+    nb = jnp.take(res_src, nidx, axis=1)
+    nb_g = jnp.take(gbuf_src, nidx, axis=1)
+    depth = gbuf[G.DEPTH]
+    ok = (
+        (jnp.abs(nb_g[G.DEPTH] - depth) < cfg.depth_tolerance * jnp.maximum(depth, 1e-3))
+        & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
+        & (nb_g[G.VALID] > 0.5)
+    )
+    nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
+    nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
+    return _merge(res, nb, surf, u[:, 2])
+
+
+def spatial_reuse(res, gbuf, width, height, seed, cfg, trans=False, pix=None):
     out = res
     for it in range(cfg.spatial_iterations):
-        u = uniform4(pix, 103 + it, seed, salt=0x51A7)
-        r = cfg.spatial_radius * jnp.sqrt(u[:, 0])
-        phi = 2.0 * jnp.pi * u[:, 1]
-        nx = jnp.clip(x + jnp.round(r * jnp.cos(phi)).astype(jnp.int32), 0, width - 1)
-        ny = jnp.clip(y + jnp.round(r * jnp.sin(phi)).astype(jnp.int32), 0, height - 1)
-        nidx = ny * width + nx
-        nb = jnp.take(out, nidx, axis=1)
-        nb_g = jnp.take(gbuf, nidx, axis=1)
-        depth = gbuf[G.DEPTH]
-        ok = (
-            (jnp.abs(nb_g[G.DEPTH] - depth) < cfg.depth_tolerance * jnp.maximum(depth, 1e-3))
-            & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
-            & (nb_g[G.VALID] > 0.5)
-        )
-        nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
-        nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
-        out = _merge(out, nb, surf, u[:, 2])
+        out = spatial_step(out, gbuf, width, height, seed, it, cfg, trans, pix)
     return out
 
 
-def shade(scene, res, gbuf):
+def shade(scene, res, gbuf, trans=False):
     """Indirect radiance from the surviving sample (+ visibility ray)."""
     from ..accel.intersect import intersect_occluded
 
-    pos, ns, ng, wo, mat, frame, valid = _surf(gbuf)
+    pos, ns, ng, wo, mat, frame, valid = _surf(gbuf, trans)
     wo_l = frame.to_local(wo)
     x2 = v3.from_rows(res, 0)
     n2 = v3.from_rows(res, 3)

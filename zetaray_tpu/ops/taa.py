@@ -36,24 +36,42 @@ def _neighborhood_minmax(img):
     return lo, hi
 
 
-def taa_resolve(curr, history, world_pos, valid, prev_cam, cfg: TAAConfig = TAAConfig()):
+def taa_resolve(
+    curr, history, world_pos, valid, prev_cam, cfg: TAAConfig = TAAConfig(),
+    height_full=None, hist_row0=0, hist_rows=None, curr_ext=None,
+):
     """One TAA step.
 
-    curr: [H, W, 3] this frame's color; history: [H, W, 3] previous output;
+    curr: [H, W, 3] this frame's color; history: previous output;
     world_pos: [H, W, 3] G-buffer positions (for reprojection); valid:
     [H, W] hit mask; prev_cam: previous frame's Camera. Returns the new
     resolved color (also the next history).
+
+    Sharding hooks (parallel.mesh): ``height_full`` = full image height when
+    curr is a row shard; ``history`` is then the halo-extended history with
+    first row at global row ``hist_row0`` and ``hist_rows`` rows;
+    ``curr_ext`` = 1-row halo-extended curr for the neighborhood clamp.
     """
     h, w, _ = curr.shape
-    px, py, depth = prev_cam.project(world_pos.reshape(-1, 3), w, h)
+    hf = height_full if height_full is not None else h
+    px, py, depth = prev_cam.project(world_pos.reshape(-1, 3), w, hf)
     ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
-    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)
+    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, hf - 1)
     inside = (
-        (px >= -0.5) & (px <= w - 0.5) & (py >= -0.5) & (py <= h - 0.5) & (depth > 0)
+        (px >= -0.5) & (px <= w - 0.5) & (py >= -0.5) & (py <= hf - 0.5) & (depth > 0)
     )
-    hist = history.reshape(-1, 3)[iy * w + ix].reshape(h, w, 3)
+    hr = hist_rows if hist_rows is not None else hf
+    ey = iy - hist_row0
+    inside = inside & (ey >= 0) & (ey < hr)
+    ey = jnp.clip(ey, 0, hr - 1)
+    hist = history.reshape(-1, 3)[ey * w + ix].reshape(h, w, 3)
     if cfg.clamp:
-        lo, hi = _neighborhood_minmax(curr)
+        if curr_ext is None:
+            lo, hi = _neighborhood_minmax(curr)
+        else:
+            he = (curr_ext.shape[0] - h) // 2
+            lo, hi = _neighborhood_minmax(curr_ext)
+            lo, hi = lo[he:-he], hi[he:-he]
         hist = jnp.clip(hist, lo, hi)
     ok = (inside.reshape(h, w) & valid)[..., None]
     blended = cfg.blend * curr + (1.0 - cfg.blend) * hist

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..render.frame import RenderConfig, _postprocess
+from ..render.frame import RenderConfig, _pick_rt, _postprocess
 from ..ops.pathtracer import trace
 
 TILE_AXIS = "tiles"
@@ -43,9 +43,11 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 @lru_cache(maxsize=32)
 def _sharded_frame_fn(mesh: Mesh, cfg: RenderConfig):
     def traced_shard(scene, o, d, key):
-        # decorrelate RNG streams across shards (pixel ids restart per shard)
-        key = jax.random.fold_in(key, jax.lax.axis_index(TILE_AXIS))
-        return trace(scene, o, d, key, cfg.pt)
+        # global pixel ids keep per-pixel RNG streams identical to the
+        # unsharded frame (and decorrelated across shards)
+        n_loc = o.shape[0]
+        pix0 = jax.lax.axis_index(TILE_AXIS) * n_loc
+        return trace(scene, o, d, key, cfg.pt, pix0=pix0, rt=_pick_rt(n_loc))
 
     sharded_trace = jax.shard_map(
         traced_shard,
@@ -74,3 +76,66 @@ def render_frame_sharded(mesh: Mesh, scene, camera, key, cfg: RenderConfig):
     repl = NamedSharding(mesh, P())
     scene = jax.device_put(scene, repl)
     return _sharded_frame_fn(mesh, cfg)(scene, camera, key)
+
+
+# ---------------------------------------------------------------------------
+# The flagship stateful frame, sharded: ReSTIR DI/GI + denoise + TAA with
+# ppermute halo exchange for every stencil (SURVEY.md section 2.6.6)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _sharded_restir_fn(mesh: Mesh, cfg: RenderConfig, halo: int, has_state: bool):
+    from ..parallel.halo import ShardCtx
+    from ..render.frame import FrameState, render_frame_restir
+
+    n = mesh.size
+    h_loc = cfg.height // n
+    ctx = ShardCtx(axis=TILE_AXIS, n_shards=n, h_local=h_loc, halo=halo)
+
+    res_spec = P(None, TILE_AXIS)  # [rows, pixels]: shard the pixel axis
+    st_spec = FrameState(
+        reservoirs=res_spec,
+        gi_reservoirs=res_spec,
+        gbuf=res_spec,
+        camera_prev=P(),  # replicated (prefix over the Camera pytree)
+        history=P(TILE_AXIS, None, None),
+    )
+    img_spec = P(TILE_AXIS, None, None)
+    out_specs = ({"hdr": img_spec, "ldr": img_spec}, st_spec)
+
+    if has_state:
+        def body(scene, camera, key, state):
+            return render_frame_restir(scene, camera, key, cfg, state, shard=ctx)
+
+        in_specs = (P(), P(), P(), st_spec)
+    else:
+        def body(scene, camera, key):
+            return render_frame_restir(scene, camera, key, cfg, None, shard=ctx)
+
+        in_specs = (P(), P(), P())
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    ))
+
+
+def render_frame_restir_sharded(
+    mesh: Mesh, scene, camera, key, cfg: RenderConfig, state=None, halo: int = 16
+):
+    """One stateful ReSTIR frame sharded over image rows.
+
+    Returns (outputs, FrameState) exactly like render.frame.render_frame_restir;
+    the FrameState arrays come back sharded and feed the next call directly.
+    Requires cfg.height % mesh.size == 0. ``halo`` bounds how far temporal
+    reprojection and TAA may reach across shard boundaries (reuse outside the
+    halo is rejected, never wrong).
+    """
+    n = mesh.size
+    assert cfg.height % n == 0, "image rows not divisible by mesh"
+    scene = jax.device_put(scene, NamedSharding(mesh, P()))
+    fn = _sharded_restir_fn(mesh, cfg, halo, state is not None)
+    if state is None:
+        return fn(scene, camera, key)
+    return fn(scene, camera, key, state)

@@ -74,9 +74,9 @@ class FrameState(NamedTuple):
     history: jnp.ndarray  # [H, W, 3] TAA color history (HDR)
 
 
-def _postprocess(hdr, cfg):
+def _postprocess(hdr, cfg, axis_name=None):
     if cfg.auto_exposure:
-        exposure = post.histogram_exposure(hdr)
+        exposure = post.histogram_exposure(hdr, axis_name=axis_name)
     else:
         exposure = cfg.manual_exposure
     ldr = post.TONEMAPPERS[cfg.tonemapper](hdr * exposure)
@@ -87,38 +87,154 @@ def _on_cpu():
     return jax.default_backend() == "cpu"
 
 
+def _pick_rt(n_loc: int) -> int:
+    """Pallas ray-tile width: divides the shard's pixel count so global
+    RNG/light-set tiling is sharding-invariant (lane-dim multiple of 128)."""
+    for rt in (1024, 512, 256, 128):
+        if n_loc % rt == 0:
+            return rt
+    return 1024
+
+
+def _sky_direct(scene, gb, sky):
+    """Sky background on primary-miss pixels + sun NEE at primary hits.
+
+    The SkyDI-lite terms the pt/restir_di paths get from the PT trace
+    (reference: SkyDI pass, SkyDI.h:1-137); the restir_gi mode composes
+    direct light from reservoirs only, so these terms are added here.
+    Returns [N, 3].
+    """
+    import numpy as np
+
+    from ..accel.intersect import intersect_occluded
+    from ..accel.megakernel import G
+    from ..core import vec3 as v3
+    from ..core.vec3 import V3
+    from ..ops import restir_di as RD
+    from ..ops import shading_soa as S
+    from ..ops import sky as SK
+
+    valid = gb[G.VALID] > 0.5
+    wo = v3.from_rows(gb, G.WO)
+    d = V3(-wo.x, -wo.y, -wo.z)
+    d_rgbrows = jnp.stack([d.x, d.y, d.z], -1)
+    env = SK.sky_radiance(d, sky, with_disk=False)
+    disk = SK.sun_disk(d_rgbrows, sky)
+    env_rgb = jnp.stack([env.x, env.y, env.z], -1) + disk
+    background = jnp.where(valid[:, None], 0.0, env_rgb)
+
+    pos, ns, ng, _wo2, mat, _valid = RD._surface_from_gbuf(gb)
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    sun = np.asarray(sky.sun_dir, np.float64)
+    sun = (sun / np.linalg.norm(sun)).astype(np.float32)
+    n = gb.shape[1]
+    sdir = V3(
+        jnp.full((n,), float(sun[0])),
+        jnp.full((n,), float(sun[1])),
+        jnp.full((n,), float(sun[2])),
+    )
+    cos_s = v3.dot(sdir, ns)
+    f_s, _ = S.bsdf_eval(mat, wo_l, frame.to_local(sdir))
+    so = pos + ng * 1e-3
+    occ = intersect_occluded(
+        scene,
+        jnp.stack([so.x, so.y, so.z], -1),
+        jnp.stack([sdir.x, sdir.y, sdir.z], -1),
+        t_min=1e-3, t_max=1e8,
+    )
+    e_sun = np.asarray(SK.sun_irradiance(sky))
+    gain = jnp.where(valid & (cos_s > 1e-6) & ~occ, cos_s, 0.0)
+    sun_term = jnp.stack(
+        [f_s.x * float(e_sun[0]) * gain,
+         f_s.y * float(e_sun[1]) * gain,
+         f_s.z * float(e_sun[2]) * gain], -1,
+    )
+    return background + sun_term
+
+
 def render_frame_restir(
-    scene, camera, key, cfg: RenderConfig, state: FrameState | None, textures=None
+    scene, camera, key, cfg: RenderConfig, state: FrameState | None,
+    textures=None, shard=None,
 ):
-    """ReSTIR DI direct + PT indirect frame. Returns (outputs, FrameState).
+    """ReSTIR DI direct (+ ReSTIR GI or PT indirect) frame.
+    Returns (outputs, FrameState).
 
     ``textures``: optional {index: [H,W,4] jnp} dict (scene.textures); base
     color is modulated at primary visibility.
+
+    ``shard``: optional parallel.halo.ShardCtx -- the function then runs as
+    the per-device body under shard_map: it renders its own image-row band,
+    exchanges halo rows via ppermute for every stencil pass (temporal
+    reprojection, spatial reuse, a-trous, TAA) and psums the exposure
+    histogram. With matching tile sizes the sharded frame is bit-identical
+    to the unsharded one (global pixel ids drive all RNG streams).
     """
-    from ..accel.megakernel import gbuffer, build_light_sets
-    from ..ops import restir_di as RD
+    from ..accel.megakernel import G, build_light_sets, gbuffer
     from ..core.rng import seed_from_key
+    from ..ops import restir_di as RD
 
     w, h = cfg.width, cfg.height
-    o, d = camera.generate_rays(w, h)
+    trans = scene.has_transmission
     seed = seed_from_key(key)
     interp = _on_cpu()
 
-    gb = gbuffer(scene, o, d, interpret=interp)
+    if shard is None:
+        h_loc, row0, pix, pix0, axis, n_sh, halo = h, 0, None, 0, None, 1, 0
+        o, d = camera.generate_rays(w, h)
+    else:
+        from ..parallel.halo import halo_exchange_flat as _hxf
+        from ..parallel.halo import halo_exchange_rows as _hx
+
+        h_loc, n_sh, halo, axis = (
+            shard.h_local, shard.n_shards, shard.halo, shard.axis,
+        )
+        row0 = jax.lax.axis_index(axis) * h_loc
+        pix0 = row0 * w
+        pix = pix0 + jnp.arange(h_loc * w, dtype=jnp.int32)
+        o, d = camera.generate_rays(w, h, rows=(row0, h_loc))
+
+    n_loc = h_loc * w
+    rt = _pick_rt(n_loc)
+
+    gb = gbuffer(scene, o, d, rt=rt, interpret=interp)
     if textures:
         from ..scene.textures import apply_textures_to_gbuffer
 
         gb = apply_textures_to_gbuffer(gb, textures)
     lsets = build_light_sets(scene, seed)
-    res = RD.initial_candidates(gb, lsets, seed, cfg.restir, interpret=interp)
+    res = RD.initial_candidates(
+        gb, lsets, seed, cfg.restir, rt=rt, interpret=interp,
+        trans=trans, pix0=pix0,
+    )
     if cfg.restir.temporal and state is not None:
-        res = RD.temporal_reuse(
-            res, state.reservoirs, state.gbuf, gb, state.camera_prev,
-            w, h, seed, cfg.restir,
-        )
+        if shard is None:
+            res = RD.temporal_reuse(
+                res, state.reservoirs, state.gbuf, gb, state.camera_prev,
+                w, h, seed, cfg.restir, trans=trans,
+            )
+        else:
+            prev_r = _hxf(state.reservoirs, w, halo, axis, n_sh)
+            prev_g = _hxf(state.gbuf, w, halo, axis, n_sh)
+            res = RD.temporal_reuse(
+                res, prev_r, prev_g, gb, state.camera_prev,
+                w, h, seed, cfg.restir, trans=trans, pix=pix,
+                prev_row0=row0 - halo, prev_rows=h_loc + 2 * halo,
+            )
     res = RD.visibility_reuse(scene, res, gb)
-    res_sp = RD.spatial_reuse(res, gb, w, h, seed, cfg.restir)
-    direct = RD.shade(scene, res_sp, gb)
+    if shard is None:
+        res_sp = RD.spatial_reuse(res, gb, w, h, seed, cfg.restir, trans=trans)
+    else:
+        hs = cfg.restir.spatial_radius
+        gb_ext = _hxf(gb, w, hs, axis, n_sh)
+        res_sp = res
+        for it in range(cfg.restir.spatial_iterations):
+            res_ext = _hxf(res_sp, w, hs, axis, n_sh)
+            res_sp = RD.spatial_step(
+                res_sp, gb, w, h, seed, it, cfg.restir, trans=trans, pix=pix,
+                res_src=res_ext, gbuf_src=gb_ext, src_row0=row0 - hs,
+            )
+    direct = RD.shade(scene, res_sp, gb, trans=trans)
 
     gi_res = jnp.zeros_like(res)
     if not cfg.indirect:
@@ -127,38 +243,96 @@ def render_frame_restir(
         from ..ops import restir_gi as RG
 
         pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
-        gi_res = RG.initial_samples(scene, gb, key, pt_cfg, seed)
+        gi_res = RG.initial_samples(
+            scene, gb, key, pt_cfg, seed, trans=trans, pix=pix, pix0=pix0, rt=rt
+        )
         if cfg.restir_gi.temporal and state is not None:
-            gi_res = RG.temporal_reuse(
-                gi_res, state.gi_reservoirs, state.gbuf, gb,
-                state.camera_prev, w, h, seed, cfg.restir_gi,
-            )
-        gi_sp = RG.spatial_reuse(gi_res, gb, w, h, seed, cfg.restir_gi)
-        indirect = RG.shade(scene, gi_sp, gb)
+            if shard is None:
+                gi_res = RG.temporal_reuse(
+                    gi_res, state.gi_reservoirs, state.gbuf, gb,
+                    state.camera_prev, w, h, seed, cfg.restir_gi, trans=trans,
+                )
+            else:
+                prev_gi = _hxf(state.gi_reservoirs, w, halo, axis, n_sh)
+                prev_g_gi = _hxf(state.gbuf, w, halo, axis, n_sh)
+                gi_res = RG.temporal_reuse(
+                    gi_res, prev_gi, prev_g_gi, gb, state.camera_prev,
+                    w, h, seed, cfg.restir_gi, trans=trans, pix=pix,
+                    prev_row0=row0 - halo, prev_rows=h_loc + 2 * halo,
+                )
+        if shard is None:
+            gi_sp = RG.spatial_reuse(gi_res, gb, w, h, seed, cfg.restir_gi, trans=trans)
+        else:
+            hg = cfg.restir_gi.spatial_radius
+            gb_ext_g = _hxf(gb, w, hg, axis, n_sh)
+            gi_sp = gi_res
+            for it in range(cfg.restir_gi.spatial_iterations):
+                gi_ext = _hxf(gi_sp, w, hg, axis, n_sh)
+                gi_sp = RG.spatial_step(
+                    gi_sp, gb, w, h, seed, it, cfg.restir_gi, trans=trans,
+                    pix=pix, res_src=gi_ext, gbuf_src=gb_ext_g,
+                    src_row0=row0 - hg,
+                )
+        indirect = RG.shade(scene, gi_sp, gb, trans=trans)
+        if cfg.pt.sky is not None:
+            # SkyDI-lite: background + primary sun NEE (the pt trace supplies
+            # these in the other modes; ADVICE round-1 finding #2)
+            direct = direct + _sky_direct(scene, gb, cfg.pt.sky)
     else:
         pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
-        indirect = trace(scene, o, d, key, pt_cfg)
-    hdr = (direct + indirect).reshape(h, w, 3)
+        indirect = trace(scene, o, d, key, pt_cfg, pix0=pix0, rt=rt)
+    hdr = (direct + indirect).reshape(h_loc, w, 3)
 
     # -- post chain: firefly -> a-trous -> TAA (reference Compositing tail)
-    from ..accel.megakernel import G
     from ..ops import denoise as DN
     from ..ops import taa as TA
 
+    normal_img = gb[G.NS : G.NS + 3].T.reshape(h_loc, w, 3)
+    depth_img = gb[G.DEPTH].reshape(h_loc, w)
+    valid_img = (gb[G.VALID] > 0.5).reshape(h_loc, w)
     if cfg.firefly_factor > 0.0:
-        hdr = DN.firefly_filter(hdr, cfg.firefly_factor)
-    normal_img = gb[G.NS : G.NS + 3].T.reshape(h, w, 3)
-    depth_img = gb[G.DEPTH].reshape(h, w)
-    valid_img = (gb[G.VALID] > 0.5).reshape(h, w)
+        if shard is None:
+            hdr = DN.firefly_filter(hdr, cfg.firefly_factor)
+        else:
+            hdr = DN.firefly_filter(
+                _hx(hdr, 1, axis, n_sh), cfg.firefly_factor
+            )[1:-1]
     if cfg.denoise:
-        hdr = DN.atrous_denoise(hdr, normal_img, depth_img, valid_img)
+        if shard is None:
+            hdr = DN.atrous_denoise(hdr, normal_img, depth_img, valid_img)
+        else:
+            dn_cfg = DN.ATrousConfig()
+            hmax = 2 * (1 << (dn_cfg.iterations - 1))
+            vf = valid_img.astype(jnp.float32)
+            nrm_ext = _hx(normal_img, hmax, axis, n_sh)
+            dep_ext = _hx(depth_img, hmax, axis, n_sh)
+            vf_ext = _hx(vf, hmax, axis, n_sh)
+            out = hdr
+            for it in range(dn_cfg.iterations):
+                step = 1 << it
+                hh = 2 * step
+                sl = lambda a: a[hmax - hh : hmax + h_loc + hh]
+                out = DN.atrous_iteration(
+                    _hx(out, hh, axis, n_sh),
+                    sl(nrm_ext), sl(dep_ext), sl(vf_ext), step, dn_cfg,
+                )[hh:-hh]
+            hdr = out
     if cfg.taa and state is not None:
-        pos_img = gb[G.POS : G.POS + 3].T.reshape(h, w, 3)
-        hdr = TA.taa_resolve(
-            hdr, state.history, pos_img, valid_img, state.camera_prev
-        )
+        pos_img = gb[G.POS : G.POS + 3].T.reshape(h_loc, w, 3)
+        if shard is None:
+            hdr = TA.taa_resolve(
+                hdr, state.history, pos_img, valid_img, state.camera_prev
+            )
+        else:
+            hist_ext = _hx(state.history, halo, axis, n_sh)
+            hdr = TA.taa_resolve(
+                hdr, hist_ext, pos_img, valid_img, state.camera_prev,
+                height_full=h, hist_row0=row0 - halo,
+                hist_rows=h_loc + 2 * halo,
+                curr_ext=_hx(hdr, 1, axis, n_sh),
+            )
 
-    ldr = _postprocess(hdr, cfg)
+    ldr = _postprocess(hdr, cfg, axis_name=axis)
     # Temporal feedback stores the *pre-spatial* reservoirs (the reference
     # feeds the temporal reservoirs forward, DirectLighting.cpp).
     new_state = FrameState(

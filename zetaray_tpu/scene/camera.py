@@ -74,20 +74,35 @@ class Camera:
 
     # -- device-side ray generation --------------------------------------
 
-    def generate_rays(self, width: int, height: int, lens_u: jnp.ndarray | None = None):
+    def generate_rays(
+        self,
+        width: int,
+        height: int,
+        lens_u: jnp.ndarray | None = None,
+        rows: tuple | None = None,
+    ):
         """Primary rays through pixel centers (+ jitter).
 
-        Returns (origins [H*W, 3], directions [H*W, 3] unit). ``lens_u``
-        ([H*W, 2] uniforms) enables thin-lens DoF when lens_radius > 0.
+        Returns (origins [N, 3], directions [N, 3] unit). ``lens_u``
+        ([N, 2] uniforms) enables thin-lens DoF when lens_radius > 0.
+        ``rows=(y0, n_rows)`` restricts generation to an image-row band
+        (y0 may be traced -- the per-shard path under pixel-tile sharding);
+        N = n_rows * width then, else height * width.
         """
         jx, jy = self.jitter
         px = (jnp.arange(width, dtype=jnp.float32) + 0.5 + jx) / width
-        py = (jnp.arange(height, dtype=jnp.float32) + 0.5 + jy) / height
+        if rows is None:
+            y_idx = jnp.arange(height, dtype=jnp.float32)
+            n_rows = height
+        else:
+            y0, n_rows = rows
+            y_idx = jnp.arange(n_rows, dtype=jnp.float32) + y0
+        py = (y_idx + 0.5 + jy) / height
         # NDC: x in [-aspect*thf, aspect*thf], y in [thf, -thf] (y down in image)
         sx = (2.0 * px - 1.0) * (self.aspect * self.tan_half_fov)
         sy = (1.0 - 2.0 * py) * self.tan_half_fov
-        sx = jnp.broadcast_to(sx[None, :], (height, width)).reshape(-1)
-        sy = jnp.broadcast_to(sy[:, None], (height, width)).reshape(-1)
+        sx = jnp.broadcast_to(sx[None, :], (n_rows, width)).reshape(-1)
+        sy = jnp.broadcast_to(sy[:, None], (n_rows, width)).reshape(-1)
 
         right = jnp.asarray(self.right)
         up = jnp.asarray(self.up)

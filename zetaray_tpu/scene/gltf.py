@@ -131,6 +131,10 @@ def _read_accessor(doc: dict, buffers: list[bytes], idx: int) -> np.ndarray:
     if acc.get("normalized") and dtype.kind in "iu":
         maxv = float(np.iinfo(dtype).max)
         out = out.astype(np.float32) / maxv
+        if dtype.kind == "i":
+            # glTF snorm decode: max(value/maxv, -1) so e.g. int8 -128 maps
+            # to exactly -1.0 (spec 3.6.2.2), not -1.008
+            out = np.maximum(out, -1.0)
     return out
 
 

@@ -306,6 +306,11 @@ class SceneBuffers:
     # world bounds (for sky/tmax)
     world_lo: jnp.ndarray  # [3]
     world_hi: jnp.ndarray  # [3]
+    # BVH-cluster bounds [M, 8] rows (lo.xyz, hi.xyz, pad) for the streaming
+    # traversal (accel.stream); None = small scene, dense VMEM path. When
+    # set, the triangle arrays are cluster-ordered: cluster c owns slots
+    # [c*CLUSTER_SIZE, (c+1)*CLUSTER_SIZE) with degenerate padding.
+    cluster_aabb: jnp.ndarray | None = None
 
     def tree_flatten(self):
         static = (self.num_tris, self.num_emissives, self.has_transmission)
@@ -335,12 +340,76 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def upload_scene(cpu: CpuScene, lane: int = LANE) -> SceneBuffers:
+# Streaming-traversal clustering: scenes above the dense-VMEM ceiling are
+# reordered into BVH leaf clusters of CLUSTER_SIZE triangles (accel.stream).
+CLUSTER_SIZE = 256
+CLUSTER_THRESHOLD = 8192
+
+
+def _clusterize(cpu: CpuScene, c: int):
+    """Reorder triangles into BVH-leaf clusters padded to ``c`` slots.
+
+    Returns (new CpuScene with cluster-ordered arrays incl. degenerate pad
+    triangles, cluster AABB rows [M, 8]). Pad slots have zero-area triangles
+    (Woop transform 0 -> every ray misses) and are never emissive.
+    """
+    from ..accel.bvh import build_bvh
+
+    bvh = build_bvh(cpu.v0, cpu.v1, cpu.v2, leaf_size=c)
+    lo, hi, first, count = bvh.cluster_aabbs()
+    m = lo.shape[0]
+    t = cpu.num_tris
+    slot_src = np.full(m * c, -1, np.int64)
+    for k in range(m):
+        slot_src[k * c : k * c + count[k]] = bvh.perm[first[k] : first[k] + count[k]]
+    valid = slot_src >= 0
+
+    def take(x, fill=0):
+        out = np.full((m * c,) + x.shape[1:], fill, x.dtype)
+        out[valid] = x[slot_src[valid]]
+        return out
+
+    inv = np.full(t, -1, np.int64)
+    inv[slot_src[valid]] = np.nonzero(valid)[0]
+    # pad slots collapse to a real vertex: zero area (every ray misses, Woop
+    # transform degenerates to 0) without inflating the world AABB
+    v0n, v1n, v2n = take(cpu.v0), take(cpu.v1), take(cpu.v2)
+    v0n[~valid] = v1n[~valid] = v2n[~valid] = cpu.v0[0]
+    new = CpuScene(
+        v0=v0n, v1=v1n, v2=v2n,
+        n0=take(cpu.n0), n1=take(cpu.n1), n2=take(cpu.n2),
+        uv0=take(cpu.uv0), uv1=take(cpu.uv1), uv2=take(cpu.uv2),
+        mat_id=take(cpu.mat_id),
+        inst_id=take(cpu.inst_id, fill=-1),
+        inst_names=cpu.inst_names,
+        texture_paths=cpu.texture_paths,
+        materials=cpu.materials,
+        emissive_tris=inv[cpu.emissive_tris].astype(np.int32),
+    )
+    aabb = np.zeros((m, 8), np.float32)
+    aabb[:, 0:3] = lo
+    aabb[:, 3:6] = hi
+    return new, aabb
+
+
+def upload_scene(
+    cpu: CpuScene, lane: int = LANE, cluster_size: int | None = None
+) -> SceneBuffers:
     """CpuScene -> SceneBuffers: pad, build Woop transforms + emissive alias
     table, move to device. The analog of the reference's GpuMemory uploads +
-    PreLighting alias-table build (PreLighting.cpp:483-546)."""
+    PreLighting alias-table build (PreLighting.cpp:483-546).
+
+    ``cluster_size``: force BVH clustering for the streaming traversal
+    (default: automatic above CLUSTER_THRESHOLD triangles; 0 disables)."""
     from ..core.sampling import build_alias_table
     from .light_build import emissive_powers
+
+    if cluster_size is None:
+        cluster_size = CLUSTER_SIZE if cpu.num_tris > CLUSTER_THRESHOLD else 0
+    cluster_aabb = None
+    if cluster_size:
+        cpu, aabb_np = _clusterize(cpu, cluster_size)
+        cluster_aabb = jnp.asarray(aabb_np)
 
     t = cpu.num_tris
     tp = max(lane, ((t + lane - 1) // lane) * lane)
@@ -441,4 +510,5 @@ def upload_scene(cpu: CpuScene, lane: int = LANE) -> SceneBuffers:
         has_transmission=bool((mats.transmission > 0).any()),
         world_lo=jnp.asarray(cpu.aabb()[0], jnp.float32),
         world_hi=jnp.asarray(cpu.aabb()[1], jnp.float32),
+        cluster_aabb=cluster_aabb,
     )
