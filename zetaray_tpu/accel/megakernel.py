@@ -163,7 +163,7 @@ def _rng8(i, rt, bounce, seed, salt):
 
 def _bounce_kernel(
     scal_ref, state_ref, woop_ref, attrsT_ref, lset_ref, out_ref,
-    *, rt, tp, tc, cfg, last, has_lights, has_transmission,
+    *, rt, tp, tc, cfg, last, has_lights, has_transmission, has_coat,
 ):
     i = pl.program_id(0)
     bounce = scal_ref[0, 0]
@@ -254,9 +254,11 @@ def _bounce_kernel(
             metallic=at[A.METAL],
             roughness=at[A.ROUGH],
             ior=ior,
-            # None compiles the transmission lobe out (all-opaque scenes)
+            # None compiles the transmission/coat lobes out
             transmission=at[A.TRANS] if has_transmission else None,
             eta=jnp.where(front, 1.0 / ior, ior) if has_transmission else None,
+            coat=at[A.COATW] if has_coat else None,
+            coat_roughness=at[A.COATR] if has_coat else None,
         )
         frame = S.make_frame(ns)
         wo_l = frame.to_local(-d)
@@ -404,6 +406,8 @@ class G:
     TEXID = 26  # base-color texture id as float (-1 = none)
     TRANS = 27  # transmission weight [0,1]
     ETA = 28  # relative IOR along the primary ray (front: 1/ior, back: ior)
+    COATW = 29  # coat weight
+    COATR = 30  # coat roughness
     ROWS = 32
 
 
@@ -465,7 +469,9 @@ def _gbuffer_kernel(rays_ref, woop_ref, attrsT_ref, out_ref, *, rt, tp, tc, t_mi
     ior = jnp.maximum(at[A.IOR], 1.01)
     out_ref[G.TRANS, :] = at[A.TRANS]
     out_ref[G.ETA, :] = jnp.where(front, 1.0 / ior, ior)
-    for r in range(G.ETA + 1, G.ROWS):
+    out_ref[G.COATW, :] = at[A.COATW]
+    out_ref[G.COATR, :] = at[A.COATR]
+    for r in range(G.COATR + 1, G.ROWS):
         out_ref[r, :] = jnp.zeros((rt,))
 
 
@@ -523,6 +529,8 @@ def gbuffer_xla(scene, o, d, t_min=1e-4):
     gb = gb.at[G.TEXID].set(jnp.where(hit, at[A.TEXID], -1.0))
     gb = gb.at[G.TRANS].set(at[A.TRANS])
     gb = gb.at[G.ETA].set(jnp.where(front, 1.0 / ior, ior))
+    gb = gb.at[G.COATW].set(at[A.COATW])
+    gb = gb.at[G.COATR].set(at[A.COATR])
     return gb
 
 
@@ -559,7 +567,7 @@ def gbuffer(scene, o, d, t_min=1e-4, rt=1024, interpret=False):
 
 def bounce_step(
     state, woop3, attrsT, light_sets, bounce, seed, cfg, last, has_lights,
-    has_transmission=False, rt=1024, interpret=False, pix0=0,
+    has_transmission=False, has_coat=False, rt=1024, interpret=False, pix0=0,
 ):
     """Run one bounce over the whole wavefront. state: [16, N] (donated)."""
     n = state.shape[1]
@@ -575,6 +583,7 @@ def bounce_step(
     kernel = functools.partial(
         _bounce_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg, last=last,
         has_lights=has_lights, has_transmission=has_transmission,
+        has_coat=has_coat,
     )
     return pl.pallas_call(
         kernel,
@@ -613,7 +622,7 @@ def build_light_sets(scene, seed: jnp.ndarray):
     return rows.reshape(LSET_ROWS, NS, PS).transpose(1, 0, 2)
 
 
-def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0):
+def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, rows_out=False):
     """Full path trace via the bounce megakernel. Returns [N, 3] radiance."""
     n = o.shape[0]
     n_pad = ((n + rt - 1) // rt) * rt
@@ -642,6 +651,9 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0):
             state, woop3, attrsT, lsets, bounce, seed, cfg,
             last=(bounce == cfg.max_bounces), has_lights=has_lights,
             has_transmission=scene.has_transmission,
+            has_coat=scene.has_coat,
             rt=rt, interpret=interpret, pix0=pix0,
         )
+    if rows_out:  # radiance rows are the kernel-native layout
+        return state[9:12, :n]
     return state[9:12, :n].T

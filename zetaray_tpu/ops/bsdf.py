@@ -27,6 +27,8 @@ class MatParams(NamedTuple):
     roughness: jnp.ndarray  # [N]
     ior: jnp.ndarray  # [N]
     transmission: jnp.ndarray  # [N]
+    coat: jnp.ndarray | None = None  # [N] or None (lobe compiled out)
+    coat_roughness: jnp.ndarray | None = None
 
 
 def gather_mat(scene, mat_id: jnp.ndarray) -> MatParams:
@@ -36,6 +38,10 @@ def gather_mat(scene, mat_id: jnp.ndarray) -> MatParams:
         roughness=scene.mat_roughness[mat_id],
         ior=scene.mat_ior[mat_id],
         transmission=scene.mat_transmission[mat_id],
+        coat=scene.mat_coat_weight[mat_id] if scene.has_coat else None,
+        coat_roughness=(
+            scene.mat_coat_roughness[mat_id] if scene.has_coat else None
+        ),
     )
 
 
@@ -75,6 +81,8 @@ def _soa_mat(mat: MatParams, eta=None) -> S.MatSoA:
         ior=mat.ior,
         transmission=mat.transmission,
         eta=eta,
+        coat=mat.coat,
+        coat_roughness=mat.coat_roughness,
     )
 
 

@@ -5,6 +5,10 @@ the neighborhood) and the SVGF-style a-trous filter family used by the
 BASELINE "ReSTIR GI + a-trous denoise" config. All image-space stencils are
 expressed as jnp.roll sweeps -- static shifts that XLA fuses and that shard
 cleanly over pixel tiles with halo exchange.
+
+Layout: the native implementations are PLANAR ([3, H, W] channel-first,
+image rows on axis 1/0) -- channel-last [H, W, 3] wastes 125/128 VPU lanes
+(see ops.post notes). Channel-last wrappers keep the old API for tests.
 """
 
 from __future__ import annotations
@@ -13,26 +17,37 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
-from ..core.packing import luminance
+from .post import luminance_p
 
 
-def firefly_filter(img, factor: float = 3.0):
+def _roll2(a, dy, dx, ry, rx):
+    """Roll image rows/cols; (ry, rx) are the row/col axis indices."""
+    return jnp.roll(jnp.roll(a, dy, axis=ry), dx, axis=rx)
+
+
+def firefly_filter_p(img, factor: float = 3.0):
     """Clamp pixels whose luminance exceeds ``factor`` x the 3x3 neighbor
-    mean (excluding self), preserving hue (FireflyFilter.hlsl behavior)."""
+    mean (excluding self), preserving hue (FireflyFilter.hlsl behavior).
+    img: [3, H, W]."""
     acc = jnp.zeros_like(img)
     cnt = 0
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dx == 0 and dy == 0:
                 continue
-            acc = acc + jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+            acc = acc + _roll2(img, dy, dx, 1, 2)
             cnt += 1
     mean = acc / cnt
-    lum = luminance(img)
-    lum_mean = luminance(mean)
+    lum = luminance_p(img)
+    lum_mean = luminance_p(mean)
     limit = factor * jnp.maximum(lum_mean, 1e-4)
     scale = jnp.where(lum > limit, limit / jnp.maximum(lum, 1e-8), 1.0)
-    return img * scale[..., None]
+    return img * scale[None]
+
+
+def firefly_filter(img, factor: float = 3.0):
+    """Channel-last wrapper: img [H, W, 3]."""
+    return firefly_filter_p(jnp.moveaxis(img, -1, 0), factor).transpose(1, 2, 0)
 
 
 @dataclass(frozen=True)
@@ -47,53 +62,58 @@ class ATrousConfig:
 _B3 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 
 
-def atrous_iteration(out, normal, depth, vf, step: int, cfg: ATrousConfig = ATrousConfig()):
-    """One a-trous pass at tap spacing ``step`` (vf: validity as f32).
+def atrous_iteration_p(out, normal, depth, vf, step: int, cfg: ATrousConfig = ATrousConfig()):
+    """One a-trous pass at tap spacing ``step``, planar.
 
+    out/normal: [3, H, W]; depth/vf: [H, W] (vf = validity as f32).
     Separated out so the sharded frame can halo-exchange between iterations
     (each pass reads up to 2*step rows away); jnp.roll wraparound at the
     array boundary matches the circular halo exchange exactly.
     """
-    lum_c = luminance(out)
+    lum_c = luminance_p(out)
     acc = jnp.zeros_like(out)
-    wacc = jnp.zeros(out.shape[:2])
+    wacc = jnp.zeros_like(depth)
     for j, wy in enumerate(_B3):
         for i, wx in enumerate(_B3):
             dy = (j - 2) * step
             dx = (i - 2) * step
             w_k = wy * wx
-            sh = lambda a: jnp.roll(jnp.roll(a, dy, axis=0), dx, axis=1)
-            c_n = sh(out)
-            n_n = sh(normal)
-            d_n = sh(depth)
-            v_n = sh(vf)
-            w_col = jnp.exp(
-                -jnp.abs(luminance(c_n) - lum_c) / cfg.sigma_color
-            )
-            w_nrm = jnp.maximum(jnp.sum(n_n * normal, -1), 0.0) ** cfg.sigma_normal
+            c_n = _roll2(out, dy, dx, 1, 2)
+            n_n = _roll2(normal, dy, dx, 1, 2)
+            d_n = _roll2(depth, dy, dx, 0, 1)
+            v_n = _roll2(vf, dy, dx, 0, 1)
+            w_col = jnp.exp(-jnp.abs(luminance_p(c_n) - lum_c) / cfg.sigma_color)
+            w_nrm = jnp.maximum(jnp.sum(n_n * normal, 0), 0.0) ** cfg.sigma_normal
             w_dep = jnp.exp(
-                -jnp.abs(d_n - depth)
-                / (cfg.sigma_depth * jnp.maximum(depth, 1e-3))
+                -jnp.abs(d_n - depth) / (cfg.sigma_depth * jnp.maximum(depth, 1e-3))
             )
             wgt = w_k * w_col * w_nrm * w_dep * v_n
-            acc = acc + c_n * wgt[..., None]
+            acc = acc + c_n * wgt[None]
             wacc = wacc + wgt
     return jnp.where(
-        ((vf > 0.5) & (wacc > 1e-6))[..., None],
-        acc / jnp.maximum(wacc, 1e-6)[..., None],
+        ((vf > 0.5) & (wacc > 1e-6))[None],
+        acc / jnp.maximum(wacc, 1e-6)[None],
         out,
     )
 
 
-def atrous_denoise(img, normal, depth, valid, cfg: ATrousConfig = ATrousConfig()):
-    """Edge-aware a-trous wavelet filtering.
+def atrous_denoise_p(img, normal, depth, valid, cfg: ATrousConfig = ATrousConfig()):
+    """Edge-aware a-trous wavelet filtering, planar.
 
-    img: [H, W, 3]; normal: [H, W, 3] (unit); depth: [H, W]; valid: [H, W].
+    img/normal: [3, H, W]; depth: [H, W]; valid: [H, W] bool.
     Each iteration doubles the tap spacing (classic a-trous), weighting taps
     by color/normal/depth agreement so edges stay sharp.
     """
     out = img
     vf = valid.astype(jnp.float32)
     for it in range(cfg.iterations):
-        out = atrous_iteration(out, normal, depth, vf, 1 << it, cfg)
+        out = atrous_iteration_p(out, normal, depth, vf, 1 << it, cfg)
     return out
+
+
+def atrous_denoise(img, normal, depth, valid, cfg: ATrousConfig = ATrousConfig()):
+    """Channel-last wrapper: img/normal [H, W, 3]."""
+    out = atrous_denoise_p(
+        jnp.moveaxis(img, -1, 0), jnp.moveaxis(normal, -1, 0), depth, valid, cfg
+    )
+    return out.transpose(1, 2, 0)

@@ -64,7 +64,7 @@ class PTConfig:
     sun_nee: bool = True
 
 
-def _surface_from(o, d, sh):
+def _surface_from(o, d, sh, has_coat=False):
     """Arithmetic-only surface reconstruction from a ShadedHit."""
     w0 = 1.0 - sh.u - sh.v
     at = sh.attrs
@@ -93,11 +93,13 @@ def _surface_from(o, d, sh):
         roughness=at[:, A.ROUGH],
         ior=jnp.maximum(at[:, A.IOR], 1.01),
         transmission=at[:, A.TRANS],
+        coat=at[:, A.COATW] if has_coat else None,
+        coat_roughness=at[:, A.COATR] if has_coat else None,
     )
     return pos, ng, ns, uv, front, mat, ng_raw
 
 
-def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024):
+def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_out=False):
     """Path-trace radiance for rays (o, d) [N,3]. Returns [N,3] linear HDR.
 
     On TPU this dispatches to the fused bounce megakernel
@@ -116,8 +118,12 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024):
     ):
         from ..accel.megakernel import trace_megakernel
 
-        return trace_megakernel(scene, o, d, R.seed_from_key(key), cfg, rt=rt, pix0=pix0)
-    return trace_reference(scene, o, d, key, cfg, pix0=pix0)
+        return trace_megakernel(
+            scene, o, d, R.seed_from_key(key), cfg, rt=rt, pix0=pix0,
+            rows_out=rows_out,
+        )
+    out = trace_reference(scene, o, d, key, cfg, pix0=pix0)
+    return out.T if rows_out else out
 
 
 def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0):
@@ -136,7 +142,7 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0):
     for bounce in range(cfg.max_bounces + 1):
         sh = intersect_closest_shaded(scene, o, d, t_min=cfg.t_min)
         found = sh.valid & alive
-        pos, ng, ns, uv, front, mat, ng_raw = _surface_from(o, d, sh)
+        pos, ng, ns, uv, front, mat, ng_raw = _surface_from(o, d, sh, scene.has_coat)
 
         # -- environment (sun + sky) on miss rays
         if cfg.sky is not None:

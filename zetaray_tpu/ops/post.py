@@ -8,6 +8,11 @@ Tony McMapface LUT variant needs the DDS LUT loader and comes later).
 Everything is plain jnp: these passes are bandwidth-trivial and XLA fuses
 the whole chain into the frame program (the render-graph equivalent of the
 Compositing -> AutoExposure -> Display tail of the frame DAG).
+
+Layout: the native implementations are PLANAR (channel-first [3, ...]) --
+channel-last [..., 3] puts 3 elements in the 128-lane dimension and wastes
+125/128 of every VPU op, which measured ~70 ms of pure layout waste in the
+512x512 frame. The channel-last wrappers exist for tests/tools.
 """
 
 from __future__ import annotations
@@ -23,7 +28,12 @@ from ..core.packing import luminance
 # ---------------------------------------------------------------------------
 
 
-def histogram_exposure(
+def luminance_p(img):
+    """Rec.709 luminance over a leading channel axis [3, ...] -> [...]."""
+    return 0.2126 * img[0] + 0.7152 * img[1] + 0.0722 * img[2]
+
+
+def histogram_exposure_p(
     hdr: jnp.ndarray,
     bins: int = 256,
     min_log_lum: float = -10.0,
@@ -33,12 +43,15 @@ def histogram_exposure(
     key_value: float = 0.18,
     axis_name: str | None = None,
 ):
-    """Exposure scale from a clipped log-luminance histogram.
+    """Exposure scale from a clipped log-luminance histogram (planar).
 
-    hdr: [..., 3] linear radiance. Mirrors the reference defaults
+    hdr: [3, ...] linear radiance. Mirrors the reference defaults
     (percentile low/high clipping, AutoExposure.h:21-100). Returns a scalar
     multiplier such that the clipped geometric-mean luminance maps to
     ``key_value`` (middle gray).
+
+    The histogram is one [N] x [N, bins] one-hot matmul on the MXU -- the
+    scatter-add formulation measured ~70 ms at 512x512 on TPU.
 
     ``axis_name``: under pixel-tile sharding, each shard histograms its own
     pixels and the partial histograms are psum-reduced -- bit-identical to
@@ -47,12 +60,18 @@ def histogram_exposure(
     """
     import jax
 
-    lum = luminance(hdr.reshape(-1, 3))
+    lum = luminance_p(hdr.reshape(3, -1))
     ok = lum > 1e-8
     loglum = jnp.clip(jnp.log2(jnp.maximum(lum, 1e-8)), min_log_lum, max_log_lum)
     t = (loglum - min_log_lum) / (max_log_lum - min_log_lum)
     idx = jnp.clip((t * bins).astype(jnp.int32), 0, bins - 1)
-    hist = jnp.zeros((bins,)).at[idx].add(jnp.where(ok, 1.0, 0.0))
+    onehot = (
+        idx[:, None] == jnp.arange(bins, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    hist = jnp.einsum(
+        "n,nb->b", jnp.where(ok, 1.0, 0.0), onehot,
+        preferred_element_type=jnp.float32,
+    )
     if axis_name is not None:
         hist = jax.lax.psum(hist, axis_name)
     cdf = jnp.cumsum(hist)
@@ -68,6 +87,11 @@ def histogram_exposure(
     mean_log = jnp.sum(centers * w) / jnp.maximum(jnp.sum(w), 1e-6)
     avg_lum = jnp.exp2(mean_log)
     return key_value / jnp.maximum(avg_lum, 1e-8)
+
+
+def histogram_exposure(hdr: jnp.ndarray, **kw):
+    """Channel-last wrapper: hdr [..., 3]."""
+    return histogram_exposure_p(hdr.reshape(-1, 3).T, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -115,13 +139,9 @@ def _agx_sigmoid(x):
     )
 
 
-def tonemap_agx(c: jnp.ndarray, look: str = "none") -> jnp.ndarray:
-    """AgX display transform. ``c`` linear rec709 [..., 3] -> display [0,1].
-
-    looks: "none" (default AgX), "golden", "punchy" -- mirroring the
-    reference's AgX Default/Golden/Punchy options (Display.h:105-107).
-    """
-    v = jnp.einsum("ij,...j->...i", _AGX_MAT, jnp.maximum(c, 1e-10))
+def tonemap_agx_p(c: jnp.ndarray, look: str = "none") -> jnp.ndarray:
+    """AgX display transform, planar: linear rec709 [3, ...] -> [0,1]."""
+    v = jnp.einsum("ij,j...->i...", _AGX_MAT, jnp.maximum(c, 1e-10))
     ev = jnp.clip(jnp.log2(v), _AGX_MIN_EV, _AGX_MAX_EV)
     x = (ev - _AGX_MIN_EV) / (_AGX_MAX_EV - _AGX_MIN_EV)
     v = _agx_sigmoid(x)
@@ -132,19 +152,32 @@ def tonemap_agx(c: jnp.ndarray, look: str = "none") -> jnp.ndarray:
             slope, power, sat = 1.0, 1.35, 1.4
         else:
             raise ValueError(f"unknown AgX look: {look}")
-        lum = luminance(v)[..., None]
+        lum = luminance_p(v)[None]
         v = jnp.power(jnp.maximum(v * slope, 1e-10), power)
         v = lum + sat * (v - lum)
-    v = jnp.einsum("ij,...j->...i", _AGX_MAT_INV, v)
+    v = jnp.einsum("ij,j...->i...", _AGX_MAT_INV, v)
     return jnp.clip(v, 0.0, 1.0)
 
 
-def tonemap_neutral(c: jnp.ndarray) -> jnp.ndarray:
+def tonemap_agx(c: jnp.ndarray, look: str = "none") -> jnp.ndarray:
+    """AgX display transform. ``c`` linear rec709 [..., 3] -> display [0,1].
+
+    looks: "none" (default AgX), "golden", "punchy" -- mirroring the
+    reference's AgX Default/Golden/Punchy options (Display.h:105-107).
+    """
+    return jnp.moveaxis(tonemap_agx_p(jnp.moveaxis(c, -1, 0), look), 0, -1)
+
+
+def tonemap_neutral_p(c: jnp.ndarray) -> jnp.ndarray:
     """Simple invertible Reinhard-extended placeholder for 'Neutral'
     (the reference's Neutral uses the Tony McMapface LUT; lands with the
     DDS loader)."""
-    l = luminance(c)[..., None]
+    l = luminance_p(c)[None]
     return c / (1.0 + l)
+
+
+def tonemap_neutral(c: jnp.ndarray) -> jnp.ndarray:
+    return jnp.moveaxis(tonemap_neutral_p(jnp.moveaxis(c, -1, 0)), 0, -1)
 
 
 def tonemap_none(c: jnp.ndarray) -> jnp.ndarray:
@@ -157,6 +190,14 @@ TONEMAPPERS = {
     "agx": tonemap_agx,
     "agx_golden": lambda c: tonemap_agx(c, "golden"),
     "agx_punchy": lambda c: tonemap_agx(c, "punchy"),
+}
+
+TONEMAPPERS_P = {
+    "none": tonemap_none,  # elementwise: layout-agnostic
+    "neutral": tonemap_neutral_p,
+    "agx": tonemap_agx_p,
+    "agx_golden": lambda c: tonemap_agx_p(c, "golden"),
+    "agx_punchy": lambda c: tonemap_agx_p(c, "punchy"),
 }
 
 

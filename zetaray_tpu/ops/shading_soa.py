@@ -32,6 +32,10 @@ class MatSoA(NamedTuple):
     # Both default to opaque-entering so existing call sites stay valid.
     transmission: jnp.ndarray | None = None
     eta: jnp.ndarray | None = None
+    # OpenPBR coat: weight [0,1] + coat GGX roughness (reference
+    # BSDF.hlsli:58,869-891). None compiles the lobe out entirely.
+    coat: jnp.ndarray | None = None
+    coat_roughness: jnp.ndarray | None = None
 
     def trans(self):
         return (
@@ -132,6 +136,151 @@ def _lobe_probs(f0: V3, kd: V3, kt: V3, cos_o):
     return q_s, q_d, q_t
 
 
+# ---------------------------------------------------------------------------
+# GGX directional albedo (single-scatter, F=1) -- polynomial fit computed
+# once at import by NumPy quadrature. Drives Kulla-Conty/Turquin-style
+# multiple-scattering energy compensation (reference: BSDF.hlsli multiscatter
+# energy comp) as pure multiply-adds with Python-float coefficients, so it
+# runs unchanged inside Pallas kernels (no tables, no gathers, no device
+# constants).
+# ---------------------------------------------------------------------------
+
+
+def _fit_ggx_albedo_poly(deg: int = 3):
+    import numpy as np
+
+    nmu, na = 32, 32
+    mu = np.linspace(0.02, 1.0, nmu)
+    al = np.linspace(0.04, 1.0, na)
+    # stratified VNDF importance sampling: E = mean(G2/G1), which handles
+    # arbitrarily sharp lobes (uniform hemisphere quadrature does not)
+    ns = 48
+    g1, g2g = np.meshgrid(
+        (np.arange(ns) + 0.5) / ns, (np.arange(ns) + 0.5) / ns, indexing="ij"
+    )
+    u1 = g1.reshape(-1)
+    u2 = g2g.reshape(-1)
+
+    def lam(a2, c):
+        c2 = np.clip(c * c, 1e-8, 1.0)
+        return 0.5 * (np.sqrt(1.0 + a2 * (1.0 - c2) / c2) - 1.0)
+
+    e = np.zeros((nmu, na))
+    for i, m in enumerate(mu):
+        so = np.sqrt(max(1.0 - m * m, 0.0))
+        for k, a in enumerate(al):
+            alpha = a * a
+            a2 = alpha * alpha
+            # VNDF sample (Heitz 2018) around wo = (so, 0, m)
+            vx, vy, vz = so * alpha, 0.0, m
+            vl = np.sqrt(vx * vx + vy * vy + vz * vz)
+            vx, vy, vz = vx / vl, vy / vl, vz / vl
+            lensq = vx * vx + vy * vy
+            if lensq > 1e-12:
+                inv = 1.0 / np.sqrt(lensq)
+                t1 = np.array([-vy * inv, vx * inv, 0.0])
+            else:
+                t1 = np.array([1.0, 0.0, 0.0])
+            t2 = np.cross(np.array([vx, vy, vz]), t1)
+            r = np.sqrt(u1)
+            phi = 2.0 * np.pi * u2
+            p1 = r * np.cos(phi)
+            p2 = r * np.sin(phi)
+            s = 0.5 * (1.0 + vz)
+            p2 = (1.0 - s) * np.sqrt(np.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+            p3 = np.sqrt(np.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+            nh = (
+                p1[:, None] * t1[None]
+                + p2[:, None] * t2[None]
+                + p3[:, None] * np.array([vx, vy, vz])[None]
+            )
+            h = np.stack(
+                [alpha * nh[:, 0], alpha * nh[:, 1], np.maximum(nh[:, 2], 1e-6)],
+                -1,
+            )
+            h /= np.linalg.norm(h, axis=-1, keepdims=True)
+            wo = np.array([so, 0.0, m])
+            wi = 2.0 * (h @ wo)[:, None] * h - wo
+            up = wi[:, 2] > 1e-6
+            g2 = 1.0 / (1.0 + lam(a2, m) + lam(a2, np.clip(wi[:, 2], 1e-6, 1.0)))
+            g1v = 1.0 / (1.0 + lam(a2, m))
+            e[i, k] = np.mean(np.where(up, g2 / g1v, 0.0))
+    e = np.clip(e, 1e-3, 1.0)
+
+    # least-squares polynomial in (mu, roughness)
+    mm, aa = np.meshgrid(mu, al, indexing="ij")
+    basis = np.stack(
+        [mm**i * aa**j for i in range(deg + 1) for j in range(deg + 1)], -1
+    ).reshape(-1, (deg + 1) ** 2)
+    coef, *_ = np.linalg.lstsq(basis, e.reshape(-1), rcond=None)
+
+    # cosine-weighted hemispherical average E_avg(a) = 2 int E(mu) mu dmu
+    dmu = mu[1] - mu[0]
+    e_avg = 2.0 * np.sum(e * mu[:, None] * dmu, axis=0)
+    basis_a = np.stack([al**j for j in range(deg + 2)], -1)
+    coef_a, *_ = np.linalg.lstsq(basis_a, e_avg, rcond=None)
+    return tuple(float(c) for c in coef), tuple(float(c) for c in coef_a), deg
+
+
+_GGX_E_COEF, _GGX_EAVG_COEF, _GGX_E_DEG = _fit_ggx_albedo_poly()
+
+
+def ggx_albedo(cos_o, rough):
+    """Fitted single-scatter GGX directional albedo E(cos_o, roughness)."""
+    d = _GGX_E_DEG
+    out = 0.0
+    idx = 0
+    mi = jnp.clip(cos_o, 0.02, 1.0)
+    ai = jnp.clip(rough, 0.04, 1.0)
+    mp = 1.0
+    for i in range(d + 1):
+        ap = 1.0
+        for j in range(d + 1):
+            out = out + _GGX_E_COEF[idx] * mp * ap
+            idx += 1
+            ap = ap * ai
+        mp = mp * mi
+    return jnp.clip(out, 0.05, 1.0)
+
+
+def ggx_albedo_avg(rough):
+    """Fitted cosine-weighted average GGX albedo E_avg(roughness)."""
+    ai = jnp.clip(rough, 0.04, 1.0)
+    out = 0.0
+    ap = 1.0
+    for c in _GGX_EAVG_COEF:
+        out = out + c * ap
+        ap = ap * ai
+    return jnp.clip(out, 0.05, 1.0)
+
+
+def _ms_lobe(f0: V3, rough, cos_o, cos_i) -> V3:
+    """Kulla-Conty multiple-scattering lobe for GGX reflection:
+    f_ms = (1-E(o))(1-E(i)) / (pi (1-E_avg)) * Fresnel_ms. Reciprocal, and
+    the white furnace is exact at f0 = 1 (E(o) + (1-E(o)) = 1)."""
+    e_o = ggx_albedo(cos_o, rough)
+    e_i = ggx_albedo(cos_i, rough)
+    e_avg = ggx_albedo_avg(rough)
+    ms = (1.0 - e_o) * (1.0 - e_i) / (
+        3.14159265 * jnp.maximum(1.0 - e_avg, 1e-4)
+    )
+    f_avg = f0 + (v3.splat(1.0) - f0) * (1.0 / 21.0)
+
+    def fres(fa):
+        return fa * fa * e_avg / jnp.maximum(1.0 - fa * (1.0 - e_avg), 1e-4)
+
+    return V3(ms * fres(f_avg.x), ms * fres(f_avg.y), ms * fres(f_avg.z))
+
+
+_COAT_F0 = 0.04  # coat IOR 1.5 (reference Material.h coat defaults)
+
+
+def _fresnel_s(f0, cos_h):
+    m = jnp.clip(1.0 - cos_h, 0.0, 1.0)
+    m5 = (m * m) * (m * m) * m
+    return f0 + (1.0 - f0) * m5
+
+
 def _fresnel_scalar_dielectric(cos_i, eta):
     """Exact unpolarized dielectric Fresnel; eta = eta_i/eta_t; TIR -> 1."""
     cos_i = jnp.clip(cos_i, 0.0, 1.0)
@@ -180,12 +329,22 @@ def _transmission_terms(mat: MatSoA, wo: V3, wi: V3, alpha, kt: V3):
     return f_t, jnp.where(valid, pdf_t, 0.0), fr, h
 
 
+def _coat_q(mat: MatSoA, cos_o):
+    """Coat sampling probability (0 when the lobe is compiled out)."""
+    if mat.coat is None:
+        return None
+    return jnp.clip(mat.coat * _fresnel_s(_COAT_F0, cos_o) * 2.0, 0.0, 0.5)
+
+
 def bsdf_eval(mat: MatSoA, wo: V3, wi: V3):
     """(f [V3], pdf) in the local frame.
 
-    wi.z > 0: GGX reflection + Lambert diffuse (diffuse and transmission
-    energy split by the transmission factor). wi.z < 0: rough dielectric
-    transmission (Walter 2007).
+    wi.z > 0: [coat GGX layer +] GGX reflection with multiple-scattering
+    energy compensation + Lambert diffuse (diffuse and transmission energy
+    split by the transmission factor). wi.z < 0: rough dielectric
+    transmission (Walter 2007). The coat layers via Fresnel-weighted albedo
+    scaling: f = f_coat + (1 - cw*Fc(o))(1 - cw*Fc(i)) * f_base
+    (BSDF.hlsli COAT semantics).
     """
     alpha, f0, kd, kt = _lobe_params(mat)
     a2 = alpha * alpha
@@ -202,9 +361,34 @@ def bsdf_eval(mat: MatSoA, wo: V3, wi: V3):
     dt = _ggx_d(a2, cos_h)
     g2 = _g2(a2, cos_o, cos_i)
     fr = _fresnel(f0, odoth)
-    f_refl = fr * (dt * g2 / (4.0 * cos_o * cos_i)) + kd * _INV_PI
+    f_ms = _ms_lobe(f0, mat.roughness, cos_o, cos_i)
+    f_refl = fr * (dt * g2 / (4.0 * cos_o * cos_i)) + f_ms + kd * _INV_PI
     pdf_spec = _g1(a2, cos_o) * dt / (4.0 * cos_o)
     pdf_refl = q_s * pdf_spec + q_d * (cos_i * _INV_PI)
+
+    q_c = _coat_q(mat, cos_o)
+    if q_c is not None:
+        cw = mat.coat
+        ca = jnp.maximum(mat.coat_roughness * mat.coat_roughness, _MIN_ALPHA)
+        ca2 = ca * ca
+        fc_o = cw * _fresnel_s(_COAT_F0, cos_o)
+        fc_i = cw * _fresnel_s(_COAT_F0, cos_i)
+        dt_c = _ggx_d(ca2, cos_h)
+        g2_c = _g2(ca2, cos_o, cos_i)
+        f_coat = (
+            cw * _fresnel_s(_COAT_F0, odoth) * dt_c * g2_c
+            / (4.0 * cos_o * cos_i)
+        )
+        att = (1.0 - fc_o) * (1.0 - fc_i)
+        f_refl = V3(
+            f_coat + att * f_refl.x,
+            f_coat + att * f_refl.y,
+            f_coat + att * f_refl.z,
+        )
+        pdf_coat = _g1(ca2, cos_o) * dt_c / (4.0 * cos_o)
+        pdf_refl = q_c * pdf_coat + (1.0 - q_c) * pdf_refl
+    else:
+        fc_o = None
 
     zero = jnp.zeros_like(cos_o)
     if kt is None:  # opaque: transmission lobe compiled out
@@ -213,7 +397,15 @@ def bsdf_eval(mat: MatSoA, wo: V3, wi: V3):
 
     # transmission side
     f_tr, pdf_tr_h, _, _ = _transmission_terms(mat, wo, wi, alpha, kt)
-    pdf_tr = q_t * pdf_tr_h
+    if q_c is not None:
+        # coat attenuates transmitted energy on both interfaces
+        att_t = (1.0 - fc_o) * (
+            1.0 - mat.coat * _fresnel_s(_COAT_F0, jnp.maximum(-wi.z, 1e-6))
+        )
+        f_tr = f_tr * att_t
+        pdf_tr = (1.0 - q_c) * q_t * pdf_tr_h
+    else:
+        pdf_tr = q_t * pdf_tr_h
 
     f = v3.where(up, f_refl, v3.where(down, f_tr, V3(zero, zero, zero)))
     pdf = jnp.where(up, pdf_refl, jnp.where(down, pdf_tr, 0.0))
@@ -270,6 +462,16 @@ def bsdf_sample(mat: MatSoA, wo: V3, u1, u2, u3):
     alpha, f0, kd, kt = _lobe_params(mat)
     cos_o = jnp.maximum(wo.z, 1e-6)
     q_s, q_d, q_t = _lobe_probs(f0, kd, kt, cos_o)
+
+    # coat pick first (prob q_c), then the base mixture on rescaled u1 --
+    # matches bsdf_eval's pdf composition exactly
+    q_c = _coat_q(mat, cos_o)
+    if q_c is not None:
+        pick_coat = u1 < q_c
+        u1 = jnp.clip((u1 - q_c) / jnp.maximum(1.0 - q_c, 1e-6), 0.0, 1.0)
+        ca = jnp.maximum(mat.coat_roughness * mat.coat_roughness, _MIN_ALPHA)
+        h_c = _ggx_vndf(wo, ca, u2, u3)
+        wi_coat = h_c * (2.0 * v3.dot(wo, h_c)) - wo
     pick_spec = u1 < q_s
 
     h = _ggx_vndf(wo, alpha, u2, u3)
@@ -278,6 +480,8 @@ def bsdf_sample(mat: MatSoA, wo: V3, u1, u2, u3):
 
     if kt is None:  # opaque: two-lobe path only
         wi = v3.where(pick_spec, wi_spec, wi_diff)
+        if q_c is not None:
+            wi = v3.where(pick_coat, wi_coat, wi)
         f, pdf = bsdf_eval(mat, wo, wi)
         good = (pdf > 1e-12) & (wi.z > 1e-6)
         scale = jnp.where(good, jnp.abs(wi.z) / jnp.maximum(pdf, 1e-12), 0.0)
@@ -293,6 +497,9 @@ def bsdf_sample(mat: MatSoA, wo: V3, u1, u2, u3):
     wi_trans = (h * (eta * odoth - cos_t)) - wo * eta
 
     wi = v3.where(pick_spec, wi_spec, v3.where(pick_trans, wi_trans, wi_diff))
+    if q_c is not None:
+        wi = v3.where(pick_coat, wi_coat, wi)
+        pick_trans = pick_trans & ~pick_coat
     f, pdf = bsdf_eval(mat, wo, wi)
     # and/or logic (Mosaic cannot select between i1 vectors)
     hemi_ok = (pick_trans & (wi.z < -1e-6) & ~tir) | (

@@ -38,26 +38,43 @@ def _ring(n: int, shift: int):
     return [(j, (j + shift) % n) for j in range(n)]
 
 
-def halo_exchange_rows(x, halo: int, axis: str, n: int):
-    """x: [h_loc, ...] (leading dim = image rows) -> [h_loc + 2*halo, ...].
+def _take(x, sl, row_axis):
+    idx = [slice(None)] * x.ndim
+    idx[row_axis] = sl
+    return x[tuple(idx)]
+
+
+def halo_exchange_rows(x, halo: int, axis: str, n: int, row_axis: int = 0):
+    """Extend x by ``halo`` image rows on both sides along ``row_axis``
+    (default 0; planar [3, H, W] images use row_axis=1).
 
     Supports halo > h_loc via multiple ring hops (whole-shard blocks).
     """
-    h_loc = x.shape[0]
+    h_loc = x.shape[row_axis]
     if n == 1:
-        return jnp.concatenate([x[-halo:], x, x[:halo]], axis=0)
+        return jnp.concatenate(
+            [_take(x, slice(h_loc - halo, None), row_axis), x,
+             _take(x, slice(None, halo), row_axis)],
+            axis=row_axis,
+        )
     hops = -(-halo // h_loc)
     tops, bots = [], []
     for k in range(1, hops + 1):
         if k == hops and halo <= h_loc:
-            up_src, dn_src = x[h_loc - halo :], x[:halo]
+            up_src = _take(x, slice(h_loc - halo, None), row_axis)
+            dn_src = _take(x, slice(None, halo), row_axis)
         else:
             up_src = dn_src = x
         tops.insert(0, lax.ppermute(up_src, axis, _ring(n, +k)))
         bots.append(lax.ppermute(dn_src, axis, _ring(n, -k)))
-    top = jnp.concatenate(tops, axis=0)[-halo:] if hops > 1 else tops[0]
-    bot = jnp.concatenate(bots, axis=0)[:halo] if hops > 1 else bots[0]
-    return jnp.concatenate([top, x, bot], axis=0)
+    if hops > 1:
+        top = _take(jnp.concatenate(tops, axis=row_axis),
+                    slice(-halo, None), row_axis)
+        bot = _take(jnp.concatenate(bots, axis=row_axis),
+                    slice(None, halo), row_axis)
+    else:
+        top, bot = tops[0], bots[0]
+    return jnp.concatenate([top, x, bot], axis=row_axis)
 
 
 def halo_exchange_flat(arr, width: int, halo: int, axis: str, n: int):

@@ -47,21 +47,25 @@ def _sharded_frame_fn(mesh: Mesh, cfg: RenderConfig):
         # unsharded frame (and decorrelated across shards)
         n_loc = o.shape[0]
         pix0 = jax.lax.axis_index(TILE_AXIS) * n_loc
-        return trace(scene, o, d, key, cfg.pt, pix0=pix0, rt=_pick_rt(n_loc))
+        return trace(
+            scene, o, d, key, cfg.pt, pix0=pix0, rt=_pick_rt(n_loc),
+            rows_out=True,
+        )
 
     sharded_trace = jax.shard_map(
         traced_shard,
         mesh=mesh,
         in_specs=(P(), P(TILE_AXIS, None), P(TILE_AXIS, None), P()),
-        out_specs=P(TILE_AXIS, None),
+        out_specs=P(None, TILE_AXIS),
         check_vma=False,
     )
 
     @jax.jit
     def f(scene, camera, key):
         o, d = camera.generate_rays(cfg.width, cfg.height)
-        hdr = sharded_trace(scene, o, d, key).reshape(cfg.height, cfg.width, 3)
-        return {"hdr": hdr, "ldr": _postprocess(hdr, cfg)}
+        hdr = sharded_trace(scene, o, d, key).reshape(3, cfg.height, cfg.width)
+        ldr = _postprocess(hdr, cfg)
+        return {"hdr": hdr.transpose(1, 2, 0), "ldr": ldr.transpose(1, 2, 0)}
 
     return f
 
@@ -99,7 +103,7 @@ def _sharded_restir_fn(mesh: Mesh, cfg: RenderConfig, halo: int, has_state: bool
         gi_reservoirs=res_spec,
         gbuf=res_spec,
         camera_prev=P(),  # replicated (prefix over the Camera pytree)
-        history=P(TILE_AXIS, None, None),
+        history=P(None, TILE_AXIS, None),  # planar [3, H, W]
     )
     img_spec = P(TILE_AXIS, None, None)
     out_specs = ({"hdr": img_spec, "ldr": img_spec}, st_spec)

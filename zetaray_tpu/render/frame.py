@@ -75,11 +75,12 @@ class FrameState(NamedTuple):
 
 
 def _postprocess(hdr, cfg, axis_name=None):
+    """hdr: PLANAR [3, ...] linear radiance -> u8 sRGB, same layout."""
     if cfg.auto_exposure:
-        exposure = post.histogram_exposure(hdr, axis_name=axis_name)
+        exposure = post.histogram_exposure_p(hdr, axis_name=axis_name)
     else:
         exposure = cfg.manual_exposure
-    ldr = post.TONEMAPPERS[cfg.tonemapper](hdr * exposure)
+    ldr = post.TONEMAPPERS_P[cfg.tonemapper](hdr * exposure)
     return post.to_u8(post.srgb_encode(ldr))
 
 
@@ -117,13 +118,13 @@ def _sky_direct(scene, gb, sky):
     valid = gb[G.VALID] > 0.5
     wo = v3.from_rows(gb, G.WO)
     d = V3(-wo.x, -wo.y, -wo.z)
-    d_rgbrows = jnp.stack([d.x, d.y, d.z], -1)
+    d_aos = jnp.stack([d.x, d.y, d.z], -1)
     env = SK.sky_radiance(d, sky, with_disk=False)
-    disk = SK.sun_disk(d_rgbrows, sky)
-    env_rgb = jnp.stack([env.x, env.y, env.z], -1) + disk
-    background = jnp.where(valid[:, None], 0.0, env_rgb)
+    disk = SK.sun_disk(d_aos, sky)
+    env_rgb = jnp.stack([env.x, env.y, env.z], 0) + disk.T
+    background = jnp.where(valid[None, :], 0.0, env_rgb)
 
-    pos, ns, ng, _wo2, mat, _valid = RD._surface_from_gbuf(gb)
+    pos, ns, ng, _wo2, mat, _valid = RD._surface_from_gbuf(gb, coat=bool(scene.has_coat))
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
     sun = np.asarray(sky.sun_dir, np.float64)
@@ -148,9 +149,20 @@ def _sky_direct(scene, gb, sky):
     sun_term = jnp.stack(
         [f_s.x * float(e_sun[0]) * gain,
          f_s.y * float(e_sun[1]) * gain,
-         f_s.z * float(e_sun[2]) * gain], -1,
+         f_s.z * float(e_sun[2]) * gain], 0,
     )
     return background + sun_term
+
+
+def _lens_u(camera, key, n):
+    """Per-pixel lens-disk uniforms for thin-lens DoF, or None (pinhole).
+
+    Wires Camera.lens_radius through (reference Camera.h:52-56: f-stop /
+    focal length / focus distance); lens_radius stays a static pytree field
+    so pinhole cameras compile the DoF path out entirely."""
+    if camera.lens_radius <= 0.0:
+        return None
+    return jax.random.uniform(jax.random.fold_in(key, 0x0D0F), (n, 2))
 
 
 def render_frame_restir(
@@ -176,12 +188,13 @@ def render_frame_restir(
 
     w, h = cfg.width, cfg.height
     trans = scene.has_transmission
+    coat = scene.has_coat
     seed = seed_from_key(key)
     interp = _on_cpu()
 
     if shard is None:
         h_loc, row0, pix, pix0, axis, n_sh, halo = h, 0, None, 0, None, 1, 0
-        o, d = camera.generate_rays(w, h)
+        o, d = camera.generate_rays(w, h, lens_u=_lens_u(camera, key, w * h))
     else:
         from ..parallel.halo import halo_exchange_flat as _hxf
         from ..parallel.halo import halo_exchange_rows as _hx
@@ -192,7 +205,10 @@ def render_frame_restir(
         row0 = jax.lax.axis_index(axis) * h_loc
         pix0 = row0 * w
         pix = pix0 + jnp.arange(h_loc * w, dtype=jnp.int32)
-        o, d = camera.generate_rays(w, h, rows=(row0, h_loc))
+        o, d = camera.generate_rays(
+            w, h, lens_u=_lens_u(camera, key, shard.h_local * w),
+            rows=(row0, h_loc),
+        )
 
     n_loc = h_loc * w
     rt = _pick_rt(n_loc)
@@ -205,25 +221,25 @@ def render_frame_restir(
     lsets = build_light_sets(scene, seed)
     res = RD.initial_candidates(
         gb, lsets, seed, cfg.restir, rt=rt, interpret=interp,
-        trans=trans, pix0=pix0,
+        trans=trans, coat=coat, pix0=pix0,
     )
     if cfg.restir.temporal and state is not None:
         if shard is None:
             res = RD.temporal_reuse(
                 res, state.reservoirs, state.gbuf, gb, state.camera_prev,
-                w, h, seed, cfg.restir, trans=trans,
+                w, h, seed, cfg.restir, trans=trans, coat=coat,
             )
         else:
             prev_r = _hxf(state.reservoirs, w, halo, axis, n_sh)
             prev_g = _hxf(state.gbuf, w, halo, axis, n_sh)
             res = RD.temporal_reuse(
                 res, prev_r, prev_g, gb, state.camera_prev,
-                w, h, seed, cfg.restir, trans=trans, pix=pix,
+                w, h, seed, cfg.restir, trans=trans, coat=coat, pix=pix,
                 prev_row0=row0 - halo, prev_rows=h_loc + 2 * halo,
             )
     res = RD.visibility_reuse(scene, res, gb)
     if shard is None:
-        res_sp = RD.spatial_reuse(res, gb, w, h, seed, cfg.restir, trans=trans)
+        res_sp = RD.spatial_reuse(res, gb, w, h, seed, cfg.restir, trans=trans, coat=coat)
     else:
         hs = cfg.restir.spatial_radius
         gb_ext = _hxf(gb, w, hs, axis, n_sh)
@@ -231,10 +247,11 @@ def render_frame_restir(
         for it in range(cfg.restir.spatial_iterations):
             res_ext = _hxf(res_sp, w, hs, axis, n_sh)
             res_sp = RD.spatial_step(
-                res_sp, gb, w, h, seed, it, cfg.restir, trans=trans, pix=pix,
+                res_sp, gb, w, h, seed, it, cfg.restir, trans=trans,
+                coat=coat, pix=pix,
                 res_src=res_ext, gbuf_src=gb_ext, src_row0=row0 - hs,
             )
-    direct = RD.shade(scene, res_sp, gb, trans=trans)
+    direct = RD.shade(scene, res_sp, gb, trans=trans, coat=coat, rows_out=True)
 
     gi_res = jnp.zeros_like(res)
     if not cfg.indirect:
@@ -244,24 +261,27 @@ def render_frame_restir(
 
         pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
         gi_res = RG.initial_samples(
-            scene, gb, key, pt_cfg, seed, trans=trans, pix=pix, pix0=pix0, rt=rt
+            scene, gb, key, pt_cfg, seed, trans=trans, coat=coat, pix=pix,
+            pix0=pix0, rt=rt, full_target=cfg.restir_gi.full_target,
         )
         if cfg.restir_gi.temporal and state is not None:
             if shard is None:
                 gi_res = RG.temporal_reuse(
                     gi_res, state.gi_reservoirs, state.gbuf, gb,
                     state.camera_prev, w, h, seed, cfg.restir_gi, trans=trans,
+                    coat=coat,
                 )
             else:
                 prev_gi = _hxf(state.gi_reservoirs, w, halo, axis, n_sh)
                 prev_g_gi = _hxf(state.gbuf, w, halo, axis, n_sh)
                 gi_res = RG.temporal_reuse(
                     gi_res, prev_gi, prev_g_gi, gb, state.camera_prev,
-                    w, h, seed, cfg.restir_gi, trans=trans, pix=pix,
+                    w, h, seed, cfg.restir_gi, trans=trans, coat=coat,
+                    pix=pix,
                     prev_row0=row0 - halo, prev_rows=h_loc + 2 * halo,
                 )
         if shard is None:
-            gi_sp = RG.spatial_reuse(gi_res, gb, w, h, seed, cfg.restir_gi, trans=trans)
+            gi_sp = RG.spatial_reuse(gi_res, gb, w, h, seed, cfg.restir_gi, trans=trans, coat=coat)
         else:
             hg = cfg.restir_gi.spatial_radius
             gb_ext_g = _hxf(gb, w, hg, axis, n_sh)
@@ -270,41 +290,43 @@ def render_frame_restir(
                 gi_ext = _hxf(gi_sp, w, hg, axis, n_sh)
                 gi_sp = RG.spatial_step(
                     gi_sp, gb, w, h, seed, it, cfg.restir_gi, trans=trans,
-                    pix=pix, res_src=gi_ext, gbuf_src=gb_ext_g,
+                    coat=coat, pix=pix, res_src=gi_ext, gbuf_src=gb_ext_g,
                     src_row0=row0 - hg,
                 )
-        indirect = RG.shade(scene, gi_sp, gb, trans=trans)
+        indirect = RG.shade(scene, gi_sp, gb, trans=trans, coat=coat, rows_out=True)
         if cfg.pt.sky is not None:
             # SkyDI-lite: background + primary sun NEE (the pt trace supplies
             # these in the other modes; ADVICE round-1 finding #2)
             direct = direct + _sky_direct(scene, gb, cfg.pt.sky)
     else:
         pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
-        indirect = trace(scene, o, d, key, pt_cfg, pix0=pix0, rt=rt)
-    hdr = (direct + indirect).reshape(h_loc, w, 3)
+        indirect = trace(scene, o, d, key, pt_cfg, pix0=pix0, rt=rt, rows_out=True)
+    # everything image-space stays PLANAR [3, h, w] from here (channel-last
+    # wastes 125/128 VPU lanes; measured ~70 ms/frame at 512x512)
+    hdr = (direct + indirect).reshape(3, h_loc, w)
 
     # -- post chain: firefly -> a-trous -> TAA (reference Compositing tail)
     from ..ops import denoise as DN
     from ..ops import taa as TA
 
-    normal_img = gb[G.NS : G.NS + 3].T.reshape(h_loc, w, 3)
+    normal_img = gb[G.NS : G.NS + 3].reshape(3, h_loc, w)
     depth_img = gb[G.DEPTH].reshape(h_loc, w)
     valid_img = (gb[G.VALID] > 0.5).reshape(h_loc, w)
     if cfg.firefly_factor > 0.0:
         if shard is None:
-            hdr = DN.firefly_filter(hdr, cfg.firefly_factor)
+            hdr = DN.firefly_filter_p(hdr, cfg.firefly_factor)
         else:
-            hdr = DN.firefly_filter(
-                _hx(hdr, 1, axis, n_sh), cfg.firefly_factor
-            )[1:-1]
+            hdr = DN.firefly_filter_p(
+                _hx(hdr, 1, axis, n_sh, row_axis=1), cfg.firefly_factor
+            )[:, 1:-1]
     if cfg.denoise:
         if shard is None:
-            hdr = DN.atrous_denoise(hdr, normal_img, depth_img, valid_img)
+            hdr = DN.atrous_denoise_p(hdr, normal_img, depth_img, valid_img)
         else:
             dn_cfg = DN.ATrousConfig()
             hmax = 2 * (1 << (dn_cfg.iterations - 1))
             vf = valid_img.astype(jnp.float32)
-            nrm_ext = _hx(normal_img, hmax, axis, n_sh)
+            nrm_ext = _hx(normal_img, hmax, axis, n_sh, row_axis=1)
             dep_ext = _hx(depth_img, hmax, axis, n_sh)
             vf_ext = _hx(vf, hmax, axis, n_sh)
             out = hdr
@@ -312,34 +334,37 @@ def render_frame_restir(
                 step = 1 << it
                 hh = 2 * step
                 sl = lambda a: a[hmax - hh : hmax + h_loc + hh]
-                out = DN.atrous_iteration(
-                    _hx(out, hh, axis, n_sh),
-                    sl(nrm_ext), sl(dep_ext), sl(vf_ext), step, dn_cfg,
-                )[hh:-hh]
+                sl3 = lambda a: a[:, hmax - hh : hmax + h_loc + hh]
+                out = DN.atrous_iteration_p(
+                    _hx(out, hh, axis, n_sh, row_axis=1),
+                    sl3(nrm_ext), sl(dep_ext), sl(vf_ext), step, dn_cfg,
+                )[:, hh:-hh]
             hdr = out
     if cfg.taa and state is not None:
-        pos_img = gb[G.POS : G.POS + 3].T.reshape(h_loc, w, 3)
+        pos_img = gb[G.POS : G.POS + 3].reshape(3, h_loc, w)
         if shard is None:
-            hdr = TA.taa_resolve(
+            hdr = TA.taa_resolve_p(
                 hdr, state.history, pos_img, valid_img, state.camera_prev
             )
         else:
-            hist_ext = _hx(state.history, halo, axis, n_sh)
-            hdr = TA.taa_resolve(
+            hist_ext = _hx(state.history, halo, axis, n_sh, row_axis=1)
+            hdr = TA.taa_resolve_p(
                 hdr, hist_ext, pos_img, valid_img, state.camera_prev,
                 height_full=h, hist_row0=row0 - halo,
                 hist_rows=h_loc + 2 * halo,
-                curr_ext=_hx(hdr, 1, axis, n_sh),
+                curr_ext=_hx(hdr, 1, axis, n_sh, row_axis=1),
             )
 
     ldr = _postprocess(hdr, cfg, axis_name=axis)
     # Temporal feedback stores the *pre-spatial* reservoirs (the reference
-    # feeds the temporal reservoirs forward, DirectLighting.cpp).
+    # feeds the temporal reservoirs forward, DirectLighting.cpp); the TAA
+    # history stays planar [3, h, w].
     new_state = FrameState(
         reservoirs=res, gi_reservoirs=gi_res, gbuf=gb, camera_prev=camera,
         history=hdr,
     )
-    return {"hdr": hdr, "ldr": ldr}, new_state
+    # external contract: channel-last [H, W, 3] images
+    return {"hdr": hdr.transpose(1, 2, 0), "ldr": ldr.transpose(1, 2, 0)}, new_state
 
 
 def render_frame(scene, camera, key, cfg: RenderConfig, shard_rays=None):
@@ -350,11 +375,12 @@ def render_frame(scene, camera, key, cfg: RenderConfig, shard_rays=None):
     ray arrays (see parallel.mesh for the multi-chip layout).
     """
     w, h = cfg.width, cfg.height
-    o, d = camera.generate_rays(w, h)
+    o, d = camera.generate_rays(w, h, lens_u=_lens_u(camera, key, w * h))
     if shard_rays is not None:
         o, d = shard_rays(o), shard_rays(d)
-    hdr = trace(scene, o, d, key, cfg.pt).reshape(h, w, 3)
-    return {"hdr": hdr, "ldr": _postprocess(hdr, cfg)}
+    hdr = trace(scene, o, d, key, cfg.pt, rows_out=True).reshape(3, h, w)
+    ldr = _postprocess(hdr, cfg)
+    return {"hdr": hdr.transpose(1, 2, 0), "ldr": ldr.transpose(1, 2, 0)}
 
 
 @partial(jax.jit, static_argnames=("cfg",))

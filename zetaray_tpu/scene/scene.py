@@ -241,7 +241,9 @@ class A:
     MATID = 29  # material index as float (debug/texture lookup later)
     EM_PDF_AREA = 30  # light-sampling pdf (area measure), 0 if not emissive
     TEXID = 31  # base-color texture index as float (-1 = none)
-    WIDTH = 32
+    COATW = 32  # coat weight
+    COATR = 33  # coat roughness
+    WIDTH = 40  # padded to a multiple of 8 sublanes
 
 
 # Emissive-table attribute layout (em_attrs [Ep, EM_ATTR_W] f32), fetched by
@@ -299,10 +301,11 @@ class SceneBuffers:
     em_of_tri: jnp.ndarray  # [Tp] i32: index into em_* for emissive tris, else -1
     em_power: jnp.ndarray  # scalar: total emissive power (luminance * area * pi)
     num_emissives: int
-    # static: True if any material transmits -- compiles the transmission
-    # lobe out of the megakernel for all-opaque scenes (the reference's
-    # shader-variant trick, IndirectLighting.h's 31 kernel variants)
+    # static: True if any material transmits / has coat -- compiles the
+    # lobes out of the kernels otherwise (the reference's shader-variant
+    # trick, IndirectLighting.h's 31 kernel variants)
     has_transmission: bool
+    has_coat: bool
     # world bounds (for sky/tmax)
     world_lo: jnp.ndarray  # [3]
     world_hi: jnp.ndarray  # [3]
@@ -313,7 +316,10 @@ class SceneBuffers:
     cluster_aabb: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        static = (self.num_tris, self.num_emissives, self.has_transmission)
+        static = (
+            self.num_tris, self.num_emissives, self.has_transmission,
+            self.has_coat,
+        )
         dynamic = tuple(
             getattr(self, f)
             for f in _SCENE_DYNAMIC_FIELDS
@@ -323,14 +329,15 @@ class SceneBuffers:
     @classmethod
     def tree_unflatten(cls, static, dynamic):
         kw = dict(zip(_SCENE_DYNAMIC_FIELDS, dynamic))
-        kw["num_tris"], kw["num_emissives"], kw["has_transmission"] = static
+        (kw["num_tris"], kw["num_emissives"], kw["has_transmission"],
+         kw["has_coat"]) = static
         return cls(**kw)
 
 
 _SCENE_DYNAMIC_FIELDS = [
     f
     for f in SceneBuffers.__dataclass_fields__
-    if f not in ("num_tris", "num_emissives", "has_transmission")
+    if f not in ("num_tris", "num_emissives", "has_transmission", "has_coat")
 ]
 
 import jax.tree_util  # noqa: E402
@@ -459,6 +466,8 @@ def upload_scene(
     attrs[:t, A.DOUBLE] = mats.double_sided[mid].astype(np.float32)
     attrs[:t, A.MATID] = mid.astype(np.float32)
     attrs[:t, A.TEXID] = mats.base_color_tex[mid].astype(np.float32)
+    attrs[:t, A.COATW] = mats.coat_weight[mid]
+    attrs[:t, A.COATR] = mats.coat_roughness[mid]
     if e > 0:
         attrs[em, A.EM_PDF_AREA] = pdf / np.maximum(em_area, 1e-12)
 
@@ -508,6 +517,7 @@ def upload_scene(
         em_power=jnp.asarray(total_power, jnp.float32),
         num_emissives=e,
         has_transmission=bool((mats.transmission > 0).any()),
+        has_coat=bool((mats.coat_weight > 0).any()),
         world_lo=jnp.asarray(cpu.aabb()[0], jnp.float32),
         world_hi=jnp.asarray(cpu.aabb()[1], jnp.float32),
         cluster_aabb=cluster_aabb,
