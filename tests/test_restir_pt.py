@@ -1,0 +1,226 @@
+"""ReSTIR PT tests (CPU): reconnection-shift path reuse.
+
+Per-shift-case unit tests + convergence vs the PT oracle, the VERDICT
+round-1 done-criteria for the reference's flagship integrator
+(IndirectLighting.h ReSTIR_PT)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zetaray_tpu.scene import Camera
+from zetaray_tpu.render import render_frame_restir, render_frame, RenderConfig
+from zetaray_tpu.render.frame import FrameState
+from zetaray_tpu.ops.pathtracer import PTConfig
+from zetaray_tpu.ops import restir_pt as RP
+
+
+@pytest.fixture(scope="module")
+def setup(cornell_dev):
+    cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=1.0)
+    cfg = RenderConfig(width=20, height=20, mode="restir_pt", pt=PTConfig(max_bounces=3))
+    return cornell_dev, cam, cfg
+
+
+def test_pt_frames_finite_and_accumulate(setup):
+    scene, cam, cfg = setup
+    state = None
+    for i in range(3):
+        out, state = render_frame_restir(scene, cam, jax.random.PRNGKey(i), cfg, state)
+        h = np.asarray(out["hdr"])
+        assert np.isfinite(h).all() and (h >= 0).all()
+    # temporal reuse grows M
+    assert float(np.asarray(state.gi_reservoirs[RP.PR.M]).mean()) > 1.0
+
+
+def test_pt_matches_pt_oracle(setup):
+    scene, cam, cfg = setup
+    state = None
+    acc = 0.0
+    n = 6
+    for i in range(n):
+        out, state = render_frame_restir(scene, cam, jax.random.PRNGKey(i), cfg, state)
+        acc += np.asarray(out["hdr"]).mean()
+    rp_mean = acc / n
+    ref = np.mean(
+        [
+            np.asarray(
+                render_frame(
+                    scene, cam, jax.random.PRNGKey(60 + i),
+                    RenderConfig(width=20, height=20, pt=PTConfig(max_bounces=3)),
+                )["hdr"]
+            )
+            for i in range(12)
+        ]
+    )
+    assert abs(rp_mean - ref) / ref < 0.15, (rp_mean, ref)
+
+
+def test_pt_glass_scene_converges(cornell_cpu):
+    """Cornell-with-glass: restir_pt agrees with the PT oracle when the
+    prefix crosses a transmissive box (the reference's hybrid-shift
+    stress case)."""
+    import copy
+
+    from zetaray_tpu.scene.scene import upload_scene
+
+    cpu = copy.deepcopy(cornell_cpu)
+    # turn the first non-emissive material into rough glass
+    em = cpu.materials.emissive.max(-1) > 0
+    mat_idx = int(np.nonzero(~em)[0][0])
+    cpu.materials.transmission[mat_idx] = 1.0
+    cpu.materials.roughness[mat_idx] = 0.1
+    scene = upload_scene(cpu)
+    assert scene.has_transmission
+    cam = Camera.look_at((0, 1.5, 6.0), (0, 1.0, 0.0), vfov_deg=50, aspect=1.0)
+    cfg = RenderConfig(
+        width=16, height=16, mode="restir_pt", pt=PTConfig(max_bounces=3)
+    )
+    state = None
+    acc = 0.0
+    n = 5
+    for i in range(n):
+        out, state = render_frame_restir(scene, cam, jax.random.PRNGKey(i), cfg, state)
+        h = np.asarray(out["hdr"])
+        assert np.isfinite(h).all()
+        acc += h.mean()
+    rp_mean = acc / n
+    ref = np.mean(
+        [
+            np.asarray(
+                render_frame(
+                    scene, cam, jax.random.PRNGKey(80 + i),
+                    RenderConfig(width=16, height=16, pt=PTConfig(max_bounces=3)),
+                )["hdr"]
+            )
+            for i in range(10)
+        ]
+    )
+    assert abs(rp_mean - ref) / ref < 0.25, (rp_mean, ref)
+
+
+# ---------------------------------------------------------------------------
+# Per-shift-case unit tests
+# ---------------------------------------------------------------------------
+
+
+def _make_reservoir(n, x_rc, n_rc, le, w_s, l_s, base=0.7, metal=0.0, rough=0.5, dist=1.0):
+    res = np.zeros((RP.PR.ROWS, n), np.float32)
+    res[RP.PR.X : RP.PR.X + 3] = np.asarray(x_rc)[:, None]
+    res[RP.PR.N : RP.PR.N + 3] = np.asarray(n_rc)[:, None]
+    res[RP.PR.LE : RP.PR.LE + 3] = np.asarray(le)[:, None]
+    res[RP.PR.WS : RP.PR.WS + 3] = np.asarray(w_s)[:, None]
+    res[RP.PR.LS : RP.PR.LS + 3] = np.asarray(l_s)[:, None]
+    res[RP.PR.BASE : RP.PR.BASE + 3] = base
+    res[RP.PR.METAL] = metal
+    res[RP.PR.ROUGH] = rough
+    res[RP.PR.M] = 1.0
+    res[RP.PR.W] = 1.0
+    res[RP.PR.DIST] = dist
+    return jnp.asarray(res)
+
+
+def _surf_at(p, normal, albedo=0.5):
+    """Minimal surf tuple at positions p [n,3] facing ``normal``."""
+    from zetaray_tpu.core.vec3 import V3
+    from zetaray_tpu.ops import shading_soa as S
+
+    n = p.shape[0]
+    pos = V3(*jnp.asarray(p, jnp.float32).T)
+    ns = V3(*jnp.broadcast_to(jnp.asarray(normal, jnp.float32), (n, 3)).T)
+    wo = ns  # viewing along the normal
+    ones = jnp.ones((n,))
+    mat = S.MatSoA(base=V3(ones * albedo, ones * albedo, ones * albedo),
+                   metallic=ones * 0.0, roughness=ones, ior=ones * 1.5)
+    frame = S.make_frame(ns)
+    return pos, ns, ns, wo, mat, frame, jnp.ones((n,), bool)
+
+
+def test_shift_reconnection_target_scales_with_geometry():
+    """Reconnection shift: re-anchoring the same path sample at a pixel
+    twice as far from the vertex scales the area-measure target by the
+    geometry term (1/d^2 falloff + cosines), with BSDF terms equal."""
+    x_rc = [0.0, 2.0, 0.0]
+    res = _make_reservoir(
+        2, x_rc, [0.0, -1.0, 0.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.0],
+        [0.3, 0.3, 0.3],
+    )
+    surf = _surf_at(np.array([[0.0, 0.0, 0.0], [0.0, -2.0, 0.0]]), [0.0, 1.0, 0.0])
+    phat, f1, lout, geom, wi, dist2 = RP._phat_pt(surf, res, full=False)
+    phat = np.asarray(phat)
+    d2 = np.asarray(dist2)
+    assert d2[0] == pytest.approx(4.0) and d2[1] == pytest.approx(16.0)
+    # same direction, same cosines -> target ratio is exactly d2 ratio
+    assert phat[0] / phat[1] == pytest.approx(4.0, rel=1e-4)
+
+
+def test_shift_reevaluates_rc_bsdf():
+    """The rc BSDF must be re-evaluated per shift: moving the destination
+    pixel sideways changes the incoming direction at rc, so a glossy rc
+    lobe changes the shifted target (this is what restir_gi cannot do)."""
+    x_rc = [0.0, 2.0, 0.0]
+    # glossy rc (normal down); suffix = mirror direction of pixel A's
+    # connection, so A is on-peak and the far-off-axis pixel B is off-peak
+    w_s = np.array([-0.265, -0.964, 0.0])
+    w_s = (w_s / np.linalg.norm(w_s)).tolist()
+    res = _make_reservoir(
+        2, x_rc, [0.0, -1.0, 0.0], [0.0, 0.0, 0.0], w_s,
+        [1.0, 1.0, 1.0], metal=1.0, rough=0.2,
+    )
+    surf = _surf_at(np.array([[0.55, 0.0, 0.0], [3.5, 0.0, 0.0]]), [0.0, 1.0, 0.0])
+    phat, *_ = RP._phat_pt(surf, res, full=False)
+    phat = np.asarray(phat)
+    # normalize out the geometry term to isolate the rc BSDF change
+    _, _, lout, geom, _, _ = RP._phat_pt(surf, res, full=False)
+    lum = np.asarray(phat) / np.maximum(np.asarray(geom), 1e-12)
+    assert lum[0] > 2.0 * lum[1], lum  # glossy rc: aligned >> off-axis
+
+
+def test_shift_invalid_cases_zero_the_merge():
+    """Hybrid-shift validity: near-vertex or near-specular reconnection
+    rejects the transfer (merge weight 0, M unchanged)."""
+    cfg = RP.ReSTIRPTConfig()
+    x_rc = [0.0, 0.5, 0.0]
+    ok_res = _make_reservoir(
+        1, x_rc, [0.0, -1.0, 0.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0], rough=0.5, dist=0.5,
+    )
+    # (a) destination pixel almost at the vertex -> distance condition fails
+    near_surf = _surf_at(np.array([[0.0, 0.499, 0.0]]), [0.0, 1.0, 0.0])
+    ok = np.asarray(RP._shift_valid(near_surf, ok_res, cfg))
+    assert not ok[0]
+    # (b) near-specular rc -> roughness condition fails everywhere
+    spec_res = _make_reservoir(
+        1, x_rc, [0.0, -1.0, 0.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0], rough=0.01, dist=0.5,
+    )
+    far_surf = _surf_at(np.array([[0.0, 0.0, 0.0]]), [0.0, 1.0, 0.0])
+    assert not np.asarray(RP._shift_valid(far_surf, spec_res, cfg))[0]
+    # (c) valid case passes
+    assert np.asarray(RP._shift_valid(far_surf, ok_res, cfg))[0]
+    # and the merge honors it: an invalid-shift candidate transfers nothing
+    a = _make_reservoir(
+        1, [0.3, 1.0, 0.0], [0.0, -1.0, 0.0], [1.0, 1.0, 1.0],
+        [0.0, 1.0, 0.0], [0.0, 0.0, 0.0],
+    )
+    merged = RP._merge(a, spec_res, far_surf, jnp.asarray([0.99]), cfg)
+    np.testing.assert_allclose(
+        np.asarray(merged[RP.PR.X : RP.PR.X + 3, 0]),
+        np.asarray(a[RP.PR.X : RP.PR.X + 3, 0]),
+    )
+
+
+def test_identity_shift_preserves_target():
+    """Shifting a sample to its own generating pixel must reproduce the
+    original target exactly (identity shift, Jacobian 1)."""
+    res = _make_reservoir(
+        1, [0.0, 2.0, 0.0], [0.0, -1.0, 0.0], [0.5, 0.5, 0.5],
+        [0.0, 1.0, 0.0], [0.2, 0.2, 0.2],
+    )
+    surf = _surf_at(np.array([[0.0, 0.0, 0.0]]), [0.0, 1.0, 0.0])
+    p1, *_ = RP._phat_pt(surf, res, full=False)
+    p2, *_ = RP._phat_pt(surf, res, full=False)
+    assert float(p1[0]) == float(p2[0]) and float(p1[0]) > 0.0

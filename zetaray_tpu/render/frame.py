@@ -41,12 +41,15 @@ class RenderConfig:
     height: int = 512
     # integrator mode: "pt" = unidirectional path tracer;
     # "restir_di" = ReSTIR direct lighting + PT indirect;
-    # "restir_gi" = ReSTIR direct + ReSTIR GI indirect (the reference's
-    # DirectLighting + IndirectLighting + Compositing frame structure)
+    # "restir_gi" = ReSTIR direct + ReSTIR GI indirect;
+    # "restir_pt" = ReSTIR direct + ReSTIR PT path reuse (reconnection
+    # shift) -- the reference's three IndirectLighting integrators
+    # (IndirectLighting.h:64-70) plus the Compositing frame structure
     mode: str = "pt"
     pt: PTConfig = field(default_factory=PTConfig)
     restir: ReSTIRConfig = field(default_factory=ReSTIRConfig)
     restir_gi: "object" = None  # ReSTIRGIConfig; default built in __post_init__
+    restir_pt: "object" = None  # ReSTIRPTConfig; default built in __post_init__
     indirect: bool = True  # add the indirect pass in restir modes
 
     def __post_init__(self):
@@ -54,6 +57,10 @@ class RenderConfig:
             from ..ops.restir_gi import ReSTIRGIConfig
 
             object.__setattr__(self, "restir_gi", ReSTIRGIConfig())
+        if self.restir_pt is None:
+            from ..ops.restir_pt import ReSTIRPTConfig
+
+            object.__setattr__(self, "restir_pt", ReSTIRPTConfig())
     tonemapper: str = "agx"
     auto_exposure: bool = True
     manual_exposure: float = 1.0
@@ -297,6 +304,51 @@ def render_frame_restir(
         if cfg.pt.sky is not None:
             # SkyDI-lite: background + primary sun NEE (the pt trace supplies
             # these in the other modes; ADVICE round-1 finding #2)
+            direct = direct + _sky_direct(scene, gb, cfg.pt.sky)
+    elif cfg.mode == "restir_pt":
+        from ..ops import restir_pt as RP
+
+        pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
+        gi_res = RP.initial_samples(
+            scene, gb, key, pt_cfg, seed, cfg.restir_pt, trans=trans,
+            coat=coat, pix=pix, pix0=pix0, rt=rt,
+        )
+        if cfg.restir_pt.temporal and state is not None:
+            if shard is None:
+                gi_res = RP.temporal_reuse(
+                    gi_res, state.gi_reservoirs, state.gbuf, gb,
+                    state.camera_prev, w, h, seed, cfg.restir_pt,
+                    trans=trans, coat=coat,
+                )
+            else:
+                prev_pt = _hxf(state.gi_reservoirs, w, halo, axis, n_sh)
+                prev_g_pt = _hxf(state.gbuf, w, halo, axis, n_sh)
+                gi_res = RP.temporal_reuse(
+                    gi_res, prev_pt, prev_g_pt, gb, state.camera_prev,
+                    w, h, seed, cfg.restir_pt, trans=trans, coat=coat,
+                    pix=pix,
+                    prev_row0=row0 - halo, prev_rows=h_loc + 2 * halo,
+                )
+        if shard is None:
+            pt_sp = RP.spatial_reuse(
+                gi_res, gb, w, h, seed, cfg.restir_pt, trans=trans, coat=coat
+            )
+        else:
+            hp = cfg.restir_pt.spatial_radius
+            gb_ext_p = _hxf(gb, w, hp, axis, n_sh)
+            pt_sp = gi_res
+            for it in range(cfg.restir_pt.spatial_iterations):
+                pt_ext = _hxf(pt_sp, w, hp, axis, n_sh)
+                pt_sp = RP.spatial_step(
+                    pt_sp, gb, w, h, seed, it, cfg.restir_pt, trans=trans,
+                    coat=coat, pix=pix, res_src=pt_ext, gbuf_src=gb_ext_p,
+                    src_row0=row0 - hp,
+                )
+        indirect = RP.shade(
+            scene, pt_sp, gb, cfg.restir_pt, trans=trans, coat=coat,
+            rows_out=True,
+        )
+        if cfg.pt.sky is not None:
             direct = direct + _sky_direct(scene, gb, cfg.pt.sky)
     else:
         pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
