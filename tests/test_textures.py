@@ -61,14 +61,18 @@ def test_bc4_bc5_channels():
     np.testing.assert_array_equal(img5[0, 0], [200, 100, 0, 255])
 
 
-def test_bc7_unsupported_clean():
-    with pytest.raises(NotImplementedError):
-        decode_bcn("BC7", b"\x00" * 16, 4, 4)
-    # and the cornell checkerboard (BC7 DDS) falls back to None
-    tex = load_texture(
+def test_bc7_cornell_checkerboard_decodes():
+    """The reference's compressed Cornell textures are BC7 -- they must now
+    decode for real (VERDICT round-1 done-criterion: no factor fallback)."""
+    mips = load_texture(
         "/root/reference/Assets/CornellBox/compressed/checkerboard.dds"
     )
-    assert tex is None
+    assert mips is not None and len(mips) >= 1
+    top = np.asarray(mips[0])
+    assert top.ndim == 3 and top.shape[2] == 4
+    # a checkerboard has real contrast, and values are sane [0, 1]
+    assert 0.0 <= top.min() and top.max() <= 1.0
+    assert top[..., :3].std() > 0.05
 
 
 def test_bilinear_sampling():

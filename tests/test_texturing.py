@@ -43,3 +43,92 @@ def test_apply_textures_modulates_base(cornell_dev):
     np.testing.assert_array_equal(
         base_after[:, texid < 0], base_before[:, texid < 0]
     )
+
+
+def test_full_texture_maps_and_mips(cornell_dev, cornell_cpu):
+    """Normal / metallic-roughness / emissive maps + trilinear mips applied
+    through the material-id path (apply_texture_maps)."""
+    import numpy as np
+    from zetaray_tpu.scene.textures import apply_texture_maps, build_mips
+
+    cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=1.0)
+    o, d = cam.generate_rays(16, 16)
+    gb = gbuffer(cornell_dev, o, d, rt=256, interpret=True)
+    n_mats = len(cornell_cpu.materials.metallic)
+
+    # synthetic bundle: every material gets the same maps
+    mr = np.zeros((8, 8, 4), np.float32)
+    mr[..., 1] = 0.5  # roughness x0.5
+    mr[..., 2] = 0.25  # metallic x0.25
+    nrm = np.zeros((8, 8, 4), np.float32)
+    nrm[..., 0] = 0.5  # tangent-space normal = +z (identity)
+    nrm[..., 1] = 0.5
+    nrm[..., 2] = 1.0
+    em = np.full((8, 8, 4), 0.5, np.float32)
+    texmaps = {
+        "base": {},
+        "mr": {0: [jnp.asarray(m) for m in build_mips(mr)]},
+        "normal": {1: [jnp.asarray(m) for m in build_mips(nrm)]},
+        "emissive": {2: [jnp.asarray(m) for m in build_mips(em)]},
+        "ids": {
+            "base": np.full(n_mats, -1, np.int32),
+            "mr": np.zeros(n_mats, np.int32),
+            "normal": np.ones(n_mats, np.int32),
+            "emissive": np.full(n_mats, 2, np.int32),
+        },
+    }
+    gb2 = apply_texture_maps(gb, texmaps, spread_angle=0.01)
+    valid = np.asarray(gb[G.VALID]) > 0.5
+    # MR: roughness halved, metallic quartered on valid pixels
+    np.testing.assert_allclose(
+        np.asarray(gb2[G.ROUGH])[valid], np.asarray(gb[G.ROUGH])[valid] * 0.5,
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gb2[G.METAL])[valid], np.asarray(gb[G.METAL])[valid] * 0.25,
+        rtol=1e-4, atol=1e-7,
+    )
+    # emissive halved
+    np.testing.assert_allclose(
+        np.asarray(gb2[G.EMISS])[valid], np.asarray(gb[G.EMISS])[valid] * 0.5,
+        rtol=1e-3, atol=1e-7,
+    )
+    # identity normal map: shading normal unchanged (within fp)
+    ns_before = np.asarray(gb[G.NS : G.NS + 3])[:, valid]
+    ns_after = np.asarray(gb2[G.NS : G.NS + 3])[:, valid]
+    np.testing.assert_allclose(ns_after, ns_before, atol=2e-2)
+
+
+def test_normal_map_perturbs(cornell_dev):
+    """A non-identity normal map actually tilts the shading normal."""
+    import numpy as np
+    from zetaray_tpu.scene.textures import apply_texture_maps, build_mips
+
+    cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=1.0)
+    o, d = cam.generate_rays(16, 16)
+    gb = gbuffer(cornell_dev, o, d, rt=256, interpret=True)
+    nrm = np.zeros((8, 8, 4), np.float32)
+    nrm[..., 0] = 0.9  # strong +x tilt in tangent space
+    nrm[..., 1] = 0.5
+    nrm[..., 2] = 0.8
+    n_mats = 64
+    texmaps = {
+        "base": {}, "mr": {}, "emissive": {},
+        "normal": {0: [jnp.asarray(m) for m in build_mips(nrm)]},
+        "ids": {
+            "base": np.full(n_mats, -1, np.int32),
+            "mr": np.full(n_mats, -1, np.int32),
+            "normal": np.zeros(n_mats, np.int32),
+            "emissive": np.full(n_mats, -1, np.int32),
+        },
+    }
+    gb2 = apply_texture_maps(gb, texmaps)
+    valid = np.asarray(gb[G.VALID]) > 0.5
+    ns_before = np.asarray(gb[G.NS : G.NS + 3])[:, valid]
+    ns_after = np.asarray(gb2[G.NS : G.NS + 3])[:, valid]
+    delta = np.abs(ns_after - ns_before).max()
+    assert delta > 0.1, delta
+    # still unit length
+    np.testing.assert_allclose(
+        np.linalg.norm(ns_after, axis=0), 1.0, atol=1e-4
+    )

@@ -243,13 +243,105 @@ def _pad_rays(o, d, mult=256):
     )
 
 
+def _hit_alpha(scene, sh: ShadedHit):
+    """(passes_alpha [N] bool, has_mask [N] bool) at the hit, from the
+    baked alpha-cutout atlas (scene.alpha_tex; reference TestOpacity,
+    GBufferRT_Inline.hlsl:37-60). Nearest sampling, wrap addressing."""
+    from ..scene.scene import A
+
+    at = sh.attrs
+    w0 = 1.0 - sh.u - sh.v
+    u = w0 * at[:, A.UV0] + sh.u * at[:, A.UV1] + sh.v * at[:, A.UV2]
+    v = w0 * at[:, A.UV0 + 1] + sh.u * at[:, A.UV1 + 1] + sh.v * at[:, A.UV2 + 1]
+    cutoff = at[:, A.ACUT]
+    slot = at[:, A.ATEX].astype(jnp.int32)
+    atlas = scene.alpha_tex
+    k, res, _ = atlas.shape
+    xi = jnp.mod((u * res).astype(jnp.int32), res)
+    yi = jnp.mod((v * res).astype(jnp.int32), res)
+    alpha = atlas[jnp.clip(slot, 0, k - 1), yi, xi]
+    has_mask = (cutoff > 0.0) & (slot >= 0)
+    return jnp.where(has_mask, alpha >= cutoff, True), has_mask
+
+
+_CUTOUT_ROUNDS = 4  # max transparent layers pierced per query
+
+
+def _closest_cutout(scene, o, d, t_min, t_max) -> ShadedHit:
+    """Closest hit skipping alpha-rejected surfaces: iterative re-trace,
+    advancing rejected lanes past their hit (the TPU answer to the
+    reference's any-hit TestOpacity loop)."""
+    n = o.shape[0]
+    o_cur = o
+    t_acc = jnp.zeros(n)
+    live = jnp.ones(n, bool)
+    out = None
+    for _ in range(_CUTOUT_ROUNDS):
+        sh = _closest_shaded_raw(scene, o_cur, d, t_min, t_max)
+        passes, _ = _hit_alpha(scene, sh)
+        settle = live & (~sh.valid | passes)  # miss or opaque-enough hit
+        latched = ShadedHit(
+            t=jnp.where(settle, t_acc + sh.t, 0.0 if out is None else out.t),
+            tri=jnp.where(settle, sh.tri, -1 if out is None else out.tri),
+            u=jnp.where(settle, sh.u, 0.0 if out is None else out.u),
+            v=jnp.where(settle, sh.v, 0.0 if out is None else out.v),
+            attrs=jnp.where(
+                settle[:, None], sh.attrs,
+                0.0 if out is None else out.attrs,
+            ),
+        )
+        out = latched
+        cont = live & sh.valid & ~passes
+        step = sh.t + 1e-4 + 1e-4 * sh.t
+        o_cur = jnp.where(cont[:, None], o_cur + step[:, None] * d, o_cur)
+        t_acc = jnp.where(cont, t_acc + step, t_acc)
+        live = cont
+    # lanes still piercing after the budget keep their last (rejected) hit
+    return ShadedHit(
+        t=jnp.where(live, t_acc, out.t),
+        tri=jnp.where(live, -1, out.tri),
+        u=out.u, v=out.v,
+        attrs=jnp.where(live[:, None], 0.0, out.attrs),
+    )
+
+
+def _occluded_cutout(scene, o, d, t_min, t_max):
+    """Occlusion with alpha cutout: march closest hits along the segment
+    until an alpha-passing surface occludes or the segment ends."""
+    n = o.shape[0]
+    o_cur = o
+    t_acc = jnp.zeros(n)
+    live = jnp.ones(n, bool)
+    occ = jnp.zeros(n, bool)
+    for _ in range(_CUTOUT_ROUNDS):
+        sh = _closest_shaded_raw(scene, o_cur, d, t_min, INF)
+        within = sh.valid & (t_acc + sh.t < t_max)
+        passes, _ = _hit_alpha(scene, sh)
+        occ = occ | (live & within & passes)
+        cont = live & within & ~passes
+        step = sh.t + 1e-4 + 1e-4 * sh.t
+        o_cur = jnp.where(cont[:, None], o_cur + step[:, None] * d, o_cur)
+        t_acc = jnp.where(cont, t_acc + step, t_acc)
+        live = cont
+    return occ | live  # layer-budget overflow counts as occluded
+
+
 def intersect_closest_shaded(scene, o, d, t_min=1e-4, t_max=None) -> ShadedHit:
     """Closest hit with attributes fetched in-kernel (no XLA gathers on TPU).
 
     Scenes with a cluster BVH (scene.cluster_aabb set) use the streaming
     traversal (accel.stream) -- triangles beyond the VMEM ceiling stream
     from HBM with tile-level AABB culling; the winning triangle's attributes
-    come from one XLA gather (1/C of the attribute bandwidth)."""
+    come from one XLA gather (1/C of the attribute bandwidth). Scenes with
+    MASK-mode materials (scene.has_cutout) run the alpha-cutout re-trace."""
+    if t_max is None:
+        t_max = INF
+    if scene.has_cutout:
+        return _closest_cutout(scene, o, d, t_min, t_max)
+    return _closest_shaded_raw(scene, o, d, t_min, t_max)
+
+
+def _closest_shaded_raw(scene, o, d, t_min=1e-4, t_max=None) -> ShadedHit:
     if t_max is None:
         t_max = INF
     if not _on_cpu():
@@ -281,9 +373,12 @@ def intersect_closest_shaded(scene, o, d, t_min=1e-4, t_max=None) -> ShadedHit:
 
 
 def intersect_occluded(scene, o, d, t_min=1e-4, t_max=None) -> jnp.ndarray:
-    """Backend-dispatched any-hit query (Pallas on TPU)."""
+    """Backend-dispatched any-hit query (Pallas on TPU); alpha-cutout scenes
+    march closest hits through transparent texels instead."""
     if t_max is None:
         t_max = INF
+    if scene.has_cutout:
+        return _occluded_cutout(scene, o, d, t_min, t_max)
     if not _on_cpu():
         o_p, d_p, n = _pad_rays(o, d)
         if scene.cluster_aabb is not None:

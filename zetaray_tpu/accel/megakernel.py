@@ -408,7 +408,10 @@ class G:
     ETA = 28  # relative IOR along the primary ray (front: 1/ior, back: ior)
     COATW = 29  # coat weight
     COATR = 30  # coat roughness
-    ROWS = 32
+    MATID = 31  # material index as float (texture-slot lookup)
+    TANG = 32  # 3: world tangent (normal mapping)
+    UVDENS = 35  # sqrt(uv area / world area) (ray-cone mips)
+    ROWS = 40
 
 
 def _gbuffer_kernel(rays_ref, woop_ref, attrsT_ref, out_ref, *, rt, tp, tc, t_min):
@@ -471,7 +474,12 @@ def _gbuffer_kernel(rays_ref, woop_ref, attrsT_ref, out_ref, *, rt, tp, tc, t_mi
     out_ref[G.ETA, :] = jnp.where(front, 1.0 / ior, ior)
     out_ref[G.COATW, :] = at[A.COATW]
     out_ref[G.COATR, :] = at[A.COATR]
-    for r in range(G.COATR + 1, G.ROWS):
+    out_ref[G.MATID, :] = jnp.where(hit, at[A.MATID], -1.0)
+    out_ref[G.TANG, :] = at[A.TANG]
+    out_ref[G.TANG + 1, :] = at[A.TANG + 1]
+    out_ref[G.TANG + 2, :] = at[A.TANG + 2]
+    out_ref[G.UVDENS, :] = at[A.UVDENS]
+    for r in range(G.UVDENS + 1, G.ROWS):
         out_ref[r, :] = jnp.zeros((rt,))
 
 
@@ -531,12 +539,16 @@ def gbuffer_xla(scene, o, d, t_min=1e-4):
     gb = gb.at[G.ETA].set(jnp.where(front, 1.0 / ior, ior))
     gb = gb.at[G.COATW].set(at[A.COATW])
     gb = gb.at[G.COATR].set(at[A.COATR])
+    gb = gb.at[G.MATID].set(jnp.where(hit, at[A.MATID], -1.0))
+    gb = gb.at[G.TANG].set(at[A.TANG]).at[G.TANG + 1].set(at[A.TANG + 1])
+    gb = gb.at[G.TANG + 2].set(at[A.TANG + 2])
+    gb = gb.at[G.UVDENS].set(at[A.UVDENS])
     return gb
 
 
 def gbuffer(scene, o, d, t_min=1e-4, rt=1024, interpret=False):
     """Primary-hit G-buffer pass. Returns [G.ROWS, N] SoA planes."""
-    if scene.cluster_aabb is not None:
+    if scene.cluster_aabb is not None or scene.has_cutout:
         return gbuffer_xla(scene, o, d, t_min=t_min)
     n = o.shape[0]
     n_pad = ((n + rt - 1) // rt) * rt

@@ -114,6 +114,7 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_ou
     if (
         jax.default_backend() != "cpu"
         and scene.cluster_aabb is None
+        and not scene.has_cutout
         and scene.woop.shape[1] // 3 <= 8192
     ):
         from ..accel.megakernel import trace_megakernel

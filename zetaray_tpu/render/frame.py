@@ -224,7 +224,9 @@ def render_frame_restir(
     if textures:
         from ..scene.textures import apply_textures_to_gbuffer
 
-        gb = apply_textures_to_gbuffer(gb, textures)
+        gb = apply_textures_to_gbuffer(
+            gb, textures, spread_angle=camera.pixel_spread_angle(h)
+        )
     lsets = build_light_sets(scene, seed)
     res = RD.initial_candidates(
         gb, lsets, seed, cfg.restir, rt=rt, interpret=interp,

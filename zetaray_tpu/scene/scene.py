@@ -51,6 +51,10 @@ class MaterialsSoA:
     coat_roughness: np.ndarray  # [M]
     double_sided: np.ndarray  # [M] bool
     base_color_tex: np.ndarray  # [M] int32, -1 = none
+    normal_tex: np.ndarray | None = None  # [M] int32
+    metallic_roughness_tex: np.ndarray | None = None  # [M] int32
+    emissive_tex: np.ndarray | None = None  # [M] int32
+    alpha_cutoff: np.ndarray | None = None  # [M]; > 0 only for MASK mode
 
 
 @dataclass
@@ -118,6 +122,15 @@ def _materials_soa(mats: list[GltfMaterial]) -> MaterialsSoA:
         coat_roughness=np.array([m.coat_roughness for m in mats], np.float32),
         double_sided=np.array([m.double_sided for m in mats], bool),
         base_color_tex=np.array([m.base_color_tex for m in mats], np.int32),
+        normal_tex=np.array([m.normal_tex for m in mats], np.int32),
+        metallic_roughness_tex=np.array(
+            [m.metallic_roughness_tex for m in mats], np.int32
+        ),
+        emissive_tex=np.array([m.emissive_tex for m in mats], np.int32),
+        alpha_cutoff=np.array(
+            [m.alpha_cutoff if m.alpha_mode == "MASK" else 0.0 for m in mats],
+            np.float32,
+        ),
     )
 
 
@@ -243,6 +256,10 @@ class A:
     TEXID = 31  # base-color texture index as float (-1 = none)
     COATW = 32  # coat weight
     COATR = 33  # coat roughness
+    TANG = 34  # 3: triangle tangent (world, aligned to +u), for normal maps
+    UVDENS = 37  # sqrt(uv area / world area): ray-cone mip selection
+    ACUT = 38  # alpha cutoff (> 0 only for MASK-mode materials)
+    ATEX = 39  # alpha-atlas slot as float (-1 = no alpha texture)
     WIDTH = 40  # padded to a multiple of 8 sublanes
 
 
@@ -306,6 +323,7 @@ class SceneBuffers:
     # trick, IndirectLighting.h's 31 kernel variants)
     has_transmission: bool
     has_coat: bool
+    has_cutout: bool
     # world bounds (for sky/tmax)
     world_lo: jnp.ndarray  # [3]
     world_hi: jnp.ndarray  # [3]
@@ -314,11 +332,16 @@ class SceneBuffers:
     # set, the triangle arrays are cluster-ordered: cluster c owns slots
     # [c*CLUSTER_SIZE, (c+1)*CLUSTER_SIZE) with degenerate padding.
     cluster_aabb: jnp.ndarray | None = None
+    # alpha-cutout atlas [K, ALPHA_RES, ALPHA_RES] (alpha channel of the
+    # base-color texture of MASK-mode materials, resampled); None when no
+    # material uses alpha masking. Traversal tests opacity against it
+    # (reference: GBufferRT_Inline.hlsl:37-60 TestOpacity).
+    alpha_tex: jnp.ndarray | None = None
 
     def tree_flatten(self):
         static = (
             self.num_tris, self.num_emissives, self.has_transmission,
-            self.has_coat,
+            self.has_coat, self.has_cutout,
         )
         dynamic = tuple(
             getattr(self, f)
@@ -330,14 +353,17 @@ class SceneBuffers:
     def tree_unflatten(cls, static, dynamic):
         kw = dict(zip(_SCENE_DYNAMIC_FIELDS, dynamic))
         (kw["num_tris"], kw["num_emissives"], kw["has_transmission"],
-         kw["has_coat"]) = static
+         kw["has_coat"], kw["has_cutout"]) = static
         return cls(**kw)
 
 
 _SCENE_DYNAMIC_FIELDS = [
     f
     for f in SceneBuffers.__dataclass_fields__
-    if f not in ("num_tris", "num_emissives", "has_transmission", "has_coat")
+    if f not in (
+        "num_tris", "num_emissives", "has_transmission", "has_coat",
+        "has_cutout",
+    )
 ]
 
 import jax.tree_util  # noqa: E402
@@ -397,6 +423,77 @@ def _clusterize(cpu: CpuScene, c: int):
     aabb[:, 0:3] = lo
     aabb[:, 3:6] = hi
     return new, aabb
+
+
+def _tangents_and_uv_density(cpu: CpuScene):
+    """Per-triangle tangent frame + texel density for normal maps / ray-cone
+    mip selection (reference: oct-encoded vertex tangents, Vertex.h; ray
+    cones RT.hlsli:13-220). Tangent = world direction of +u in UV space,
+    orthonormalized against the geometric normal; degenerate UVs fall back
+    to an arbitrary ONB axis."""
+    e1 = (cpu.v1 - cpu.v0).astype(np.float64)
+    e2 = (cpu.v2 - cpu.v0).astype(np.float64)
+    du1 = (cpu.uv1[:, 0] - cpu.uv0[:, 0]).astype(np.float64)
+    dv1 = (cpu.uv1[:, 1] - cpu.uv0[:, 1]).astype(np.float64)
+    du2 = (cpu.uv2[:, 0] - cpu.uv0[:, 0]).astype(np.float64)
+    dv2 = (cpu.uv2[:, 1] - cpu.uv0[:, 1]).astype(np.float64)
+    det = du1 * dv2 - du2 * dv1
+    ok = np.abs(det) > 1e-12
+    inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+    tang = (e1 * dv2[:, None] - e2 * dv1[:, None]) * inv[:, None]
+    ng = np.cross(e1, e2)
+    ng_l = np.linalg.norm(ng, axis=-1, keepdims=True)
+    ng_u = ng / np.maximum(ng_l, 1e-20)
+    # fallback: any vector orthogonal to ng
+    alt = np.cross(ng_u, np.where(np.abs(ng_u[:, :1]) < 0.9,
+                                  [[1.0, 0, 0]], [[0, 1.0, 0]]))
+    tang = np.where(ok[:, None], tang, alt)
+    tang -= ng_u * np.sum(tang * ng_u, -1, keepdims=True)
+    tl = np.linalg.norm(tang, axis=-1, keepdims=True)
+    tang = np.where(tl > 1e-12, tang / np.maximum(tl, 1e-20), alt)
+    world_area = 0.5 * ng_l[:, 0]
+    uv_area = 0.5 * np.abs(det)
+    uvdens = np.sqrt(uv_area / np.maximum(world_area, 1e-20))
+    return tang.astype(np.float32), uvdens.astype(np.float32)
+
+
+ALPHA_RES = 256  # alpha-cutout atlas resolution
+
+
+def _build_alpha_atlas(cpu: CpuScene):
+    """Alpha atlas for MASK-mode materials: (atlas [K, R, R] | None,
+    per-material slot np[M] (-1 = none))."""
+    from .textures import load_texture
+
+    mats = cpu.materials
+    n_mats = len(mats.metallic)
+    slot_of_mat = np.full(n_mats, -1, np.int32)
+    cutoffs = getattr(mats, "alpha_cutoff", None)
+    if cutoffs is None or not (np.asarray(cutoffs) > 0).any():
+        return None, slot_of_mat
+    paths = cpu.texture_paths or []
+    layers = []
+    slot_of_tex = {}
+    for m in range(n_mats):
+        if cutoffs[m] <= 0:
+            continue
+        ti = int(mats.base_color_tex[m])
+        if ti < 0 or ti >= len(paths) or not paths[ti]:
+            continue
+        if ti not in slot_of_tex:
+            mips = load_texture(paths[ti], srgb=True)
+            if mips is None:
+                continue
+            a = np.asarray(mips[0][..., 3], np.float32)
+            # nearest resample to the atlas resolution
+            ys = (np.arange(ALPHA_RES) * a.shape[0] // ALPHA_RES).clip(0, a.shape[0] - 1)
+            xs = (np.arange(ALPHA_RES) * a.shape[1] // ALPHA_RES).clip(0, a.shape[1] - 1)
+            slot_of_tex[ti] = len(layers)
+            layers.append(a[np.ix_(ys, xs)])
+        slot_of_mat[m] = slot_of_tex[ti]
+    if not layers:
+        return None, slot_of_mat
+    return np.stack(layers).astype(np.float32), slot_of_mat
 
 
 def upload_scene(
@@ -468,6 +565,13 @@ def upload_scene(
     attrs[:t, A.TEXID] = mats.base_color_tex[mid].astype(np.float32)
     attrs[:t, A.COATW] = mats.coat_weight[mid]
     attrs[:t, A.COATR] = mats.coat_roughness[mid]
+    tang, uvdens = _tangents_and_uv_density(cpu)
+    attrs[:t, A.TANG : A.TANG + 3] = tang
+    attrs[:t, A.UVDENS] = uvdens
+    alpha_atlas, alpha_slot = _build_alpha_atlas(cpu)
+    if getattr(mats, "alpha_cutoff", None) is not None:
+        attrs[:t, A.ACUT] = np.where(alpha_slot[mid] >= 0, mats.alpha_cutoff[mid], 0.0)
+    attrs[:t, A.ATEX] = alpha_slot[mid].astype(np.float32)
     if e > 0:
         attrs[em, A.EM_PDF_AREA] = pdf / np.maximum(em_area, 1e-12)
 
@@ -518,7 +622,9 @@ def upload_scene(
         num_emissives=e,
         has_transmission=bool((mats.transmission > 0).any()),
         has_coat=bool((mats.coat_weight > 0).any()),
+        has_cutout=alpha_atlas is not None,
         world_lo=jnp.asarray(cpu.aabb()[0], jnp.float32),
         world_hi=jnp.asarray(cpu.aabb()[1], jnp.float32),
         cluster_aabb=cluster_aabb,
+        alpha_tex=jnp.asarray(alpha_atlas) if alpha_atlas is not None else None,
     )

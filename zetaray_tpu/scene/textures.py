@@ -1,11 +1,13 @@
-"""Texture loading: DDS (BCn via the native decoder) and PNG.
+"""Texture pipeline: DDS (BC1-7, BC6H via the native decoder) + PNG, mip
+chains, ray-cone mip selection, and the full map set (base color, normal,
+metallic-roughness, emissive).
 
-Counterpart of the reference's DDS texture path (Core/dds.h + GpuMemory
-texture upload; offline compression by Tools/BCnCompressglTF). Textures are
-decoded to linear-float RGBA mip 0 on the host and sampled at primary
-visibility in XLA (scene/texturing in the G-buffer modes); BC6/BC7 decode is
-a known round-2 gap (raises NotImplementedError, callers fall back to the
-material factor).
+Counterpart of the reference's texture path (Core/dds.h + GpuMemory upload;
+offline compression by Tools/BCnCompressglTF emits BC7 color / BC5 normal
+DDS with full mip chains; ray-cone mip selection in Common/RT.hlsli:13-220).
+Textures decode to linear-float RGBA mips on the host; sampling happens at
+primary visibility in XLA over the G-buffer (secondary bounces use material
+factors -- a documented gap vs the reference's in-traversal fetches).
 """
 
 from __future__ import annotations
@@ -21,65 +23,108 @@ _DXGI_TO_BC = {
     76: "BC3", 77: "BC3", 78: "BC3",
     79: "BC4", 80: "BC4", 81: "BC4",
     82: "BC5", 83: "BC5", 84: "BC5",
+    94: "BC6H", 95: "BC6H", 96: "BC6H_SF",
+    97: "BC7", 98: "BC7", 99: "BC7",
 }
 _DXGI_SRGB = {72, 75, 78, 99}
 _FOURCC_TO_BC = {b"DXT1": "BC1", b"DXT3": "BC2", b"DXT5": "BC3"}
+_BLOCK_BYTES = {"BC1": 8, "BC2": 16, "BC3": 16, "BC4": 8, "BC5": 16,
+                "BC7": 16, "BC6H": 16, "BC6H_SF": 16}
 
 
-def load_dds(path: str | Path) -> np.ndarray:
-    """DDS -> float32 linear RGBA [H, W, 4] (mip 0)."""
+def _srgb_to_linear(rgb):
+    return np.where(rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4)
+
+
+def load_dds(path: str | Path, srgb: bool | None = None) -> list[np.ndarray]:
+    """DDS -> list of float32 linear RGBA mips [[H, W, 4], ...].
+
+    ``srgb``: force color-space interpretation (None = trust the DXGI
+    format; legacy fourcc headers carry no color space and default linear).
+    """
     data = Path(path).read_bytes()
     if data[:4] != b"DDS ":
         raise ValueError("not a DDS file")
     (size, flags, height, width) = struct.unpack_from("<4I", data, 4)
+    (mip_count,) = struct.unpack_from("<I", data, 28)
+    mip_count = max(1, mip_count)
     fourcc = data[84:88]
     off = 128
-    srgb = False
+    fmt_srgb = False
     if fourcc == b"DX10":
         (dxgi, dim, misc, asize, misc2) = struct.unpack_from("<5I", data, 128)
         off = 148
-        srgb = dxgi in _DXGI_SRGB
+        fmt_srgb = dxgi in _DXGI_SRGB
         if dxgi not in _DXGI_TO_BC:
-            raise NotImplementedError(f"DDS DXGI format {dxgi} unsupported (BC6/BC7 pending)")
+            raise NotImplementedError(f"DDS DXGI format {dxgi} unsupported")
         fmt = _DXGI_TO_BC[dxgi]
     elif fourcc in _FOURCC_TO_BC:
         fmt = _FOURCC_TO_BC[fourcc]
     else:
         raise NotImplementedError(f"DDS fourcc {fourcc!r} unsupported")
+    if srgb is None:
+        srgb = fmt_srgb
     from ..native import decode_bcn
 
-    rgba8 = decode_bcn(fmt, data[off:], width, height)
-    img = rgba8.astype(np.float32) / 255.0
-    if srgb:
-        img[..., :3] = np.where(
-            img[..., :3] <= 0.04045,
-            img[..., :3] / 12.92,
-            ((img[..., :3] + 0.055) / 1.055) ** 2.4,
-        )
-    return img
+    mips = []
+    w, h = width, height
+    for _level in range(mip_count):
+        bw, bh = (w + 3) // 4, (h + 3) // 4
+        nbytes = bw * bh * _BLOCK_BYTES[fmt]
+        raw = decode_bcn(fmt, data[off:off + nbytes], w, h)
+        if raw.dtype == np.uint8:
+            img = raw.astype(np.float32) / 255.0
+        else:
+            img = raw  # BC6H decodes to float HDR already
+        if srgb:
+            img = img.copy()
+            img[..., :3] = _srgb_to_linear(img[..., :3])
+        mips.append(img)
+        off += nbytes
+        w, h = max(1, w // 2), max(1, h // 2)
+        if w < 4 and h < 4 and _level + 1 < mip_count:
+            # tail mips below block size still occupy one block each
+            pass
+    return mips
 
 
-def load_texture(path: str | Path) -> np.ndarray | None:
-    """Best-effort texture load -> float32 linear RGBA [H, W, 4] or None."""
+def build_mips(img: np.ndarray, max_levels: int = 16) -> list[np.ndarray]:
+    """Box-filter mip chain down to 1x1 (for sources without mips)."""
+    mips = [img]
+    cur = img
+    while (cur.shape[0] > 1 or cur.shape[1] > 1) and len(mips) < max_levels:
+        h, w = cur.shape[:2]
+        h2, w2 = max(1, h // 2), max(1, w // 2)
+        t = cur[: h2 * 2, : w2 * 2]
+        cur = 0.25 * (t[0::2, 0::2] + t[1::2, 0::2] + t[0::2, 1::2] + t[1::2, 1::2])
+        mips.append(cur.astype(np.float32))
+    return mips
+
+
+def load_texture(path: str | Path, srgb: bool = True) -> list[np.ndarray] | None:
+    """Best-effort texture load -> list of float32 linear RGBA mips or None.
+
+    ``srgb``: decode color data as sRGB (base color / emissive); pass False
+    for data maps (normal, metallic-roughness).
+    """
     p = Path(path)
     if not p.exists():
         return None
     try:
         if p.suffix.lower() == ".dds":
-            return load_dds(p)
+            mips = load_dds(p, srgb=srgb if srgb is False else None)
+            if len(mips) == 1:
+                mips = build_mips(mips[0])
+            return mips
         if p.suffix.lower() == ".png":
             from ..utils.png import read_png
 
             img = read_png(str(p)).astype(np.float32) / 255.0
             if img.shape[2] == 3:
                 img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
-            # PNGs are assumed sRGB color
-            img[..., :3] = np.where(
-                img[..., :3] <= 0.04045,
-                img[..., :3] / 12.92,
-                ((img[..., :3] + 0.055) / 1.055) ** 2.4,
-            )
-            return img
+            if srgb:
+                img[..., :3] = _srgb_to_linear(img[..., :3])
+            return build_mips(img)
     except NotImplementedError:
         return None
     except Exception:
@@ -87,46 +132,49 @@ def load_texture(path: str | Path) -> np.ndarray | None:
     return None
 
 
+# texture slots and their color spaces
+_SLOTS = (
+    ("base", "base_color_tex", True),
+    ("normal", "normal_tex", False),
+    ("mr", "metallic_roughness_tex", False),
+    ("emissive", "emissive_tex", True),
+)
+
+
 def load_scene_textures(cpu_scene) -> dict:
-    """Decode all referenced textures -> {index: jnp [H, W, 4] linear}."""
-    import jax.numpy as jnp
+    """Decode every referenced texture into mip chains, organized by slot.
 
-    out = {}
-    for i, p in enumerate(cpu_scene.texture_paths or []):
-        img = load_texture(p) if p else None
-        if img is not None:
-            out[i] = jnp.asarray(img)
-    return out
+    Returns {"base": {tex_index: [jnp mips]}, "normal": ..., "mr": ...,
+    "emissive": ..., "ids": {slot: np.int32 [num_materials]}} -- the ids
+    arrays map material index -> texture index (-1 = none), used by
+    apply_texture_maps via the per-pixel G.MATID row.
 
-
-def apply_textures_to_gbuffer(gbuf, textures: dict):
-    """Modulate G-buffer base color by each pixel's base-color texture.
-
-    The primary-visibility texturing step (the reference samples textures
-    in GBufferRT via bindless descriptors; here it is one masked bilinear
-    fetch per distinct texture -- fine for scene-scale texture counts).
+    Backward-compat: iterating/indexing the result like the old flat
+    {index: mips} dict still yields the base-color slot.
     """
     import jax.numpy as jnp
 
-    from ..accel.megakernel import G
-
-    if not textures:
-        return gbuf
-    uv = gbuf[G.UV : G.UV + 2].T
-    texid = gbuf[G.TEXID]
-    base = gbuf[G.BASE : G.BASE + 3]
-    for idx, tex in sorted(textures.items()):
-        rgba = sample_bilinear(tex, uv)
-        mask = texid == float(idx)
-        base = jnp.where(mask[None, :], base * rgba[:, :3].T, base)
-    return gbuf.at[G.BASE : G.BASE + 3].set(base)
+    mats = cpu_scene.materials
+    paths = cpu_scene.texture_paths or []
+    out = {"ids": {}}
+    for slot, attr, srgb in _SLOTS:
+        ids = getattr(mats, attr, None)
+        if ids is None:
+            ids = np.full(len(mats.metallic), -1, np.int32)
+        out["ids"][slot] = np.asarray(ids, np.int32)
+        table = {}
+        for i in sorted(set(int(x) for x in ids if int(x) >= 0)):
+            if i < len(paths) and paths[i]:
+                mips = load_texture(paths[i], srgb=srgb)
+                if mips is not None:
+                    table[i] = [jnp.asarray(m) for m in mips]
+        out[slot] = table
+    return out
 
 
 def sample_bilinear(tex, uv):
     """Bilinear texture fetch (XLA). tex [H, W, 4] jnp; uv [N, 2] in [0,1].
-
-    Wrap addressing, mip 0 (ray-cone mip selection is a round-2 item).
-    """
+    Wrap addressing."""
     import jax.numpy as jnp
 
     h, w, _ = tex.shape
@@ -150,3 +198,160 @@ def sample_bilinear(tex, uv):
         + t01 * (1 - fu) * fv
         + t11 * fu * fv
     )
+
+
+def sample_trilinear(mips, uv, lam):
+    """Trilinear fetch across a mip chain. lam [N]: continuous mip level."""
+    import jax.numpy as jnp
+
+    n_mips = len(mips)
+    lam = jnp.clip(lam, 0.0, n_mips - 1.0)
+    lo = jnp.floor(lam).astype(jnp.int32)
+    frac = (lam - lo.astype(jnp.float32))[:, None]
+    out = jnp.zeros((uv.shape[0], 4))
+    for k in range(n_mips):
+        s_k = sample_bilinear(mips[k], uv)
+        s_k1 = sample_bilinear(mips[min(k + 1, n_mips - 1)], uv)
+        blend = s_k * (1.0 - frac) + s_k1 * frac
+        out = jnp.where((lo == k)[:, None], blend, out)
+    return out
+
+
+def _cone_mip(gb, tex_w, tex_h, spread_angle):
+    """Ray-cone mip level at the primary hit (RT.hlsli ray cones): cone
+    width = t * pixel spread; texel footprint = width * uv-density * res."""
+    import jax.numpy as jnp
+
+    from ..accel.megakernel import G
+
+    width_ws = gb[G.DEPTH] * spread_angle
+    footprint = width_ws * gb[G.UVDENS] * float(max(tex_w, tex_h))
+    return jnp.log2(jnp.maximum(footprint, 1e-6))
+
+
+def apply_textures_to_gbuffer(gbuf, textures: dict, spread_angle: float = 0.0):
+    """Texture application entry point.
+
+    Accepts either the full load_scene_textures bundle (slot dicts + ids)
+    or the legacy flat {texture_index: tex_or_mips} base-color dict."""
+    if not textures:
+        return gbuf
+    if "ids" in textures:
+        return apply_texture_maps(gbuf, textures, spread_angle)
+    base = {
+        i: (t if isinstance(t, (list, tuple)) else [t])
+        for i, t in textures.items()
+    }
+    return _apply_base(gbuf, base, spread_angle, by_texid=True)
+
+
+def _apply_base(gbuf, table, spread_angle, by_texid=False, mat_tex=None):
+    import jax.numpy as jnp
+
+    from ..accel.megakernel import G
+
+    if not table:
+        return gbuf
+    uv = gbuf[G.UV : G.UV + 2].T
+    base = gbuf[G.BASE : G.BASE + 3]
+    sel = gbuf[G.TEXID] if by_texid else None
+    for idx, mips in sorted(table.items()):
+        if by_texid:
+            mask = sel == float(idx)
+        else:
+            mask = mat_tex == idx
+        lam = (
+            _cone_mip(gbuf, mips[0].shape[1], mips[0].shape[0], spread_angle)
+            if len(mips) > 1
+            else jnp.zeros(uv.shape[0])
+        )
+        rgba = sample_trilinear(mips, uv, lam)
+        base = jnp.where(mask[None, :], base * rgba[:, :3].T, base)
+    return gbuf.at[G.BASE : G.BASE + 3].set(base)
+
+
+def apply_texture_maps(gbuf, texmaps: dict, spread_angle: float = 0.0):
+    """Full primary-visibility texturing: base color, normal, metallic-
+    roughness, emissive, with ray-cone trilinear mips.
+
+    texmaps: the load_scene_textures bundle. Per-pixel material ids
+    (G.MATID) map through texmaps["ids"][slot] so any material/texture
+    combination works (the reference's bindless-descriptor equivalent).
+    """
+    import jax.numpy as jnp
+
+    from ..accel.megakernel import G
+    from ..core import vec3 as v3
+
+    ids = texmaps["ids"]
+    matid = jnp.maximum(gbuf[G.MATID].astype(jnp.int32), 0)
+    uv = gbuf[G.UV : G.UV + 2].T
+    valid = gbuf[G.VALID] > 0.5
+
+    def slot_tex_of_pixel(slot):
+        return jnp.asarray(ids[slot])[matid]
+
+    # -- base color (multiplies the factor already in the G-buffer)
+    gbuf = _apply_base(
+        gbuf, texmaps["base"], spread_angle,
+        mat_tex=slot_tex_of_pixel("base"),
+    )
+
+    # -- metallic-roughness (glTF: G = roughness, B = metallic; multiplies)
+    if texmaps["mr"]:
+        mr_tex = slot_tex_of_pixel("mr")
+        metal = gbuf[G.METAL]
+        rough = gbuf[G.ROUGH]
+        for idx, mips in sorted(texmaps["mr"].items()):
+            mask = valid & (mr_tex == idx)
+            lam = (
+                _cone_mip(gbuf, mips[0].shape[1], mips[0].shape[0], spread_angle)
+                if len(mips) > 1
+                else jnp.zeros(uv.shape[0])
+            )
+            rgba = sample_trilinear(mips, uv, lam)
+            rough = jnp.where(mask, rough * rgba[:, 1], rough)
+            metal = jnp.where(mask, metal * rgba[:, 2], metal)
+        gbuf = gbuf.at[G.METAL].set(metal).at[G.ROUGH].set(rough)
+
+    # -- emissive (multiplies the emissive factor)
+    if texmaps["emissive"]:
+        em_tex = slot_tex_of_pixel("emissive")
+        em = gbuf[G.EMISS : G.EMISS + 3]
+        for idx, mips in sorted(texmaps["emissive"].items()):
+            mask = valid & (em_tex == idx)
+            lam = (
+                _cone_mip(gbuf, mips[0].shape[1], mips[0].shape[0], spread_angle)
+                if len(mips) > 1
+                else jnp.zeros(uv.shape[0])
+            )
+            rgba = sample_trilinear(mips, uv, lam)
+            em = jnp.where(mask[None, :], em * rgba[:, :3].T, em)
+        gbuf = gbuf.at[G.EMISS : G.EMISS + 3].set(em)
+
+    # -- normal map: perturb the shading normal in the per-triangle tangent
+    #    frame (tangent from scene upload, orthonormalized vs ns here)
+    if texmaps["normal"]:
+        n_tex = slot_tex_of_pixel("normal")
+        ns = v3.from_rows(gbuf, G.NS)
+        ng = v3.from_rows(gbuf, G.NG)
+        t_raw = v3.from_rows(gbuf, G.TANG)
+        t_ortho = v3.normalize(t_raw - ns * v3.dot(t_raw, ns), eps=1e-12)
+        b = v3.cross(ns, t_ortho)
+        new_ns = ns
+        for idx, mips in sorted(texmaps["normal"].items()):
+            mask = valid & (n_tex == idx)
+            rgba = sample_trilinear(mips, uv, jnp.zeros(uv.shape[0]))
+            nx = rgba[:, 0] * 2.0 - 1.0
+            ny = rgba[:, 1] * 2.0 - 1.0
+            nz = jnp.maximum(rgba[:, 2] * 2.0 - 1.0, 0.1)
+            cand = v3.normalize(t_ortho * nx + b * ny + ns * nz)
+            # keep above the geometric surface
+            flip = v3.dot(cand, ng) < 1e-4
+            cand = v3.where(flip, ns, cand)
+            new_ns = v3.where(mask, cand, new_ns)
+        gbuf = gbuf.at[G.NS].set(new_ns.x)
+        gbuf = gbuf.at[G.NS + 1].set(new_ns.y)
+        gbuf = gbuf.at[G.NS + 2].set(new_ns.z)
+
+    return gbuf
