@@ -411,6 +411,7 @@ class G:
     MATID = 31  # material index as float (texture-slot lookup)
     TANG = 32  # 3: world tangent (normal mapping)
     UVDENS = 35  # sqrt(uv area / world area) (ray-cone mips)
+    INST = 36  # instance index as float (-1 = miss): geometry motion vectors
     ROWS = 40
 
 
@@ -479,7 +480,8 @@ def _gbuffer_kernel(rays_ref, woop_ref, attrsT_ref, out_ref, *, rt, tp, tc, t_mi
     out_ref[G.TANG + 1, :] = at[A.TANG + 1]
     out_ref[G.TANG + 2, :] = at[A.TANG + 2]
     out_ref[G.UVDENS, :] = at[A.UVDENS]
-    for r in range(G.UVDENS + 1, G.ROWS):
+    out_ref[G.INST, :] = jnp.where(hit, at[A.INSTID], -1.0)
+    for r in range(G.INST + 1, G.ROWS):
         out_ref[r, :] = jnp.zeros((rt,))
 
 
@@ -543,6 +545,7 @@ def gbuffer_xla(scene, o, d, t_min=1e-4):
     gb = gb.at[G.TANG].set(at[A.TANG]).at[G.TANG + 1].set(at[A.TANG + 1])
     gb = gb.at[G.TANG + 2].set(at[A.TANG + 2])
     gb = gb.at[G.UVDENS].set(at[A.UVDENS])
+    gb = gb.at[G.INST].set(jnp.where(hit, at[A.INSTID], -1.0))
     return gb
 
 

@@ -82,7 +82,13 @@ def _register_params(cfg_holder):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="zetaray_tpu headless renderer")
     parser.add_argument("scene", help="glTF/GLB scene path")
-    parser.add_argument("--mode", default="restir_di", choices=("pt", "restir_di", "restir_gi"))
+    parser.add_argument(
+        "--mode", default="restir_di",
+        choices=("pt", "restir_di", "restir_gi", "restir_pt"),
+    )
+    parser.add_argument("--animate", type=float, default=0.0, metavar="FPS",
+                        help="play glTF animation 0 at this frame rate "
+                             "(device refit + geometry motion vectors)")
     parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--size", default="512x512")
     parser.add_argument("--bounces", type=int, default=4)
@@ -123,8 +129,15 @@ def main(argv=None):
 
     log.info(f"loading {args.scene}")
     t0 = time.time()
-    cpu = load_scene(args.scene)
+    from .scene import AnimationRig, load_gltf, refit_scene, transform_deltas
+
+    doc = load_gltf(args.scene)
+    cpu = load_scene(doc)
     scene = upload_scene(cpu)
+    rig = AnimationRig(doc) if args.animate else None
+    if rig is not None and not rig.animated:
+        log.warning("--animate given but the scene has no animations")
+        rig = None
     from .scene.textures import load_scene_textures
 
     textures = load_scene_textures(cpu)
@@ -167,12 +180,24 @@ def main(argv=None):
                                   target, vfov_deg=args.fov, aspect=w / h)
         cam = cam0.with_jitter(i)
         key = jax.random.PRNGKey(i)
-        if cfg.mode in ("restir_di", "restir_gi") and scene.num_emissives > 0:
+        frame_scene, motion = scene, None
+        if rig is not None:
+            # SceneCore animation update + TLAS refit analog, on device
+            t = i / args.animate
+            w_curr = rig.instance_worlds(t)
+            frame_scene = refit_scene(scene, *rig.deltas(t))
+            w_prev = rig.instance_worlds(max(t - 1.0 / args.animate, 0.0))
+            motion, _ = transform_deltas(w_curr, w_prev)
+        if (
+            cfg.mode in ("restir_di", "restir_gi", "restir_pt")
+            and scene.num_emissives > 0
+        ):
             out, state = render_frame_restir_jit(
-                scene, cam, key, cfg, state, textures or None
+                frame_scene, cam, key, cfg, state, textures or None,
+                motion=motion,
             )
         else:
-            out = render_frame_jit(scene, cam, key, cfg)
+            out = render_frame_jit(frame_scene, cam, key, cfg)
         ldr = np.asarray(out["ldr"])  # forces completion
         stats.add("frame", "mean_radiance", float(np.asarray(out["hdr"]).mean()))
         dt = stats.end_frame()

@@ -329,6 +329,7 @@ def _gather_rows(arr, idx):
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
     trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
+    pos_prev=None,
 ):
     """Merge reprojected previous-frame reservoirs into the current ones.
 
@@ -337,13 +338,21 @@ def temporal_reuse(
     frame); ``prev_row0``/``prev_rows`` describe the halo-extended previous
     arrays (first row's global row index and row count) -- reprojections
     landing outside the halo simply reject reuse.
+
+    ``pos_prev``: optional [N, 3] previous-frame world position of each
+    pixel's hit point (animated geometry motion vectors, the reference's
+    GBufferRT motion-vector plane); defaults to the current position
+    (camera-only motion).
     """
     n = res.shape[1]
     pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
 
-    p_world = jnp.stack([pos.x, pos.y, pos.z], axis=-1)
+    p_world = (
+        pos_prev if pos_prev is not None
+        else jnp.stack([pos.x, pos.y, pos.z], axis=-1)
+    )
     px, py, w_fwd = prev_cam.project(p_world, width, height)
     # G.DEPTH stores the primary-hit ray parameter t (Euclidean distance:
     # primary dirs are unit), so the reuse test must compare Euclidean

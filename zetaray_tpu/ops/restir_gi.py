@@ -199,6 +199,7 @@ def _merge(res_a, res_b, surf, u, m_cap=None, full=True):
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
     trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
+    pos_prev=None,
 ):
     from ..core.rng import uniform4
 
@@ -206,7 +207,12 @@ def temporal_reuse(
     surf = _surf(gbuf, trans, coat)
     pos = surf[0]
     ns = surf[1]
-    p_world = jnp.stack([pos.x, pos.y, pos.z], -1)
+    # pos_prev: previous-frame hit position (animated geometry), see
+    # restir_di.temporal_reuse
+    p_world = (
+        pos_prev if pos_prev is not None
+        else jnp.stack([pos.x, pos.y, pos.z], -1)
+    )
     px, py, w_fwd = prev_cam.project(p_world, width, height)
     # compare Euclidean distance to the previous eye against the stored
     # ray-parameter depth (see restir_di.temporal_reuse)

@@ -326,13 +326,19 @@ def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None):
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
     trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
+    pos_prev=None,
 ):
     from ..core.rng import uniform4
 
     n = res.shape[1]
     surf = _surf(gbuf, trans, coat)
     pos, ns = surf[0], surf[1]
-    p_world = jnp.stack([pos.x, pos.y, pos.z], -1)
+    # pos_prev: previous-frame hit position (animated geometry), see
+    # restir_di.temporal_reuse
+    p_world = (
+        pos_prev if pos_prev is not None
+        else jnp.stack([pos.x, pos.y, pos.z], -1)
+    )
     px, py, w_fwd = prev_cam.project(p_world, width, height)
     rel = p_world - jnp.asarray(prev_cam.eye)
     depth_est = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, -1), 1e-12))

@@ -161,6 +161,29 @@ def _sky_direct(scene, gb, sky):
     return background + sun_term
 
 
+def _prev_positions(gb, motion):
+    """Previous-frame world position of each pixel's hit point: [N, 3].
+
+    ``motion``: [I+1, 3, 4] per-instance world->world transforms
+    D_i = W_prev_i @ W_curr_i^-1 (identity appended at index I for misses),
+    from ``scene.animation.transform_deltas(curr_worlds, prev_worlds)``.
+    The reference writes a motion-vector G-buffer plane from the previous
+    transform stored per TLAS instance (RtCommon.h:47-63 MeshInstance);
+    here the tiny per-instance table is gathered with a one-hot matmul.
+    """
+    from ..accel.megakernel import G
+
+    motion = jnp.asarray(motion, jnp.float32)
+    n_inst = motion.shape[0]
+    inst = gb[G.INST]
+    idx = jnp.where(inst < 0.0, n_inst - 1, inst).astype(jnp.int32)
+    onehot = (idx[:, None] == jnp.arange(n_inst)[None, :]).astype(jnp.float32)
+    m = onehot @ motion.reshape(n_inst, 12)  # [N, 12]
+    p = jnp.stack([gb[G.POS], gb[G.POS + 1], gb[G.POS + 2]], -1)
+    rot = m.reshape(-1, 3, 4)
+    return jnp.einsum("nij,nj->ni", rot[:, :, :3], p) + rot[:, :, 3]
+
+
 def _lens_u(camera, key, n):
     """Per-pixel lens-disk uniforms for thin-lens DoF, or None (pinhole).
 
@@ -174,13 +197,18 @@ def _lens_u(camera, key, n):
 
 def render_frame_restir(
     scene, camera, key, cfg: RenderConfig, state: FrameState | None,
-    textures=None, shard=None,
+    textures=None, shard=None, motion=None,
 ):
     """ReSTIR DI direct (+ ReSTIR GI or PT indirect) frame.
     Returns (outputs, FrameState).
 
     ``textures``: optional {index: [H,W,4] jnp} dict (scene.textures); base
     color is modulated at primary visibility.
+
+    ``motion``: optional [I+1, 3, 4] per-instance curr->prev world
+    transforms for animated geometry (see ``_prev_positions``); temporal
+    reuse and TAA then reproject each hit's *previous* position. Pass
+    ``scene.animation.transform_deltas(W_curr, W_prev)[0]``.
 
     ``shard``: optional parallel.halo.ShardCtx -- the function then runs as
     the per-device body under shard_map: it renders its own image-row band,
@@ -227,6 +255,7 @@ def render_frame_restir(
         gb = apply_textures_to_gbuffer(
             gb, textures, spread_angle=camera.pixel_spread_angle(h)
         )
+    pos_prev = _prev_positions(gb, motion) if motion is not None else None
     lsets = build_light_sets(scene, seed)
     res = RD.initial_candidates(
         gb, lsets, seed, cfg.restir, rt=rt, interpret=interp,
@@ -237,6 +266,7 @@ def render_frame_restir(
             res = RD.temporal_reuse(
                 res, state.reservoirs, state.gbuf, gb, state.camera_prev,
                 w, h, seed, cfg.restir, trans=trans, coat=coat,
+                pos_prev=pos_prev,
             )
         else:
             prev_r = _hxf(state.reservoirs, w, halo, axis, n_sh)
@@ -245,6 +275,7 @@ def render_frame_restir(
                 res, prev_r, prev_g, gb, state.camera_prev,
                 w, h, seed, cfg.restir, trans=trans, coat=coat, pix=pix,
                 prev_row0=row0 - halo, prev_rows=h_loc + 2 * halo,
+                pos_prev=pos_prev,
             )
     res = RD.visibility_reuse(scene, res, gb)
     if shard is None:
@@ -278,7 +309,7 @@ def render_frame_restir(
                 gi_res = RG.temporal_reuse(
                     gi_res, state.gi_reservoirs, state.gbuf, gb,
                     state.camera_prev, w, h, seed, cfg.restir_gi, trans=trans,
-                    coat=coat,
+                    coat=coat, pos_prev=pos_prev,
                 )
             else:
                 prev_gi = _hxf(state.gi_reservoirs, w, halo, axis, n_sh)
@@ -288,6 +319,7 @@ def render_frame_restir(
                     w, h, seed, cfg.restir_gi, trans=trans, coat=coat,
                     pix=pix,
                     prev_row0=row0 - halo, prev_rows=h_loc + 2 * halo,
+                    pos_prev=pos_prev,
                 )
         if shard is None:
             gi_sp = RG.spatial_reuse(gi_res, gb, w, h, seed, cfg.restir_gi, trans=trans, coat=coat)
@@ -320,7 +352,7 @@ def render_frame_restir(
                 gi_res = RP.temporal_reuse(
                     gi_res, state.gi_reservoirs, state.gbuf, gb,
                     state.camera_prev, w, h, seed, cfg.restir_pt,
-                    trans=trans, coat=coat,
+                    trans=trans, coat=coat, pos_prev=pos_prev,
                 )
             else:
                 prev_pt = _hxf(state.gi_reservoirs, w, halo, axis, n_sh)
@@ -330,6 +362,7 @@ def render_frame_restir(
                     w, h, seed, cfg.restir_pt, trans=trans, coat=coat,
                     pix=pix,
                     prev_row0=row0 - halo, prev_rows=h_loc + 2 * halo,
+                    pos_prev=pos_prev,
                 )
         if shard is None:
             pt_sp = RP.spatial_reuse(
@@ -395,7 +428,10 @@ def render_frame_restir(
                 )[:, hh:-hh]
             hdr = out
     if cfg.taa and state is not None:
-        pos_img = gb[G.POS : G.POS + 3].reshape(3, h_loc, w)
+        if pos_prev is not None:
+            pos_img = pos_prev.T.reshape(3, h_loc, w)
+        else:
+            pos_img = gb[G.POS : G.POS + 3].reshape(3, h_loc, w)
         if shard is None:
             hdr = TA.taa_resolve_p(
                 hdr, state.history, pos_img, valid_img, state.camera_prev
@@ -446,6 +482,10 @@ def render_frame_jit(scene, camera, key, cfg: RenderConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def render_frame_restir_jit(scene, camera, key, cfg: RenderConfig, state, textures=None):
+def render_frame_restir_jit(
+    scene, camera, key, cfg: RenderConfig, state, textures=None, motion=None
+):
     """Jitted stateful ReSTIR frame (state=None on the first frame)."""
-    return render_frame_restir(scene, camera, key, cfg, state, textures)
+    return render_frame_restir(
+        scene, camera, key, cfg, state, textures, motion=motion
+    )

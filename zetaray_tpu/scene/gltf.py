@@ -84,6 +84,44 @@ class GltfInstance:
     mesh_prims: list[GltfPrimitive]
     world: np.ndarray  # 4x4
     name: str = ""
+    node: int = -1  # source node index (animation retarget)
+
+
+@dataclass
+class GltfNode:
+    """Retained node record for animation (reference: SceneCore's
+    array-of-levels scene graph, SceneCore.h:310-320)."""
+
+    parent: int  # -1 = scene root
+    translation: np.ndarray  # [3]
+    rotation: np.ndarray  # [4] quaternion xyzw
+    scale: np.ndarray  # [3]
+    matrix: np.ndarray | None  # static 4x4 local (TRS ignored if set)
+    name: str = ""
+
+
+@dataclass
+class GltfChannel:
+    """One animation channel: keyframed TRS property of one node
+    (reference: SceneCore animation update task, SceneCore.cpp:102)."""
+
+    node: int
+    path: str  # "translation" | "rotation" | "scale"
+    times: np.ndarray  # [K] f32 seconds, ascending
+    # LINEAR/STEP: [K, C]; CUBICSPLINE: [K, 3, C] (in-tangent, value, out)
+    values: np.ndarray
+    interpolation: str  # "LINEAR" | "STEP" | "CUBICSPLINE"
+
+
+@dataclass
+class GltfAnimation:
+    name: str
+    channels: list[GltfChannel]
+
+    @property
+    def duration(self) -> float:
+        return max((float(c.times[-1]) for c in self.channels if len(c.times)),
+                   default=0.0)
 
 
 @dataclass
@@ -91,6 +129,9 @@ class GltfDoc:
     instances: list[GltfInstance]
     materials: list[GltfMaterial]
     textures: list[str]  # resolved image URIs/paths (decode deferred)
+    nodes: list[GltfNode] = field(default_factory=list)
+    animations: list[GltfAnimation] = field(default_factory=list)
+    traversal: list[int] = field(default_factory=list)  # parent-before-child
 
 
 def _read_buffer(buf: dict, base_dir: Path, glb_bin: bytes | None) -> bytes:
@@ -255,10 +296,31 @@ def load_gltf(path: str | Path) -> GltfDoc:
     roots = scenes[scene_idx].get("nodes", [])
     instances: list[GltfInstance] = []
 
-    def walk(ni: int, parent: np.ndarray):
+    # Retained node records (animation): base TRS + parent links, in
+    # parent-before-child traversal order so world recompute is one pass.
+    node_recs = [
+        GltfNode(
+            parent=-1,
+            translation=np.asarray(n.get("translation", [0, 0, 0]), np.float64),
+            rotation=np.asarray(n.get("rotation", [0, 0, 0, 1]), np.float64),
+            scale=np.asarray(n.get("scale", [1, 1, 1]), np.float64),
+            matrix=(
+                np.asarray(n["matrix"], np.float64).reshape(4, 4).T
+                if "matrix" in n else None
+            ),
+            name=n.get("name", f"node{i}"),
+        )
+        for i, n in enumerate(nodes)
+    ]
+    traversal: list[int] = []
+
+    def walk(ni: int, parent: np.ndarray, parent_idx: int):
         node = nodes[ni]
-        if "matrix" in node:
-            local = np.asarray(node["matrix"], np.float64).reshape(4, 4).T
+        rec = node_recs[ni]
+        rec.parent = parent_idx
+        traversal.append(ni)
+        if rec.matrix is not None:
+            local = rec.matrix
         else:
             local = T.trs_to_mat4(
                 node.get("translation"), node.get("rotation"), node.get("scale")
@@ -270,12 +332,42 @@ def load_gltf(path: str | Path) -> GltfDoc:
                     mesh_prims=get_mesh(node["mesh"]),
                     world=world,
                     name=node.get("name", f"node{ni}"),
+                    node=ni,
                 )
             )
         for ci in node.get("children", []):
-            walk(ci, world)
+            walk(ci, world, ni)
 
     for r in roots:
-        walk(r, np.eye(4))
+        walk(r, np.eye(4), -1)
 
-    return GltfDoc(instances=instances, materials=materials, textures=textures)
+    # Animations: keyframed node TRS channels (samplers resolved inline).
+    animations: list[GltfAnimation] = []
+    for ai, anim in enumerate(doc.get("animations", [])):
+        samplers = anim.get("samplers", [])
+        channels: list[GltfChannel] = []
+        for ch in anim.get("channels", []):
+            tgt = ch.get("target", {})
+            path = tgt.get("path")
+            ni = tgt.get("node", -1)
+            if ni < 0 or path not in ("translation", "rotation", "scale"):
+                continue  # weights (morph targets) unsupported
+            smp = samplers[ch["sampler"]]
+            times = _read_accessor(doc, buffers, smp["input"]).reshape(-1)
+            times = times.astype(np.float32)
+            vals = _read_accessor(doc, buffers, smp["output"]).astype(np.float32)
+            interp = smp.get("interpolation", "LINEAR")
+            if interp == "CUBICSPLINE":
+                vals = vals.reshape(len(times), 3, -1)
+            channels.append(
+                GltfChannel(node=ni, path=path, times=times, values=vals,
+                            interpolation=interp)
+            )
+        animations.append(
+            GltfAnimation(name=anim.get("name", f"anim{ai}"), channels=channels)
+        )
+
+    return GltfDoc(
+        instances=instances, materials=materials, textures=textures,
+        nodes=node_recs, animations=animations, traversal=traversal,
+    )

@@ -134,10 +134,14 @@ def _materials_soa(mats: list[GltfMaterial]) -> MaterialsSoA:
     )
 
 
-def load_scene(path: str | Path) -> CpuScene:
-    """glTF -> flattened world-space CpuScene (the loader's AddMeshes/
-    AddInstance/AddEmissives rolled into one, glTF.cpp:1103-1266)."""
-    doc = load_gltf(path)
+def load_scene(path) -> CpuScene:
+    """glTF (path or pre-parsed GltfDoc) -> flattened world-space CpuScene
+    (the loader's AddMeshes/AddInstance/AddEmissives rolled into one,
+    glTF.cpp:1103-1266). Pass a GltfDoc when an AnimationRig is also built
+    from the same document (scene.animation)."""
+    from .gltf import GltfDoc
+
+    doc = path if isinstance(path, GltfDoc) else load_gltf(path)
     mats = list(doc.materials) if doc.materials else [_DEFAULT_MATERIAL]
 
     v0s, v1s, v2s, n0s, n1s, n2s = [], [], [], [], [], []
@@ -260,7 +264,8 @@ class A:
     UVDENS = 37  # sqrt(uv area / world area): ray-cone mip selection
     ACUT = 38  # alpha cutoff (> 0 only for MASK-mode materials)
     ATEX = 39  # alpha-atlas slot as float (-1 = no alpha texture)
-    WIDTH = 40  # padded to a multiple of 8 sublanes
+    INSTID = 40  # instance index as float (-1 = padding): motion vectors
+    WIDTH = 48  # padded to a multiple of 8 sublanes
 
 
 # Emissive-table attribute layout (em_attrs [Ep, EM_ATTR_W] f32), fetched by
@@ -572,6 +577,8 @@ def upload_scene(
     if getattr(mats, "alpha_cutoff", None) is not None:
         attrs[:t, A.ACUT] = np.where(alpha_slot[mid] >= 0, mats.alpha_cutoff[mid], 0.0)
     attrs[:t, A.ATEX] = alpha_slot[mid].astype(np.float32)
+    attrs[:, A.INSTID] = -1.0
+    attrs[:t, A.INSTID] = cpu.inst_id[:t].astype(np.float32)
     if e > 0:
         attrs[em, A.EM_PDF_AREA] = pdf / np.maximum(em_area, 1e-12)
 
