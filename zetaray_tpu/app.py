@@ -146,6 +146,14 @@ def main(argv=None):
             f"decoded {len(textures)}/{len(cpu.texture_paths)} textures "
             "(BC6/BC7 decode pending; falling back to material factors)"
         )
+    if textures and textures.get("emissive") and scene.num_emissives > 0:
+        # PreLighting round trip: device power estimate -> host alias
+        # rebuild -> device tables (reference PreLighting.cpp:354-546)
+        from .ops.prelighting import apply_tri_powers, estimate_tri_power
+
+        powers, mean_rgb = estimate_tri_power(scene, textures)
+        scene = apply_tri_powers(scene, powers, mean_rgb)
+        log.info("emissive power re-estimated from textures")
     log.info(
         f"scene: {cpu.num_tris} tris, {len(cpu.emissive_tris)} emissive "
         f"({time.time() - t0:.2f}s)"

@@ -62,6 +62,11 @@ class ReSTIRConfig:
     # target is used consistently; measured ~4x faster initial candidates).
     # True = full GGX+Lambert target (lower variance on glossy surfaces).
     full_target: bool = False
+    # Light voxel grid (reference: BuildLightVoxelGrid + LVG-variant
+    # kernels): merge this many camera-space voxel reservoir candidates
+    # into each pixel's initial reservoir. 0 = off. The LVGConfig grid
+    # shape lives in ops.prelighting.
+    lvg_samples: int = 0
 
 
 def _surface_from_gbuf(gb, trans: bool = False, coat: bool = False):
@@ -324,6 +329,44 @@ def _merge(res_a, res_b, surf, u, m_cap=None, full=True):
 def _gather_rows(arr, idx):
     """arr [R, N], idx [N] -> arr[:, idx] (one XLA gather)."""
     return jnp.take(arr, idx, axis=1)
+
+
+def lvg_merge(
+    res, gbuf, camera, lvg, seed, cfg, lvg_cfg, trans=False, coat=False,
+    pix=None,
+):
+    """Merge light-voxel-grid candidates into each pixel's reservoir.
+
+    The reference's *_LVG kernel variants draw initial candidates from the
+    voxel grid instead of the global alias table (IndirectLighting.h:20-54,
+    LightVoxelGrid.hlsli Sample); here the LVG contributes
+    ``cfg.lvg_samples`` extra RIS candidates per pixel on top of the
+    presampled-set stream -- spatially-aware candidates for many-light
+    scenes without losing the full-set RIS baseline.
+    """
+    from .prelighting import sample_lvg
+
+    from ..core.rng import uniform4
+
+    n = res.shape[1]
+    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    surf = (pos, ns, mat, frame, wo_l, valid)
+    ids = pix if pix is not None else jnp.arange(n, dtype=jnp.int32)
+    for s in range(cfg.lvg_samples):
+        rows, ok = sample_lvg(lvg, gbuf, camera, seed, lvg_cfg, salt=0x51AB + s)
+        okf = ok.astype(jnp.float32)
+        # wrap the candidate as a 1-sample reservoir: M=1, W=1/pdf_area
+        # (so _merge's w = phat * W * M reduces to the RIS weight phat/pdf)
+        res_b = jnp.zeros((R_ROWS, n))
+        res_b = res_b.at[0:9].set(rows[0:9])
+        res_b = res_b.at[10].set(okf)
+        res_b = res_b.at[11].set(okf / jnp.maximum(rows[9], 1e-9))
+        res_b = res_b.at[12].set(rows[10])
+        u = uniform4(ids, s, seed, salt=0x1B7A)[:, 0]
+        res = _merge(res, res_b, surf, u, full=cfg.full_target)
+    return res
 
 
 def temporal_reuse(

@@ -52,6 +52,8 @@ class RenderConfig:
     restir_pt: "object" = None  # ReSTIRPTConfig; default built in __post_init__
     indirect: bool = True  # add the indirect pass in restir modes
 
+    lvg_cfg: "object" = None  # ops.prelighting.LVGConfig (grid shape)
+
     def __post_init__(self):
         if self.restir_gi is None:
             from ..ops.restir_gi import ReSTIRGIConfig
@@ -61,6 +63,10 @@ class RenderConfig:
             from ..ops.restir_pt import ReSTIRPTConfig
 
             object.__setattr__(self, "restir_pt", ReSTIRPTConfig())
+        if self.lvg_cfg is None:
+            from ..ops.prelighting import LVGConfig
+
+            object.__setattr__(self, "lvg_cfg", LVGConfig())
     tonemapper: str = "agx"
     auto_exposure: bool = True
     manual_exposure: float = 1.0
@@ -261,6 +267,16 @@ def render_frame_restir(
         gb, lsets, seed, cfg.restir, rt=rt, interpret=interp,
         trans=trans, coat=coat, pix0=pix0,
     )
+    if cfg.restir.lvg_samples > 0:
+        # PreLighting LVG: camera-space voxel reservoirs feed extra
+        # spatially-aware candidates (reference: BuildLightVoxelGrid)
+        from ..ops.prelighting import build_light_voxel_grid
+
+        lvg = build_light_voxel_grid(scene, camera, seed, cfg.lvg_cfg)
+        res = RD.lvg_merge(
+            res, gb, camera, lvg, seed, cfg.restir, cfg.lvg_cfg,
+            trans=trans, coat=coat, pix=pix,
+        )
     if cfg.restir.temporal and state is not None:
         if shard is None:
             res = RD.temporal_reuse(
