@@ -67,6 +67,11 @@ class ReSTIRConfig:
     # into each pixel's initial reservoir. 0 = off. The LVGConfig grid
     # shape lives in ops.prelighting.
     lvg_samples: int = 0
+    # Spatial combine: "biased" = M-clamped merge (fast; slight darkening
+    # at geometric discontinuities), "pairwise" = pairwise MIS (the
+    # reference's unbiased estimator, PairwiseMIS.hlsli / Bitterli 2022).
+    spatial_mis: str = "biased"
+    spatial_neighbors: int = 3  # per pairwise pass (reference default)
 
 
 def _surface_from_gbuf(gb, trans: bool = False, coat: bool = False):
@@ -489,14 +494,158 @@ def spatial_step(
     return _merge(res, nb, surf, u[:, 2], full=cfg.full_target)
 
 
+def _neighbor_pick(pix, width, height, seed, tag, cfg, src_row0):
+    """Random disk neighbor of each pixel -> (source flat index, u_stream)."""
+    from ..core.rng import uniform4
+
+    x = pix % width
+    y = pix // width
+    u = uniform4(pix, tag, seed, salt=0x5A71)
+    r = cfg.spatial_radius * jnp.sqrt(u[:, 0])
+    phi = 2.0 * jnp.pi * u[:, 1]
+    dx = jnp.round(r * jnp.cos(phi)).astype(jnp.int32)
+    dy = jnp.round(r * jnp.sin(phi)).astype(jnp.int32)
+    nx = jnp.clip(x + dx, 0, width - 1)
+    ny = jnp.clip(y + dy, 0, height - 1)
+    return (ny - src_row0) * width + nx, u[:, 2]
+
+
+def _geom_ok(gbuf, nb_g, ns, cfg):
+    depth = gbuf[G.DEPTH]
+    depth_nb = nb_g[G.DEPTH]
+    return (
+        (jnp.abs(depth_nb - depth) < cfg.depth_tolerance * jnp.maximum(depth, 1e-3))
+        & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
+        & (nb_g[G.VALID] > 0.5)
+    )
+
+
+def spatial_step_pairwise(
+    res, gbuf, width, height, seed, it, cfg: ReSTIRConfig,
+    trans=False, coat=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
+):
+    """One pairwise-MIS spatial pass over ``cfg.spatial_neighbors`` defensive
+    strategies (reference PairwiseMIS.hlsli; Bitterli 2022 dissertation).
+
+    Unbiased: each neighbor sample y_i gets MIS weight
+    m_i = M_i p_i(y_i) / (M_i p_i(y_i) + (M_c/k) p_c(y_i)) and the canonical
+    sample accumulates the complements; the final W divides by (1 + k_eff)
+    with k_eff = number of neighbors that passed the geometry test. Our
+    reservoirs carry area-measure light points, so every shift Jacobian
+    is 1 (no half-vector copy shift: that exists for the reference's BRDF
+    lobe samples, which our DI candidates don't use).
+    """
+    from ..core.rng import uniform4
+
+    n = res.shape[1]
+    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    if res_src is None:
+        res_src = res
+    if gbuf_src is None:
+        gbuf_src = gbuf
+    if pix is None:
+        pix = jnp.arange(n, dtype=jnp.int32)
+    k = cfg.spatial_neighbors
+
+    # gather all neighbors + geometry validity first (k_eff drives the MIS
+    # denominators, like the reference counting valid strategies up front)
+    nbs = []
+    k_eff = jnp.zeros((n,))
+    for i in range(k):
+        nidx, u_stream = _neighbor_pick(
+            pix, width, height, seed, it * 16 + i, cfg, src_row0
+        )
+        nb = _gather_rows(res_src, nidx)
+        nb_g = _gather_rows(gbuf_src, nidx)
+        ok = _geom_ok(gbuf, nb_g, ns, cfg) & valid
+        k_eff = k_eff + ok.astype(jnp.float32)
+        nbs.append((nb, nb_g, ok, u_stream))
+    k_div = jnp.maximum(k_eff, 1.0)
+
+    phat_c_yc = res[13]
+    w_c_cap = res[11]
+    m_c_count = res[10]
+    m_c = jnp.ones((n,))
+
+    out = res  # y rows replaced on take
+    w_sum_s = jnp.zeros((n,))
+    m_s = m_c_count
+    phat_sel = phat_c_yc
+
+    for nb, nb_g, ok, u_stream in nbs:
+        y_pos = v3.from_rows(nb, 0)
+        y_ng = v3.from_rows(nb, 3)
+        y_le = v3.from_rows(nb, 6)
+        y_two = nb[12] > 0.5
+        m_i_count = nb[10]
+        # p_c(y_i): neighbor's sample re-rated at the canonical surface
+        phat_c_yi, *_ = _phat(
+            mat, frame, wo_l, pos, ns, y_pos, y_ng, y_le, y_two,
+            full=cfg.full_target,
+        )
+        phat_i_yi = nb[13]
+        num_i = m_i_count * phat_i_yi
+        den_i = num_i + (m_c_count / k_div) * phat_c_yi
+        m_i = jnp.where(ok & (den_i > 0.0), num_i / jnp.maximum(den_i, 1e-12), 0.0)
+        w_i = m_i * phat_c_yi * nb[11]
+
+        w_sum_s = w_sum_s + w_i
+        take = u_stream * jnp.maximum(w_sum_s, 1e-30) < w_i
+        out = jnp.where(take[None, :], nb, out)
+        phat_sel = jnp.where(take, phat_c_yi, phat_sel)
+
+        # p_i(y_c): the canonical sample re-rated at the neighbor's surface
+        pos_i, ns_i, _ngi, wo_i, mat_i, _vi = _surface_from_gbuf(
+            nb_g, trans, coat
+        )
+        frame_i = S.make_frame(ns_i)
+        yc_pos = v3.from_rows(res, 0)
+        yc_ng = v3.from_rows(res, 3)
+        yc_le = v3.from_rows(res, 6)
+        yc_two = res[12] > 0.5
+        phat_i_yc, *_ = _phat(
+            mat_i, frame_i, frame_i.to_local(wo_i), pos_i, ns_i,
+            yc_pos, yc_ng, yc_le, yc_two, full=cfg.full_target,
+        )
+        num_c = m_i_count * phat_i_yc
+        den_c = num_c + (m_c_count / k_div) * phat_c_yc
+        dm = jnp.where(den_c > 0.0, 1.0 - num_c / jnp.maximum(den_c, 1e-12), 1.0)
+        m_c = m_c + jnp.where(ok, dm, 0.0)
+        m_s = m_s + jnp.where(ok, m_i_count, 0.0)
+
+    # canonical stream (PairwiseMIS::End)
+    w_c = m_c * phat_c_yc * w_c_cap
+    w_sum_s = w_sum_s + w_c
+    u_end = uniform4(pix, it * 16 + 15, seed, salt=0x5A72)[:, 0]
+    take_c = u_end * jnp.maximum(w_sum_s, 1e-30) < w_c
+    out = jnp.where(take_c[None, :], res, out)
+    phat_sel = jnp.where(take_c, phat_c_yc, phat_sel)
+
+    w_new = jnp.where(
+        phat_sel > 0.0,
+        w_sum_s / jnp.maximum(phat_sel * (1.0 + k_eff), 1e-12),
+        0.0,
+    )
+    out = out.at[9].set(w_sum_s)
+    out = out.at[10].set(m_s)
+    out = out.at[11].set(w_new)
+    out = out.at[13].set(phat_sel)
+    return out
+
+
 def spatial_reuse(
     res, gbuf, width, height, seed, cfg: ReSTIRConfig,
     trans=False, coat=False, pix=None,
 ):
     """Merge reservoirs from random nearby pixels (per-pixel offsets)."""
+    step = (
+        spatial_step_pairwise if cfg.spatial_mis == "pairwise" else spatial_step
+    )
     out = res
     for it in range(cfg.spatial_iterations):
-        out = spatial_step(out, gbuf, width, height, seed, it, cfg, trans, coat, pix)
+        out = step(out, gbuf, width, height, seed, it, cfg, trans, coat, pix)
     return out
 
 

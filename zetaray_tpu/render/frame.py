@@ -300,9 +300,13 @@ def render_frame_restir(
         hs = cfg.restir.spatial_radius
         gb_ext = _hxf(gb, w, hs, axis, n_sh)
         res_sp = res
+        di_step = (
+            RD.spatial_step_pairwise
+            if cfg.restir.spatial_mis == "pairwise" else RD.spatial_step
+        )
         for it in range(cfg.restir.spatial_iterations):
             res_ext = _hxf(res_sp, w, hs, axis, n_sh)
-            res_sp = RD.spatial_step(
+            res_sp = di_step(
                 res_sp, gb, w, h, seed, it, cfg.restir, trans=trans,
                 coat=coat, pix=pix,
                 res_src=res_ext, gbuf_src=gb_ext, src_row0=row0 - hs,
