@@ -1,0 +1,265 @@
+"""SkyDI: reservoir-based direct sun + sky lighting.
+
+Counterpart of the reference's SkyDI pass (DirectLighting/Sky/SkyDI.h:1-137,
+SkyDI_Temporal.hlsl RIS_InitialCandidates): a per-pixel reservoir over
+*directions* toward the sky dome, fed by three candidate strategies --
+a sun-cone sample, a cosine-hemisphere sample, and a BSDF sample -- combined
+with the balance heuristic over the three source pdfs, then temporal and
+spatial reuse exactly like ReSTIR DI (directions are translation-invariant,
+so reuse needs no Jacobian), and a final visibility ray at shading.
+
+Replaces the "SkyDI-lite" sun-NEE approximation (render.frame._sky_direct)
+with full sky-dome NEE: ambient sky light at primary hits is sampled
+directly instead of only arriving through GI bounces.
+
+Reservoir rows (same slot convention as ops.restir_di): 0-2 wi, 3-5 Le(wi)
+(sky + sun radiance, cached at candidate time), 9 w_sum, 10 M, 11 W,
+13 phat. Rows 6-8/12 unused (kept for shared-width merges).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.megakernel import G
+from ..core import vec3 as v3
+from ..core.rng import uniform4
+from ..core.vec3 import V3
+from . import shading_soa as S
+from . import sky as SK
+from .restir_di import _gather_rows, _geom_ok, _surface_from_gbuf
+
+R_ROWS = 16
+
+
+@dataclass(frozen=True)
+class SkyDIConfig:
+    temporal: bool = True
+    m_max: float = 20.0  # temporal M clamp (reference M_MAX)
+    spatial_iterations: int = 1
+    spatial_radius: int = 16
+    depth_tolerance: float = 0.1
+    normal_tolerance: float = 0.9
+    # number of (sun, cosine, bsdf) candidate triplets per pixel
+    rounds: int = 1
+    spatial_neighbors = 3  # compat with _geom_ok-style helpers
+
+
+def _sun_basis(sky):
+    sun = np.asarray(sky.sun_dir, np.float64)
+    sun = sun / np.linalg.norm(sun)
+    a = np.array([1.0, 0, 0]) if abs(sun[0]) < 0.9 else np.array([0, 1.0, 0])
+    t = np.cross(sun, a)
+    t /= np.linalg.norm(t)
+    b = np.cross(sun, t)
+    return sun.astype(np.float32), t.astype(np.float32), b.astype(np.float32)
+
+
+def _le_dir(wi: V3, sky):
+    """Sky + sun radiance along directions (V3 of [N])."""
+    env = SK.sky_radiance(wi, sky, with_disk=False)
+    d_aos = jnp.stack([wi.x, wi.y, wi.z], -1)
+    disk = SK.sun_disk(d_aos, sky).T  # [3, N]
+    return V3(env.x + disk[0], env.y + disk[1], env.z + disk[2])
+
+
+def _pdfs(wi: V3, ns: V3, mat, frame, wo_l, sky):
+    """Balance-heuristic source pdf of a direction under the 3 strategies."""
+    sun, _, _ = _sun_basis(sky)
+    cos_r = float(np.cos(sky.sun_angular_radius))
+    omega = 2.0 * np.pi * (1.0 - cos_r)
+    c_sun = wi.x * sun[0] + wi.y * sun[1] + wi.z * sun[2]
+    p_sun = jnp.where(c_sun >= cos_r, 1.0 / max(omega, 1e-12), 0.0)
+    cos_s = v3.dot(wi, ns)
+    p_cos = jnp.maximum(cos_s, 0.0) / jnp.pi
+    _, p_bsdf = S.bsdf_eval(mat, wo_l, frame.to_local(wi))
+    return (p_sun + p_cos + p_bsdf) / 3.0
+
+
+def _phat_dir(wi: V3, le: V3, ns: V3, mat, frame, wo_l):
+    cos_s = v3.dot(wi, ns)
+    f, _ = S.bsdf_eval(mat, wo_l, frame.to_local(wi))
+    lum = v3.luminance(f * le) * jnp.maximum(cos_s, 0.0)
+    return jnp.where(cos_s > 1e-6, jnp.maximum(lum, 0.0), 0.0)
+
+
+def _stream(res, wi: V3, le: V3, w, phat, u):
+    w_sum = res[9] + w
+    take = u * jnp.maximum(w_sum, 1e-30) < w
+    res = res.at[0].set(jnp.where(take, wi.x, res[0]))
+    res = res.at[1].set(jnp.where(take, wi.y, res[1]))
+    res = res.at[2].set(jnp.where(take, wi.z, res[2]))
+    res = res.at[3].set(jnp.where(take, le.x, res[3]))
+    res = res.at[4].set(jnp.where(take, le.y, res[4]))
+    res = res.at[5].set(jnp.where(take, le.z, res[5]))
+    res = res.at[13].set(jnp.where(take, phat, res[13]))
+    return res.at[9].set(w_sum)
+
+
+def _finalize(res, m):
+    phat = res[13]
+    big_w = jnp.where(
+        phat > 0.0, res[9] / jnp.maximum(m * phat, 1e-12), 0.0
+    )
+    return res.at[10].set(m).at[11].set(big_w)
+
+
+def initial_candidates(gbuf, sky, seed, cfg: SkyDIConfig,
+                       trans=False, coat=False, pix=None):
+    """RIS over sun-cone + cosine + BSDF direction candidates -> [16, N]."""
+    n = gbuf.shape[1]
+    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    ids = pix if pix is not None else jnp.arange(n, dtype=jnp.int32)
+    sun, t, b = _sun_basis(sky)
+    cos_r = float(np.cos(sky.sun_angular_radius))
+
+    res = jnp.zeros((R_ROWS, n))
+    m = jnp.zeros((n,))
+    for rd in range(cfg.rounds):
+        u = uniform4(ids, rd, seed, salt=0x50D1)
+        u2 = uniform4(ids, rd, seed, salt=0x50D2)
+        # reservoir-selection stream, independent of candidate generation
+        # (a shared stream biases the pick toward its own candidate)
+        u3 = uniform4(ids, rd, seed, salt=0x50D3)
+
+        # -- sun cone (uniform solid angle)
+        cz = 1.0 - u[:, 0] * (1.0 - cos_r)
+        sz = jnp.sqrt(jnp.maximum(1.0 - cz * cz, 0.0))
+        ph = 2.0 * jnp.pi * u[:, 1]
+        wi_s = V3(
+            sun[0] * cz + (t[0] * jnp.cos(ph) + b[0] * jnp.sin(ph)) * sz,
+            sun[1] * cz + (t[1] * jnp.cos(ph) + b[1] * jnp.sin(ph)) * sz,
+            sun[2] * cz + (t[2] * jnp.cos(ph) + b[2] * jnp.sin(ph)) * sz,
+        )
+        # -- cosine hemisphere about the shading normal
+        wi_c = frame.to_world(S._cosine_hemisphere(u[:, 2], u[:, 3]))
+        # -- BSDF sample
+        wi_b_l, _wgt, _pdf = S.bsdf_sample(mat, wo_l, u2[:, 0], u2[:, 1], u2[:, 2])
+        wi_b = frame.to_world(wi_b_l)
+
+        for wi, uu in ((wi_s, u3[:, 0]), (wi_c, u3[:, 1]), (wi_b, u3[:, 2])):
+            le = _le_dir(wi, sky)
+            phat = _phat_dir(wi, le, ns, mat, frame, wo_l)
+            p_src = _pdfs(wi, ns, mat, frame, wo_l, sky)
+            ok = valid & (p_src > 1e-12) & (wi.y > -0.999)
+            w = jnp.where(ok, phat / jnp.maximum(p_src, 1e-12), 0.0)
+            res = _stream(res, wi, le, w, phat, uu)
+            m = m + 1.0
+    return _finalize(res, m)
+
+
+def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height,
+                   seed, cfg: SkyDIConfig, sky, trans=False, coat=False,
+                   pix=None, prev_row0=0, prev_rows=None, pos_prev=None):
+    """Merge the reprojected previous-frame direction reservoir."""
+    n = res.shape[1]
+    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    p_world = (
+        pos_prev if pos_prev is not None
+        else jnp.stack([pos.x, pos.y, pos.z], -1)
+    )
+    px, py, w_fwd = prev_cam.project(p_world, width, height)
+    rel = p_world - jnp.asarray(prev_cam.eye)
+    depth_est = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, -1), 1e-12))
+    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
+    rows = prev_rows if prev_rows is not None else height
+    iy = jnp.clip(jnp.round(py).astype(jnp.int32) - prev_row0, 0, rows - 1)
+    inside = (
+        (px >= -0.5) & (px <= width - 0.5) & (py >= -0.5) & (py <= height - 0.5)
+        & (w_fwd > 0.0)
+        & (jnp.round(py).astype(jnp.int32) - prev_row0 >= 0)
+        & (jnp.round(py).astype(jnp.int32) - prev_row0 <= rows - 1)
+    )
+    nidx = iy * width + ix
+    nb = _gather_rows(prev_res, nidx)
+    nb_g = _gather_rows(prev_gbuf, nidx)
+    depth_prev = nb_g[G.DEPTH]
+    ok = (
+        inside & valid
+        & (jnp.abs(depth_prev - depth_est)
+           < cfg.depth_tolerance * jnp.maximum(depth_est, 1e-3))
+        & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
+        & (nb_g[G.VALID] > 0.5)
+    )
+    wi_b = v3.from_rows(nb, 0)
+    le_b = v3.from_rows(nb, 3)
+    m_b = jnp.minimum(nb[10], cfg.m_max * jnp.maximum(res[10], 1.0))
+    m_b = jnp.where(ok, m_b, 0.0)
+    phat_b = _phat_dir(wi_b, le_b, ns, mat, frame, wo_l)
+    w_b = jnp.where(ok, phat_b * nb[11] * m_b, 0.0)
+
+    ids = pix if pix is not None else jnp.arange(n, dtype=jnp.int32)
+    u = uniform4(ids, 0, seed, salt=0x50D7)[:, 0]
+    out = _stream(res, wi_b, le_b, w_b, phat_b, u)
+    return _finalize(out, res[10] + m_b)
+
+
+def spatial_step(res, gbuf, width, height, seed, it, cfg: SkyDIConfig,
+                 trans=False, coat=False, pix=None, res_src=None,
+                 gbuf_src=None, src_row0=0):
+    from .restir_di import _neighbor_pick
+
+    n = res.shape[1]
+    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    if res_src is None:
+        res_src = res
+    if gbuf_src is None:
+        gbuf_src = gbuf
+    if pix is None:
+        pix = jnp.arange(n, dtype=jnp.int32)
+    nidx, u_stream = _neighbor_pick(
+        pix, width, height, seed, it + 64, cfg, src_row0
+    )
+    nb = _gather_rows(res_src, nidx)
+    nb_g = _gather_rows(gbuf_src, nidx)
+    ok = _geom_ok(gbuf, nb_g, ns, cfg) & valid
+    wi_b = v3.from_rows(nb, 0)
+    le_b = v3.from_rows(nb, 3)
+    m_b = jnp.where(ok, nb[10], 0.0)
+    phat_b = _phat_dir(wi_b, le_b, ns, mat, frame, wo_l)
+    w_b = jnp.where(ok, phat_b * nb[11] * m_b, 0.0)
+    out = _stream(res, wi_b, le_b, w_b, phat_b, u_stream)
+    return _finalize(out, res[10] + m_b)
+
+
+def spatial_reuse(res, gbuf, width, height, seed, cfg: SkyDIConfig,
+                  trans=False, coat=False, pix=None):
+    out = res
+    for it in range(cfg.spatial_iterations):
+        out = spatial_step(out, gbuf, width, height, seed, it, cfg,
+                           trans, coat, pix)
+    return out
+
+
+def shade(scene, res, gbuf, trans=False, coat=False):
+    """Visibility-test the winning direction; returns planar [3, N] direct
+    sky radiance (f * Le * cos * W * vis)."""
+    from ..accel.intersect import intersect_occluded
+
+    pos, ns, ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    wi = v3.from_rows(res, 0)
+    le = v3.from_rows(res, 3)
+    cos_s = jnp.maximum(v3.dot(wi, ns), 0.0)
+    f, _ = S.bsdf_eval(mat, wo_l, frame.to_local(wi))
+    so = pos + ng * 1e-3
+    occ = intersect_occluded(
+        scene,
+        jnp.stack([so.x, so.y, so.z], -1),
+        jnp.stack([wi.x, wi.y, wi.z], -1),
+        t_min=1e-3, t_max=1e8,
+    )
+    gain = jnp.where(valid & ~occ & (res[11] > 0.0), cos_s * res[11], 0.0)
+    out = f * le * gain
+    return jnp.stack([out.x, out.y, out.z], 0)

@@ -98,12 +98,17 @@ def _sharded_restir_fn(mesh: Mesh, cfg: RenderConfig, halo: int, has_state: bool
     ctx = ShardCtx(axis=TILE_AXIS, n_shards=n, h_local=h_loc, halo=halo)
 
     res_spec = P(None, TILE_AXIS)  # [rows, pixels]: shard the pixel axis
+    use_skydi = (
+        cfg.skydi and cfg.pt.sky is not None
+        and cfg.mode in ("restir_gi", "restir_pt")
+    )
     st_spec = FrameState(
         reservoirs=res_spec,
         gi_reservoirs=res_spec,
         gbuf=res_spec,
         camera_prev=P(),  # replicated (prefix over the Camera pytree)
         history=P(None, TILE_AXIS, None),  # planar [3, H, W]
+        sky_reservoirs=res_spec if use_skydi else None,
     )
     img_spec = P(TILE_AXIS, None, None)
     out_specs = ({"hdr": img_spec, "ldr": img_spec}, st_spec)

@@ -53,6 +53,11 @@ class RenderConfig:
     indirect: bool = True  # add the indirect pass in restir modes
 
     lvg_cfg: "object" = None  # ops.prelighting.LVGConfig (grid shape)
+    # SkyDI: reservoir-based sun+sky direct lighting in restir_gi/restir_pt
+    # modes (reference: DirectLighting/Sky pass). False = "SkyDI-lite"
+    # (analytic background + sun NEE only, no sky-dome NEE).
+    skydi: bool = False
+    skydi_cfg: "object" = None  # ops.skydi.SkyDIConfig
 
     def __post_init__(self):
         if self.restir_gi is None:
@@ -67,6 +72,10 @@ class RenderConfig:
             from ..ops.prelighting import LVGConfig
 
             object.__setattr__(self, "lvg_cfg", LVGConfig())
+        if self.skydi_cfg is None:
+            from ..ops.skydi import SkyDIConfig
+
+            object.__setattr__(self, "skydi_cfg", SkyDIConfig())
     tonemapper: str = "agx"
     auto_exposure: bool = True
     manual_exposure: float = 1.0
@@ -85,6 +94,7 @@ class FrameState(NamedTuple):
     gbuf: jnp.ndarray  # [G.ROWS, N]
     camera_prev: object  # Camera pytree
     history: jnp.ndarray  # [H, W, 3] TAA color history (HDR)
+    sky_reservoirs: object = None  # [16, N] SkyDI direction reservoirs
 
 
 def _postprocess(hdr, cfg, axis_name=None):
@@ -110,13 +120,30 @@ def _pick_rt(n_loc: int) -> int:
     return 1024
 
 
+def _sky_background(gb, sky):
+    """Sky + sun-disk radiance on primary-miss pixels. Returns [3, N]."""
+    from ..accel.megakernel import G
+    from ..core import vec3 as v3
+    from ..core.vec3 import V3
+    from ..ops import sky as SK
+
+    valid = gb[G.VALID] > 0.5
+    wo = v3.from_rows(gb, G.WO)
+    d = V3(-wo.x, -wo.y, -wo.z)
+    d_aos = jnp.stack([d.x, d.y, d.z], -1)
+    env = SK.sky_radiance(d, sky, with_disk=False)
+    disk = SK.sun_disk(d_aos, sky)
+    env_rgb = jnp.stack([env.x, env.y, env.z], 0) + disk.T
+    return jnp.where(valid[None, :], 0.0, env_rgb)
+
+
 def _sky_direct(scene, gb, sky):
     """Sky background on primary-miss pixels + sun NEE at primary hits.
 
     The SkyDI-lite terms the pt/restir_di paths get from the PT trace
     (reference: SkyDI pass, SkyDI.h:1-137); the restir_gi mode composes
     direct light from reservoirs only, so these terms are added here.
-    Returns [N, 3].
+    Returns [3, N].
     """
     import numpy as np
 
@@ -130,12 +157,7 @@ def _sky_direct(scene, gb, sky):
 
     valid = gb[G.VALID] > 0.5
     wo = v3.from_rows(gb, G.WO)
-    d = V3(-wo.x, -wo.y, -wo.z)
-    d_aos = jnp.stack([d.x, d.y, d.z], -1)
-    env = SK.sky_radiance(d, sky, with_disk=False)
-    disk = SK.sun_disk(d_aos, sky)
-    env_rgb = jnp.stack([env.x, env.y, env.z], 0) + disk.T
-    background = jnp.where(valid[None, :], 0.0, env_rgb)
+    background = _sky_background(gb, sky)
 
     pos, ns, ng, _wo2, mat, _valid = RD._surface_from_gbuf(gb, coat=bool(scene.has_coat))
     frame = S.make_frame(ns)
@@ -313,6 +335,59 @@ def render_frame_restir(
             )
     direct = RD.shade(scene, res_sp, gb, trans=trans, coat=coat, rows_out=True)
 
+    # -- SkyDI: reservoir sun+sky direct lighting (restir_gi/pt modes
+    # compose direct light purely from reservoirs; DI-mode gets sky terms
+    # from its PT indirect trace)
+    sky_res_new = None
+    use_skydi = (
+        cfg.skydi and cfg.pt.sky is not None
+        and cfg.mode in ("restir_gi", "restir_pt")
+    )
+    if use_skydi:
+        from ..ops import skydi as SD
+
+        sky_res = SD.initial_candidates(
+            gb, cfg.pt.sky, seed, cfg.skydi_cfg, trans=trans, coat=coat,
+            pix=pix,
+        )
+        if (
+            cfg.skydi_cfg.temporal and state is not None
+            and state.sky_reservoirs is not None
+        ):
+            if shard is None:
+                sky_res = SD.temporal_reuse(
+                    sky_res, state.sky_reservoirs, state.gbuf, gb,
+                    state.camera_prev, w, h, seed, cfg.skydi_cfg, cfg.pt.sky,
+                    trans=trans, coat=coat, pos_prev=pos_prev,
+                )
+            else:
+                prev_sr = _hxf(state.sky_reservoirs, w, halo, axis, n_sh)
+                prev_sg = _hxf(state.gbuf, w, halo, axis, n_sh)
+                sky_res = SD.temporal_reuse(
+                    sky_res, prev_sr, prev_sg, gb, state.camera_prev,
+                    w, h, seed, cfg.skydi_cfg, cfg.pt.sky, trans=trans,
+                    coat=coat, pix=pix, prev_row0=row0 - halo,
+                    prev_rows=h_loc + 2 * halo, pos_prev=pos_prev,
+                )
+        sky_res_new = sky_res
+        if shard is None:
+            sky_sp = SD.spatial_reuse(
+                sky_res, gb, w, h, seed, cfg.skydi_cfg, trans=trans, coat=coat
+            )
+        else:
+            hk = cfg.skydi_cfg.spatial_radius
+            gb_ext_s = _hxf(gb, w, hk, axis, n_sh)
+            sky_sp = sky_res
+            for it in range(cfg.skydi_cfg.spatial_iterations):
+                sky_ext = _hxf(sky_sp, w, hk, axis, n_sh)
+                sky_sp = SD.spatial_step(
+                    sky_sp, gb, w, h, seed, it, cfg.skydi_cfg, trans=trans,
+                    coat=coat, pix=pix, res_src=sky_ext, gbuf_src=gb_ext_s,
+                    src_row0=row0 - hk,
+                )
+        direct = direct + SD.shade(scene, sky_sp, gb, trans=trans, coat=coat)
+        direct = direct + _sky_background(gb, cfg.pt.sky)
+
     gi_res = jnp.zeros_like(res)
     if not cfg.indirect:
         indirect = jnp.zeros_like(direct)
@@ -355,9 +430,10 @@ def render_frame_restir(
                     src_row0=row0 - hg,
                 )
         indirect = RG.shade(scene, gi_sp, gb, trans=trans, coat=coat, rows_out=True)
-        if cfg.pt.sky is not None:
+        if cfg.pt.sky is not None and not use_skydi:
             # SkyDI-lite: background + primary sun NEE (the pt trace supplies
-            # these in the other modes; ADVICE round-1 finding #2)
+            # these in the other modes; ADVICE round-1 finding #2). The full
+            # SkyDI reservoir pass (cfg.skydi) supersedes this.
             direct = direct + _sky_direct(scene, gb, cfg.pt.sky)
     elif cfg.mode == "restir_pt":
         from ..ops import restir_pt as RP
@@ -403,7 +479,7 @@ def render_frame_restir(
             scene, pt_sp, gb, cfg.restir_pt, trans=trans, coat=coat,
             rows_out=True,
         )
-        if cfg.pt.sky is not None:
+        if cfg.pt.sky is not None and not use_skydi:
             direct = direct + _sky_direct(scene, gb, cfg.pt.sky)
     else:
         pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
@@ -471,7 +547,7 @@ def render_frame_restir(
     # history stays planar [3, h, w].
     new_state = FrameState(
         reservoirs=res, gi_reservoirs=gi_res, gbuf=gb, camera_prev=camera,
-        history=hdr,
+        history=hdr, sky_reservoirs=sky_res_new,
     )
     # external contract: channel-last [H, W, 3] images
     return {"hdr": hdr.transpose(1, 2, 0), "ldr": ldr.transpose(1, 2, 0)}, new_state

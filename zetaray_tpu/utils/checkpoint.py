@@ -38,6 +38,8 @@ def save_frame_state(path: str, state, params_snapshot: dict | None = None) -> N
             np.float64,
         ),
     }
+    if getattr(state, "sky_reservoirs", None) is not None:
+        payload["sky_reservoirs"] = np.asarray(state.sky_reservoirs)
     if params_snapshot is not None:
         payload["params_json"] = np.frombuffer(
             json.dumps(params_snapshot).encode(), np.uint8
@@ -71,6 +73,9 @@ def load_frame_state(path: str):
         gbuf=jnp.asarray(z["gbuf"]),
         camera_prev=cam,
         history=jnp.asarray(z["history"]),
+        sky_reservoirs=(
+            jnp.asarray(z["sky_reservoirs"]) if "sky_reservoirs" in z else None
+        ),
     )
     params = None
     if "params_json" in z:
