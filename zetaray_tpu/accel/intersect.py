@@ -230,7 +230,10 @@ def _on_cpu() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _pad_rays(o, d, mult=256):
+def _pad_rays(o, d, mult=1024):
+    # mult=1024: Mosaic requires the 1D mask operands' block tiling to match
+    # XLA's T(1024) layout choice for odd sizes (observed on s32[13824]:
+    # "XLA layout {0:T(1024)} does not match Mosaic layout {0:T(512)}")
     n = o.shape[0]
     np_ = ((n + mult - 1) // mult) * mult
     if np_ == n:

@@ -58,6 +58,10 @@ class RenderConfig:
     # (analytic background + sun NEE only, no sky-dome NEE).
     skydi: bool = False
     skydi_cfg: "object" = None  # ops.skydi.SkyDIConfig
+    # Froxel volumetric inscattering (reference: Sky Inscattering voxel
+    # grid). None = off; ops.volumetrics.VolumetricsConfig = on (needs
+    # cfg.pt.sky for the sun).
+    volumetrics: "object" = None
 
     def __post_init__(self):
         if self.restir_gi is None:
@@ -488,6 +492,17 @@ def render_frame_restir(
     # wastes 125/128 VPU lanes; measured ~70 ms/frame at 512x512)
     hdr = (direct + indirect).reshape(3, h_loc, w)
 
+    if cfg.volumetrics is not None and cfg.pt.sky is not None:
+        # froxel inscattering composited like the reference
+        # (Compositing.hlsl:89-95: color * Tr + Ls)
+        from ..ops.volumetrics import apply_inscattering, build_froxels
+
+        froxels = build_froxels(scene, camera, cfg.pt.sky, cfg.volumetrics)
+        hdr = apply_inscattering(
+            hdr, gb, camera, froxels, cfg.volumetrics, w, h,
+            row0=row0 if shard is not None else 0, height_full=h,
+        )
+
     # -- post chain: firefly -> a-trous -> TAA (reference Compositing tail)
     from ..ops import denoise as DN
     from ..ops import taa as TA
@@ -565,6 +580,13 @@ def render_frame(scene, camera, key, cfg: RenderConfig, shard_rays=None):
     if shard_rays is not None:
         o, d = shard_rays(o), shard_rays(d)
     hdr = trace(scene, o, d, key, cfg.pt, rows_out=True).reshape(3, h, w)
+    if cfg.volumetrics is not None and cfg.pt.sky is not None:
+        from ..accel.megakernel import gbuffer
+        from ..ops.volumetrics import apply_inscattering, build_froxels
+
+        gb = gbuffer(scene, o, d)
+        froxels = build_froxels(scene, camera, cfg.pt.sky, cfg.volumetrics)
+        hdr = apply_inscattering(hdr, gb, camera, froxels, cfg.volumetrics, w, h)
     ldr = _postprocess(hdr, cfg)
     return {"hdr": hdr.transpose(1, 2, 0), "ldr": ldr.transpose(1, 2, 0)}
 
