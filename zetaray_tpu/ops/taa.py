@@ -1,11 +1,12 @@
 """Temporal anti-aliasing + progressive accumulation.
 
-Counterpart of the reference's TAA pass (TAA.hlsl: depth-dilated motion,
-Catmull-Rom history resample, neighborhood clamp). TPU mapping: the history
-is a PLANAR [3, H, W] array in the FrameState (channel-last wastes 125/128
-VPU lanes, see ops.post); reprojection reuses Camera.project on G-buffer
-positions; the 3x3 neighborhood min/max is 9 jnp.rolls, which XLA fuses
-into one sweep.
+Counterpart of the reference's TAA pass (TAA.hlsl:1-16: depth-dilated
+motion, Catmull-Rom history resample, neighborhood clamp). TPU mapping:
+the history is a PLANAR [3, H, W] array in the FrameState (channel-last
+wastes 125/128 VPU lanes, see ops.post); reprojection reuses Camera.project
+on G-buffer positions; the 3x3 neighborhood min/max and the depth dilation
+are jnp.rolls, which XLA fuses into one sweep; the Catmull-Rom resample is
+16 gathers with separable cubic weights.
 
 ``accumulate`` is the offline progressive mode (reference's accumulation
 toggle): a plain running average valid while the camera is static.
@@ -22,6 +23,12 @@ import jax.numpy as jnp
 class TAAConfig:
     blend: float = 0.1  # weight of the current frame
     clamp: bool = True
+    # Catmull-Rom history resample (TAA.hlsl): sharper than bilinear/nearest
+    # under motion; falls back to nearest when False.
+    catmull_rom: bool = True
+    # reproject via the closest-depth pixel in the 3x3 neighborhood
+    # (TAA.hlsl depth dilation): stops edge ghosting on foreground objects
+    depth_dilate: bool = True
 
 
 def _neighborhood_minmax_p(img):
@@ -38,35 +45,118 @@ def _neighborhood_minmax_p(img):
     return lo, hi
 
 
+def _cubic_w(f):
+    """Catmull-Rom weights for the 4 taps around a sample at offset f in
+    [0, 1) from tap 1. Returns (w0, w1, w2, w3)."""
+    f2 = f * f
+    f3 = f2 * f
+    w0 = -0.5 * f3 + f2 - 0.5 * f
+    w1 = 1.5 * f3 - 2.5 * f2 + 1.0
+    w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+    w3 = 0.5 * f3 - 0.5 * f2
+    return w0, w1, w2, w3
+
+
+def catmull_rom_p(img, px, py):
+    """Catmull-Rom resample of a planar image at fractional pixel coords.
+
+    img: [3, H, W]; px, py: [N] pixel-center coordinates (0.5 = center of
+    texel 0 convention NOT used -- these are texel indices, i.e. 0.0 = the
+    center of texel 0). Border-clamped. Returns [3, N].
+    """
+    _, h, w = img.shape
+    x1 = jnp.floor(px)
+    y1 = jnp.floor(py)
+    fx = px - x1
+    fy = py - y1
+    wx = _cubic_w(fx)
+    wy = _cubic_w(fy)
+    flat = img.reshape(3, -1)
+    out = jnp.zeros((3, px.shape[0]))
+    for j in range(4):
+        yj = jnp.clip(y1.astype(jnp.int32) + (j - 1), 0, h - 1)
+        row = jnp.zeros((3, px.shape[0]))
+        for i in range(4):
+            xi = jnp.clip(x1.astype(jnp.int32) + (i - 1), 0, w - 1)
+            row = row + wx[i][None, :] * jnp.take(flat, yj * w + xi, axis=1)
+        out = out + wy[j][None, :] * row
+    return out
+
+
+def _depth_dilated_motion(motion, depth, valid):
+    """Adopt each pixel's 3x3 closest-depth neighbor's *motion vector*
+    (TAA.hlsl depth dilation). motion: [2, H, W] reprojection offsets.
+
+    Dilating the motion (not the position) is essential: positions vary
+    across a surface, so adopting a neighbor's position shifts the whole
+    image by a texel; motion is locally constant on rigid surfaces and only
+    switches at depth edges -- exactly the foreground-silhouette case
+    dilation exists for.
+    """
+    best_d = jnp.where(valid, depth, 3.0e38)
+    best_m = motion
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nd = jnp.roll(jnp.roll(depth, dy, axis=0), dx, axis=1)
+            nv = jnp.roll(jnp.roll(valid, dy, axis=0), dx, axis=1)
+            nm = jnp.roll(jnp.roll(motion, dy, axis=1), dx, axis=2)
+            nd = jnp.where(nv, nd, 3.0e38)
+            closer = nd < best_d
+            best_d = jnp.where(closer, nd, best_d)
+            best_m = jnp.where(closer[None], nm, best_m)
+    return best_m
+
+
 def taa_resolve_p(
     curr, history, world_pos, valid, prev_cam, cfg: TAAConfig = TAAConfig(),
-    height_full=None, hist_row0=0, hist_rows=None, curr_ext=None,
+    height_full=None, hist_row0=0, hist_rows=None, curr_ext=None, depth=None,
+    row0=0,
 ):
     """One TAA step, planar.
 
     curr: [3, H, W] this frame's color; history: [3, Hh, W] previous output;
-    world_pos: [3, H, W] G-buffer positions (for reprojection); valid:
-    [H, W] hit mask; prev_cam: previous frame's Camera. Returns the new
-    resolved color (also the next history).
+    world_pos: [3, H, W] G-buffer positions (for reprojection; pass the
+    *previous-frame* positions for animated geometry); valid: [H, W] hit
+    mask; prev_cam: previous frame's Camera; depth: optional [H, W] linear
+    depth enabling depth-dilated motion. Returns the new resolved color
+    (also the next history).
 
     Sharding hooks (parallel.mesh): ``height_full`` = full image height when
     curr is a row shard; ``history`` is then the halo-extended history with
     first row at global row ``hist_row0`` and ``hist_rows`` rows;
     ``curr_ext`` = 1-row halo-extended curr for the neighborhood clamp.
+    Depth dilation uses local rolls (1-row approximation at band edges).
     """
     _, h, w = curr.shape
     hf = height_full if height_full is not None else h
-    px, py, depth = prev_cam.project(world_pos.reshape(3, -1).T, w, hf)
-    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
-    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, hf - 1)
+    px, py, zfwd = prev_cam.project(world_pos.reshape(3, -1).T, w, hf)
+    if cfg.depth_dilate and depth is not None:
+        # dilate the reprojection *offset* by the closest-depth neighbor
+        # (``row0``: global row of curr's first row under sharding)
+        xg = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
+        yg = jnp.repeat(jnp.arange(h, dtype=jnp.float32) + row0, w)
+        m = jnp.stack([(px - xg).reshape(h, w), (py - yg).reshape(h, w)], 0)
+        m = _depth_dilated_motion(m, depth, valid)
+        px = xg + m[0].reshape(-1)
+        py = yg + m[1].reshape(-1)
     inside = (
-        (px >= -0.5) & (px <= w - 0.5) & (py >= -0.5) & (py <= hf - 0.5) & (depth > 0)
+        (px >= -0.5) & (px <= w - 0.5) & (py >= -0.5) & (py <= hf - 0.5)
+        & (zfwd > 0)
     )
     hr = hist_rows if hist_rows is not None else hf
-    ey = iy - hist_row0
-    inside = inside & (ey >= 0) & (ey < hr)
-    ey = jnp.clip(ey, 0, hr - 1)
-    hist = jnp.take(history.reshape(3, -1), ey * w + ix, axis=1).reshape(3, h, w)
+    ey_f = py - hist_row0
+    iy = jnp.clip(jnp.round(ey_f).astype(jnp.int32), 0, hr - 1)
+    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
+    inside = inside & (jnp.round(ey_f) >= 0) & (jnp.round(ey_f) <= hr - 1)
+    if cfg.catmull_rom:
+        hist = catmull_rom_p(history, px, jnp.clip(ey_f, 0.0, hr - 1.0))
+        hist = hist.reshape(3, h, w)
+    else:
+        hist = jnp.take(
+            history.reshape(3, -1), iy * w + ix, axis=1
+        ).reshape(3, h, w)
     if cfg.clamp:
         if curr_ext is None:
             lo, hi = _neighborhood_minmax_p(curr)

@@ -1,0 +1,148 @@
+"""Temporal upscaling (TAAU): render-res < display-res reconstruction.
+
+Counterpart of the reference's FSR2 integration (FSR2/FSR2.h:13-65, which
+wraps AMD's prebuilt closed-source lib; mutually exclusive with TAA,
+DefaultRendererImpl.h:46-55). Since the reference itself does not implement
+the algorithm, this is an original TAAU reconstruction with the same
+inputs/outputs as the FSR2 wrapper (jittered low-res color + depth +
+reprojection + exposure-independent history):
+
+  - the display-res history is reprojected with depth-dilated motion and
+    resampled with Catmull-Rom (shared with ops.taa);
+  - the current low-res frame is splatted to display res with a Gaussian
+    kernel centered on the *jittered* sample position -- per-frame jitter
+    makes the low-res grid cover different display-pixel phases, so
+    detail accumulates over frames (the core FSR2/TAAU idea);
+  - history is rectified against the low-res 3x3 neighborhood min/max;
+  - blend weight scales with the sample-to-pixel distance confidence, so
+    display pixels far from any current sample lean on history.
+
+State contract (render.frame): reservoirs/G-buffer stay at render res;
+only the color history and the output are display res.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from .taa import _depth_dilated_motion, _neighborhood_minmax_p, catmull_rom_p
+
+
+@dataclass(frozen=True)
+class UpscaleConfig:
+    blend: float = 0.1  # base current-frame weight
+    clamp: bool = True
+    sigma: float = 0.45  # Gaussian splat radius, in render-res texels
+    depth_dilate: bool = True
+
+
+def _bilinear_p(img, px, py):
+    """Bilinear resample of planar [C, H, W] at texel coords [N] -> [C, N]."""
+    c, h, w = img.shape
+    x0 = jnp.clip(jnp.floor(px), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(py), 0, h - 1)
+    fx = jnp.clip(px - x0, 0.0, 1.0)
+    fy = jnp.clip(py - y0, 0.0, 1.0)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    flat = img.reshape(c, -1)
+
+    def at(yi, xi):
+        return jnp.take(flat, yi * w + xi, axis=1)
+
+    top = at(y0i, x0i) * (1 - fx) + at(y0i, x1i) * fx
+    bot = at(y1i, x0i) * (1 - fx) + at(y1i, x1i) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def taau_resolve(
+    curr_lr, history, pos_lr, valid_lr, depth_lr, prev_cam, jitter,
+    out_w, out_h, cfg: UpscaleConfig = UpscaleConfig(),
+):
+    """One temporal-upscale step.
+
+    curr_lr: [3, hr, wr] this frame's render-res color (rendered with
+    sub-pixel ``jitter``, in render-res pixels); history: [3, H, W]
+    display-res accumulated output (None on the first frame); pos_lr /
+    valid_lr / depth_lr: render-res G-buffer planes; prev_cam: previous
+    camera. Returns the new display-res image (= next history).
+    """
+    _, hr, wr = curr_lr.shape
+    sx = wr / out_w
+    sy = hr / out_h
+
+    # display-pixel centers in render-res texel coords
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
+    px = jnp.tile(xs, out_h)
+    py = jnp.repeat(ys, out_w)
+
+    # current color: bilinear at the display pixel, confidence = Gaussian
+    # distance to the nearest *jittered* sample center
+    jx = jnp.asarray(jitter[0], jnp.float32)  # traced (Camera pytree leaf)
+    jy = jnp.asarray(jitter[1], jnp.float32)
+    spx = px - jx
+    spy = py - jy
+    cur = _bilinear_p(curr_lr, spx, spy)  # [3, N]
+    dx = spx - jnp.round(spx)
+    dy = spy - jnp.round(spy)
+    d2 = dx * dx + dy * dy
+    conf = jnp.exp(-d2 / (2.0 * cfg.sigma * cfg.sigma))
+
+    valid_s = (
+        _bilinear_p(valid_lr[None].astype(jnp.float32), spx, spy)[0] > 0.99
+    )
+
+    if history is None:
+        return cur.reshape(3, out_h, out_w)
+
+    # reprojection: per-lr-texel motion (display-space offset between the
+    # texel's jittered sample coordinate and its reprojected history
+    # coordinate), optionally depth-dilated, then resampled per display
+    # pixel. Dilating/interpolating *motion* instead of positions keeps a
+    # static camera at exactly zero offset (see taa._depth_dilated_motion).
+    p_lr, pp_lr, zf_lr = prev_cam.project(
+        pos_lr.reshape(3, -1).T, out_w, out_h
+    )
+    tx = ((jnp.arange(wr, dtype=jnp.float32) + 0.5 + jx) / wr) * out_w - 0.5
+    ty = ((jnp.arange(hr, dtype=jnp.float32) + 0.5 + jy) / hr) * out_h - 0.5
+    m_lr = jnp.stack(
+        [
+            (p_lr - jnp.tile(tx, hr)).reshape(hr, wr),
+            (pp_lr - jnp.repeat(ty, wr)).reshape(hr, wr),
+        ],
+        0,
+    )
+    ok_lr = valid_lr & (zf_lr.reshape(hr, wr) > 0)
+    if cfg.depth_dilate:
+        m_lr = _depth_dilated_motion(m_lr, depth_lr, ok_lr)
+    m_lr = jnp.where(ok_lr[None], m_lr, 0.0)
+    m_s = _bilinear_p(m_lr, spx, spy)  # [2, N] display-space offsets
+    # px/py are render-res texel coords of display pixel centers; invert
+    # the mapping back to display coords and apply the sampled motion
+    hpx = (px + 0.5) / sx - 0.5 + m_s[0]
+    hpy = (py + 0.5) / sy - 0.5 + m_s[1]
+    inside = (
+        (hpx >= -0.5) & (hpx <= out_w - 0.5)
+        & (hpy >= -0.5) & (hpy <= out_h - 0.5)
+    )
+    hist = catmull_rom_p(
+        history, jnp.clip(hpx, 0.0, out_w - 1.0),
+        jnp.clip(hpy, 0.0, out_h - 1.0),
+    )
+
+    if cfg.clamp:
+        lo_lr, hi_lr = _neighborhood_minmax_p(curr_lr)
+        lo = _bilinear_p(lo_lr, spx, spy)
+        hi = _bilinear_p(hi_lr, spx, spy)
+        hist = jnp.clip(hist, lo, hi)
+
+    ok = inside & valid_s
+    alpha = jnp.clip(cfg.blend * (0.25 + 0.75 * conf), 0.02, 1.0)
+    blended = alpha[None, :] * cur + (1.0 - alpha[None, :]) * hist
+    out = jnp.where(ok[None, :], blended, cur)
+    return out.reshape(3, out_h, out_w)

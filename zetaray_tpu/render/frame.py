@@ -62,6 +62,11 @@ class RenderConfig:
     # grid). None = off; ops.volumetrics.VolumetricsConfig = on (needs
     # cfg.pt.sky for the sun).
     volumetrics: "object" = None
+    # Temporal upscaling (the reference's FSR2 slot, mutually exclusive
+    # with plain TAA): render internals at width*render_scale x
+    # height*render_scale, reconstruct to width x height (ops.upscale).
+    render_scale: float = 1.0
+    upscale_cfg: "object" = None  # ops.upscale.UpscaleConfig
 
     def __post_init__(self):
         if self.restir_gi is None:
@@ -80,6 +85,10 @@ class RenderConfig:
             from ..ops.skydi import SkyDIConfig
 
             object.__setattr__(self, "skydi_cfg", SkyDIConfig())
+        if self.upscale_cfg is None:
+            from ..ops.upscale import UpscaleConfig
+
+            object.__setattr__(self, "upscale_cfg", UpscaleConfig())
     tonemapper: str = "agx"
     auto_exposure: bool = True
     manual_exposure: float = 1.0
@@ -254,6 +263,15 @@ def render_frame_restir(
     from ..ops import restir_di as RD
 
     w, h = cfg.width, cfg.height
+    if cfg.render_scale != 1.0:
+        # FSR2-slot temporal upscaling: everything up to the upscaler runs
+        # at render res; only the color history/output are display res
+        if shard is not None:
+            raise NotImplementedError(
+                "render_scale < 1 is not supported under shard_map yet"
+            )
+        w = max(8, int(round(cfg.width * cfg.render_scale)))
+        h = max(8, int(round(cfg.height * cfg.render_scale)))
     trans = scene.has_transmission
     coat = scene.has_coat
     seed = seed_from_key(key)
@@ -538,14 +556,25 @@ def render_frame_restir(
                     sl3(nrm_ext), sl(dep_ext), sl(vf_ext), step, dn_cfg,
                 )[:, hh:-hh]
             hdr = out
-    if cfg.taa and state is not None:
-        if pos_prev is not None:
-            pos_img = pos_prev.T.reshape(3, h_loc, w)
-        else:
-            pos_img = gb[G.POS : G.POS + 3].reshape(3, h_loc, w)
+    if pos_prev is not None:
+        pos_img = pos_prev.T.reshape(3, h_loc, w)
+    else:
+        pos_img = gb[G.POS : G.POS + 3].reshape(3, h_loc, w)
+    if cfg.render_scale != 1.0:
+        from ..ops.upscale import taau_resolve
+
+        hdr = taau_resolve(
+            hdr,
+            state.history if (cfg.taa and state is not None) else None,
+            pos_img, valid_img, depth_img,
+            state.camera_prev if state is not None else camera,
+            camera.jitter, cfg.width, cfg.height, cfg.upscale_cfg,
+        )
+    elif cfg.taa and state is not None:
         if shard is None:
             hdr = TA.taa_resolve_p(
-                hdr, state.history, pos_img, valid_img, state.camera_prev
+                hdr, state.history, pos_img, valid_img, state.camera_prev,
+                depth=depth_img,
             )
         else:
             hist_ext = _hx(state.history, halo, axis, n_sh, row_axis=1)
@@ -554,6 +583,7 @@ def render_frame_restir(
                 height_full=h, hist_row0=row0 - halo,
                 hist_rows=h_loc + 2 * halo,
                 curr_ext=_hx(hdr, 1, axis, n_sh, row_axis=1),
+                depth=depth_img, row0=row0,
             )
 
     ldr = _postprocess(hdr, cfg, axis_name=axis)
