@@ -101,6 +101,13 @@ def main(argv=None):
     parser.add_argument("--orbit", type=float, default=0.0,
                         help="degrees/frame camera orbit around the target")
     parser.add_argument("--dump-graph", action="store_true")
+    parser.add_argument("--tonemap", default=None,
+                        help="override tonemapper (none|neutral|agx|"
+                             "agx_golden|agx_punchy|tony)")
+    parser.add_argument("--outline", default=None, metavar="NAME",
+                        help="Sobel-outline the named instance in the "
+                             "output (restir modes; Display.cpp picked "
+                             "outline)")
     args = parser.parse_args(argv)
 
     import jax
@@ -123,6 +130,7 @@ def main(argv=None):
         width=w, height=h, mode=args.mode,
         pt=PTConfig(max_bounces=args.bounces, sky=sky),
         denoise=args.denoise,
+        **({"tonemapper": args.tonemap} if args.tonemap else {}),
     )
     cfg_holder = [cfg]
     _register_params(cfg_holder)
@@ -206,6 +214,24 @@ def main(argv=None):
             )
         else:
             out = render_frame_jit(frame_scene, cam, key, cfg)
+        if args.outline and state is not None:
+            # picked-object outline (Display.cpp:358-398 Sobel pass)
+            import jax.numpy as jnp
+
+            from .accel.megakernel import G
+            from .ops.post import picked_outline_p
+
+            names = [n for n in cpu.inst_names if args.outline in n]
+            if names:
+                pid = cpu.inst_names.index(names[0])
+                ldr_p = jnp.moveaxis(out["ldr"].astype(jnp.float32), -1, 0)
+                n_gb = state.gbuf.shape[1]
+                if n_gb == ldr_p.shape[1] * ldr_p.shape[2]:
+                    inst_img = state.gbuf[G.INST].reshape(ldr_p.shape[1:])
+                    out["ldr"] = jnp.moveaxis(
+                        picked_outline_p(ldr_p / 255.0, inst_img, pid) * 255.0,
+                        0, -1,
+                    ).astype(jnp.uint8)
         ldr = np.asarray(out["ldr"])  # forces completion
         stats.add("frame", "mean_radiance", float(np.asarray(out["hdr"]).mean()))
         dt = stats.end_frame()

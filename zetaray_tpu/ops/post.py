@@ -17,6 +17,8 @@ channel-last [..., 3] puts 3 elements in the 128-lane dimension and wastes
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -184,6 +186,120 @@ def tonemap_none(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(c, 0.0, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# Tony McMapface (Display.h:105-107 "Neutral" slot: 48^3 LUT by Tomasz
+# Stachowiak, Tonemap.hlsli:10-22). The LUT ships as a DX10 3D DDS in
+# R9G9B9E5_SHAREDEXP; decoded once and cached.
+# ---------------------------------------------------------------------------
+
+_TONY_LUT_PATH = (
+    Path(__file__).resolve().parents[2].parent
+    / "reference" / "Assets" / "LUT" / "tony_mc_mapface.dds"
+)
+_tony_cache: list = []
+
+
+def load_lut_3d(path) -> np.ndarray:
+    """DX10 3D DDS in R9G9B9E5_SHAREDEXP -> [D, H, W, 3] float32."""
+    import struct
+
+    raw = Path(path).read_bytes()
+    assert raw[:4] == b"DDS ", "not a DDS file"
+    _, _, h, w, _, d, _ = struct.unpack_from("<7I", raw, 4)
+    fourcc = struct.unpack_from("<4s", raw, 84)[0]
+    assert fourcc == b"DX10", "3D LUT loader expects a DX10 header"
+    dxgi, dim = struct.unpack_from("<2I", raw, 128)[:2]
+    assert dxgi == 67 and dim == 4, f"expected R9G9B9E5 TEXTURE3D, got {dxgi}/{dim}"
+    u = np.frombuffer(raw, np.uint32, count=d * h * w, offset=148)
+    r = (u & 0x1FF).astype(np.float32)
+    g = ((u >> 9) & 0x1FF).astype(np.float32)
+    b = ((u >> 18) & 0x1FF).astype(np.float32)
+    e = ((u >> 27) & 0x1F).astype(np.int32)
+    scale = np.exp2(e.astype(np.float32) - 15.0 - 9.0)
+    out = np.stack([r * scale, g * scale, b * scale], -1)
+    return out.reshape(d, h, w, 3)
+
+
+def tony_lut(path=None) -> np.ndarray:
+    """Cached Tony McMapface LUT [48, 48, 48, 3].
+
+    Cached as NumPy (NOT jnp): a device array created during a jit trace is
+    a tracer, and caching it module-level leaks it out of the trace. The
+    per-call jnp.asarray below turns it into a baked constant each trace.
+    """
+    if not _tony_cache:
+        _tony_cache.append(load_lut_3d(path or _TONY_LUT_PATH))
+    return _tony_cache[0]
+
+
+def tonemap_tony_p(c: jnp.ndarray, lut=None) -> jnp.ndarray:
+    """Tony McMapface: planar [3, ...] linear HDR -> display [0, 1].
+
+    encoded = c / (c + 1), aligned to texel centers, trilinear through the
+    48^3 LUT (Tonemap.hlsli:10-22). Texture3D convention: w/u indexes red,
+    v green, depth slice blue.
+    """
+    if lut is None:
+        lut = tony_lut()
+    lut = jnp.asarray(lut)
+    dims = float(lut.shape[0])
+    shp = c.shape[1:]
+    x = jnp.maximum(c.reshape(3, -1), 0.0)
+    enc = x / (x + 1.0)
+    t = enc * (dims - 1.0)  # texel coords in [0, dims-1]
+    t0 = jnp.floor(t)
+    f = t - t0
+    i0 = jnp.clip(t0.astype(jnp.int32), 0, int(dims) - 1)
+    i1 = jnp.minimum(i0 + 1, int(dims) - 1)
+    flat = lut.reshape(-1, 3)
+    n = int(dims)
+
+    def at(bz, gy, rx):
+        return flat[(bz * n + gy) * n + rx]  # [N, 3]
+
+    fr, fg, fb = f[0][:, None], f[1][:, None], f[2][:, None]
+    out = jnp.zeros((x.shape[1], 3))
+    for dz, wz in ((i0[2], 1 - fb), (i1[2], fb)):
+        for dy, wy in ((i0[1], 1 - fg), (i1[1], fg)):
+            row = at(dz, dy, i0[0]) * (1 - fr) + at(dz, dy, i1[0]) * fr
+            out = out + row * wy * wz
+    return jnp.clip(out.T.reshape((3,) + shp), 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Picked-object Sobel outline (Display.cpp:358-398: depth-tested wireframe
+# + Sobel edge pass over the picked mask)
+# ---------------------------------------------------------------------------
+
+
+def picked_outline_p(ldr, inst_img, picked, color=(1.0, 0.62, 0.1),
+                     threshold=0.5):
+    """Overlay a Sobel outline of the picked instances.
+
+    ldr: [3, H, W] display image (any range); inst_img: [H, W] per-pixel
+    instance ids (G.INST plane); picked: int or sequence of instance ids.
+    """
+    ids = jnp.atleast_1d(jnp.asarray(picked, jnp.float32))
+    mask = jnp.zeros(inst_img.shape, jnp.float32)
+    for k in range(ids.shape[0]):
+        mask = jnp.maximum(mask, (jnp.abs(inst_img - ids[k]) < 0.5) * 1.0)
+
+    def sh(dy, dx):
+        return jnp.roll(jnp.roll(mask, dy, 0), dx, 1)
+
+    gx = (
+        sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)
+        - sh(-1, -1) - 2 * sh(0, -1) - sh(1, -1)
+    )
+    gy = (
+        sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)
+        - sh(-1, -1) - 2 * sh(-1, 0) - sh(-1, 1)
+    )
+    edge = jnp.sqrt(gx * gx + gy * gy) > threshold
+    col = jnp.asarray(color, jnp.float32)[:, None, None]
+    return jnp.where(edge[None], col, ldr)
+
+
 TONEMAPPERS = {
     "none": tonemap_none,
     "neutral": tonemap_neutral,
@@ -198,6 +314,7 @@ TONEMAPPERS_P = {
     "agx": tonemap_agx_p,
     "agx_golden": lambda c: tonemap_agx_p(c, "golden"),
     "agx_punchy": lambda c: tonemap_agx_p(c, "punchy"),
+    "tony": tonemap_tony_p,
 }
 
 
