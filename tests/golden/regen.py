@@ -1,0 +1,45 @@
+"""Regenerate the golden frames (run from the repo root on the CPU backend,
+eyeball the image before committing)."""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from zetaray_tpu.ops.pathtracer import PTConfig
+from zetaray_tpu.render import RenderConfig
+from zetaray_tpu.render.frame import render_frame_restir_jit
+from zetaray_tpu.scene import Camera, load_scene, upload_scene
+
+ASSET = (
+    Path(__file__).resolve().parents[3]
+    / "reference" / "Assets" / "CornellBox" / "cornell_emissive.gltf"
+)
+
+sc = upload_scene(load_scene(ASSET))
+cam = Camera.look_at((0, 1, 3.5), (0, 1, 0), vfov_deg=45, aspect=1.0)
+cfg = RenderConfig(
+    width=64, height=64, mode="restir_gi", pt=PTConfig(max_bounces=2),
+    denoise=True, taa=True,
+)
+state = None
+for i in range(3):
+    out, state = render_frame_restir_jit(
+        sc, cam.with_jitter(i), jax.random.PRNGKey(i), cfg, state
+    )
+dst = Path(__file__).parent / "cornell_restir_gi_64.npz"
+np.savez_compressed(
+    dst, ldr=np.asarray(out["ldr"]), hdr=np.asarray(out["hdr"]).astype(np.float32)
+)
+print("wrote", dst, "mean ldr", float(np.asarray(out["ldr"]).mean()))

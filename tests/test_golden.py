@@ -1,0 +1,50 @@
+"""Golden-image regression: pinned-seed restir_gi frame vs a stored render.
+
+The reference validates rendering by eye (SURVEY.md section 4); this is the
+deterministic-replay upgrade: same seeds + same config must reproduce the
+stored frame on the CPU backend. Regenerate with
+``python tests/golden/regen.py`` after an *intentional* image change and
+eyeball the diff before committing.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import jax
+import pytest
+
+GOLDEN = Path(__file__).parent / "golden" / "cornell_restir_gi_64.npz"
+
+
+def _render(cornell_dev):
+    from zetaray_tpu.ops.pathtracer import PTConfig
+    from zetaray_tpu.render import RenderConfig
+    from zetaray_tpu.render.frame import render_frame_restir_jit
+    from zetaray_tpu.scene import Camera
+
+    cam = Camera.look_at((0, 1, 3.5), (0, 1, 0), vfov_deg=45, aspect=1.0)
+    cfg = RenderConfig(
+        width=64, height=64, mode="restir_gi", pt=PTConfig(max_bounces=2),
+        denoise=True, taa=True,
+    )
+    state = None
+    for i in range(3):
+        out, state = render_frame_restir_jit(
+            cornell_dev, cam.with_jitter(i), jax.random.PRNGKey(i), cfg, state
+        )
+    return out
+
+
+def test_golden_image(cornell_dev):
+    if not GOLDEN.exists():
+        pytest.skip("golden missing")
+    z = np.load(GOLDEN)
+    out = _render(cornell_dev)
+    hdr = np.asarray(out["hdr"]).astype(np.float32)
+    ldr = np.asarray(out["ldr"])
+    # HDR: tight float tolerance (same backend, same seeds; small slack for
+    # XLA version-to-version reassociation)
+    np.testing.assert_allclose(hdr, z["hdr"], atol=5e-3, rtol=1e-3)
+    # LDR: at most a tiny fraction of pixels may differ by >1 step
+    diff = np.abs(ldr.astype(np.int32) - z["ldr"].astype(np.int32))
+    assert (diff > 1).mean() < 0.005, (diff > 1).mean()

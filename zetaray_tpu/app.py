@@ -101,6 +101,9 @@ def main(argv=None):
     parser.add_argument("--orbit", type=float, default=0.0,
                         help="degrees/frame camera orbit around the target")
     parser.add_argument("--dump-graph", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="print per-pass device timings (GpuTimer "
+                             "analog) before rendering")
     parser.add_argument("--tonemap", default=None,
                         help="override tonemapper (none|neutral|agx|"
                              "agx_golden|agx_punchy|tony)")
@@ -172,6 +175,13 @@ def main(argv=None):
 
     if args.dump_graph:
         print(frame_dag(cfg_holder[0]))
+
+    if args.profile:
+        from .render.profile import time_passes
+
+        log.info("profiling passes (separate jits; see render/profile.py)")
+        for name, ms in time_passes(scene, cam0, cfg).items():
+            print(f"  {name}: {ms:.2f} ms")
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)

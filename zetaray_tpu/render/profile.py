@@ -1,0 +1,202 @@
+"""Per-pass device timing: the GpuTimer analog for the fused frame.
+
+The reference brackets every pass with GPU timestamp queries and shows
+per-shader ms in the UI (GpuTimer.h:28-48, e.g. "ReSTIR_PT_Temporal"
+IndirectLighting.cpp:381). The TPU frame is ONE fused jit program, so
+per-pass times inside it are not directly observable; this module re-runs
+each stage as its own jitted function with forced completion, giving the
+same per-pass breakdown the reference's UI shows (plus the breakdown the
+BASELINE "ReSTIR resample ms" metric asks for).
+
+Two caveats, stated so numbers are read honestly:
+  - stage-by-stage timing loses XLA's cross-stage fusion, so the sum of
+    stages is an UPPER bound on the fused frame (measure the fused frame
+    with bench.py for the real number);
+  - on the tunneled TPU a single sync costs ~35 ms, so each stage is timed
+    over ``reps`` pipelined calls ended by one forced transfer.
+
+``jax.profiler`` traces remain available for op-level inspection:
+``trace_frame(path, fn, *args)`` wraps jax.profiler.trace around a call;
+view the result with TensorBoard/Perfetto offline.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(fn, *args, reps: int = 10):
+    """Median-free pipelined timing: warmup once, then reps calls ended by
+    one forced scalar transfer (matches bench.py methodology)."""
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / reps * 1000.0
+
+
+def _sync(x):
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        float(jnp.sum(leaves[0]))
+
+
+def time_passes(scene, camera, cfg, key=None, reps: int = 10) -> dict:
+    """Per-pass ms for the ReSTIR frame at cfg's resolution.
+
+    Returns {pass_name: ms}, in frame order. Covers: gbuffer, light set
+    presampling, DI initial candidates / temporal / visibility / spatial /
+    shade, GI initial / temporal / spatial / shade (mode restir_gi), and
+    the post chain (firefly, a-trous, TAA, exposure+tonemap).
+    """
+    from ..accel.megakernel import G, build_light_sets, gbuffer
+    from ..core.rng import seed_from_key
+    from ..ops import denoise as DN
+    from ..ops import post as PP
+    from ..ops import restir_di as RD
+    from ..ops import taa as TA
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    w, h = cfg.width, cfg.height
+    seed = seed_from_key(key)
+    trans = scene.has_transmission
+    coat = scene.has_coat
+    interp = jax.default_backend() == "cpu"  # Pallas interpret off-TPU
+    o, d = camera.generate_rays(w, h)
+    out = {}
+
+    # dispatch+sync floor of the harness itself (tunneled-TPU syncs are
+    # ~35 ms; amortized over ``reps``): subtract from every entry below
+    f_nop = jax.jit(lambda x: x + 1.0)
+    _ = f_nop(jnp.zeros(()))
+    out["harness_floor"] = _time(f_nop, jnp.zeros(()), reps=reps)
+
+    f_gb = jax.jit(lambda s, o, d: gbuffer(s, o, d, interpret=interp))
+    gb = f_gb(scene, o, d)
+    out["gbuffer"] = _time(f_gb, scene, o, d, reps=reps)
+
+    f_ls = jax.jit(lambda s, sd: build_light_sets(s, sd))
+    lsets = f_ls(scene, seed)
+    out["presample_lights"] = _time(f_ls, scene, seed, reps=reps)
+
+    f_init = jax.jit(
+        lambda g, l, s: RD.initial_candidates(
+            g, l, s, cfg.restir, trans=trans, coat=coat, interpret=interp
+        )
+    )
+    res = f_init(gb, lsets, seed)
+    out["di_initial"] = _time(f_init, gb, lsets, seed, reps=reps)
+
+    f_temp = jax.jit(
+        lambda r, g, s: RD.temporal_reuse(
+            r, r, g, g, camera, w, h, s, cfg.restir, trans=trans, coat=coat
+        )
+    )
+    res_t = f_temp(res, gb, seed)
+    out["di_temporal"] = _time(f_temp, res, gb, seed, reps=reps)
+
+    f_vis = jax.jit(lambda sc, r, g: RD.visibility_reuse(sc, r, g))
+    _ = f_vis(scene, res_t, gb)
+    out["di_visibility"] = _time(f_vis, scene, res_t, gb, reps=reps)
+
+    f_sp = jax.jit(
+        lambda r, g, s: RD.spatial_reuse(
+            r, g, w, h, s, cfg.restir, trans=trans, coat=coat
+        )
+    )
+    res_s = f_sp(res_t, gb, seed)
+    out["di_spatial"] = _time(f_sp, res_t, gb, seed, reps=reps)
+    out["di_resample_total"] = (
+        out["di_initial"] + out["di_temporal"] + out["di_spatial"]
+    )
+
+    f_shade = jax.jit(
+        lambda sc, r, g: RD.shade(sc, r, g, trans=trans, coat=coat, rows_out=True)
+    )
+    direct = f_shade(scene, res_s, gb)
+    out["di_shade"] = _time(f_shade, scene, res_s, gb, reps=reps)
+
+    if cfg.mode == "restir_gi":
+        from dataclasses import replace
+
+        from ..ops import restir_gi as RG
+
+        pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
+        f_gi0 = jax.jit(
+            lambda sc, g, k, s: RG.initial_samples(
+                sc, g, k, pt_cfg, s, trans=trans, coat=coat,
+                full_target=cfg.restir_gi.full_target,
+            )
+        )
+        gi = f_gi0(scene, gb, key, seed)
+        out["gi_initial"] = _time(f_gi0, scene, gb, key, seed, reps=reps)
+        f_git = jax.jit(
+            lambda r, g, s: RG.temporal_reuse(
+                r, r, g, g, camera, w, h, s, cfg.restir_gi,
+                trans=trans, coat=coat,
+            )
+        )
+        _ = f_git(gi, gb, seed)
+        out["gi_temporal"] = _time(f_git, gi, gb, seed, reps=reps)
+        f_gis = jax.jit(
+            lambda r, g, s: RG.spatial_reuse(
+                r, g, w, h, s, cfg.restir_gi, trans=trans, coat=coat
+            )
+        )
+        gi_s = f_gis(gi, gb, seed)
+        out["gi_spatial"] = _time(f_gis, gi, gb, seed, reps=reps)
+        f_gish = jax.jit(
+            lambda sc, r, g: RG.shade(
+                sc, r, g, trans=trans, coat=coat, rows_out=True
+            )
+        )
+        _ = f_gish(scene, gi_s, gb)
+        out["gi_shade"] = _time(f_gish, scene, gi_s, gb, reps=reps)
+
+    # NB: every device array must be an ARGUMENT of the jitted fn, never a
+    # closure capture -- captured arrays become program constants that the
+    # tunneled-TPU runtime re-stages on every call (measured: +43 ms/call
+    # for a 5 MB capture, masquerading as pass time).
+    hdr = direct.reshape(3, h, w)
+    nrm = gb[G.NS : G.NS + 3].reshape(3, h, w)
+    dep = gb[G.DEPTH].reshape(h, w)
+    val = (gb[G.VALID] > 0.5).reshape(h, w)
+    f_ff = jax.jit(lambda x: DN.firefly_filter_p(x, 8.0))
+    _ = f_ff(hdr)
+    out["firefly"] = _time(f_ff, hdr, reps=reps)
+    f_dn = jax.jit(lambda x, n, d, v: DN.atrous_denoise_p(x, n, d, v))
+    _ = f_dn(hdr, nrm, dep, val)
+    out["atrous"] = _time(f_dn, hdr, nrm, dep, val, reps=reps)
+    pos_img = gb[G.POS : G.POS + 3].reshape(3, h, w)
+    f_taa = jax.jit(
+        lambda x, p, v, d: TA.taa_resolve_p(x, x, p, v, camera, depth=d)
+    )
+    _ = f_taa(hdr, pos_img, val, dep)
+    out["taa"] = _time(f_taa, hdr, pos_img, val, dep, reps=reps)
+    f_post = jax.jit(
+        lambda x: PP.to_u8(
+            PP.srgb_encode(
+                PP.TONEMAPPERS_P[cfg.tonemapper](
+                    x * PP.histogram_exposure_p(x)
+                )
+            )
+        )
+    )
+    _ = f_post(hdr)
+    out["exposure_tonemap"] = _time(f_post, hdr, reps=reps)
+    return out
+
+
+def trace_frame(trace_dir: str, fn, *args):
+    """Run ``fn(*args)`` under a jax.profiler trace (op-level device times;
+    inspect with TensorBoard or Perfetto). Returns fn's result."""
+    with jax.profiler.trace(trace_dir):
+        out = fn(*args)
+        _sync(out)
+    return out
