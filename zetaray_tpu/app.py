@@ -34,9 +34,10 @@ def _register_params(cfg_holder):
 
     add_param("Renderer", "General", "Mode", "enum", cfg_holder[0].mode,
               choices=("pt", "restir_di", "restir_gi"), on_change=upd("mode"))
+    from .ops.post import TONEMAPPERS_P
+
     add_param("Renderer", "General", "Tonemapper", "enum", cfg_holder[0].tonemapper,
-              choices=("none", "neutral", "agx", "agx_golden", "agx_punchy"),
-              on_change=upd("tonemapper"))
+              choices=tuple(TONEMAPPERS_P), on_change=upd("tonemapper"))
     add_param("Renderer", "General", "AutoExposure", "bool",
               cfg_holder[0].auto_exposure, on_change=upd("auto_exposure"))
     add_param("Renderer", "Post", "FireflyFactor", "float",
@@ -107,6 +108,10 @@ def main(argv=None):
     parser.add_argument("--tonemap", default=None,
                         help="override tonemapper (none|neutral|agx|"
                              "agx_golden|agx_punchy|tony)")
+    parser.add_argument("--gui", type=int, default=None, metavar="PORT",
+                        help="serve the interactive viewer/editor (GuiPass "
+                             "analog) on this port instead of writing "
+                             "frames; 0 = ephemeral port")
     parser.add_argument("--outline", default=None, metavar="NAME",
                         help="Sobel-outline the named instance in the "
                              "output (restir modes; Display.cpp picked "
@@ -135,6 +140,26 @@ def main(argv=None):
         denoise=args.denoise,
         **({"tonemapper": args.tonemap} if args.tonemap else {}),
     )
+    if args.gui is not None:
+        # interactive viewer/editor (reference: GuiPass + imgui dock)
+        from .gui import Viewer, make_server
+
+        viewer = Viewer(
+            args.scene, cfg,
+            eye=tuple(float(v) for v in args.eye.split(",")),
+            target=tuple(float(v) for v in args.target.split(",")),
+            fov_deg=args.fov,
+        )
+        server = make_server(viewer, args.gui)
+        port = server.server_address[1]
+        log.info(f"viewer at http://127.0.0.1:{port}/ (ctrl-C to stop)")
+        viewer.run_in_thread()
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            viewer.stop()
+        return
+
     cfg_holder = [cfg]
     _register_params(cfg_holder)
 

@@ -1,0 +1,222 @@
+"""Viewer render loop: frames in, control state out.
+
+The reference couples its editor to the frame loop through AppData (params
+applied once per frame as tasks, pick requests forwarded to SceneCore,
+camera driven by input events -- Win32App.cpp:609-646). Same shape here:
+the HTTP server only mutates ``ViewerState`` under its lock; the render
+thread applies pending params / picks / camera deltas at each frame
+boundary and publishes the encoded viewport + stats back.
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class ViewerState:
+    """Shared state between the render thread and the HTTP server."""
+
+    lock: threading.Lock = field(default_factory=threading.Lock)
+    png: bytes = b""
+    frame_index: int = 0
+    stats: dict = field(default_factory=dict)
+    pass_times: dict = field(default_factory=dict)  # per-pass ms (on demand)
+    pick_req: tuple | None = None  # (px, py) pending pick
+    pick_result: dict | None = None
+    picked_instance: int = -1
+    cam_delta: list = field(default_factory=lambda: [0.0, 0.0, 0.0])  # yaw, pitch, dolly
+    running: bool = True
+    profile_req: bool = False
+
+    def publish(self, png: bytes, stats: dict):
+        with self.lock:
+            self.png = png
+            self.frame_index += 1
+            self.stats = stats
+
+
+class Viewer:
+    """Owns the scene + frame loop; drive with ``run(frames=None)``.
+
+    ``frames=None`` loops until ``state.running`` is cleared (ctrl-C or
+    POST /api/quit); an integer renders that many frames then returns
+    (used by tests and --gui-frames).
+    """
+
+    def __init__(self, scene_path, cfg, eye=(0, 1.0, 3.5), target=(0, 1.0, 0.0),
+                 fov_deg=45.0, textures=True):
+        import jax
+
+        from ..ops.pathtracer import PTConfig  # noqa: F401 (re-export convenience)
+        from ..scene import Camera, load_gltf, load_scene, upload_scene
+
+        self.jax = jax
+        doc = load_gltf(scene_path)
+        self.cpu = load_scene(doc)
+        self.scene = upload_scene(self.cpu)
+        self.textures = None
+        if textures:
+            from ..scene.textures import load_scene_textures
+
+            self.textures = load_scene_textures(self.cpu) or None
+        self.cfg_holder = [cfg]
+        self.eye = np.asarray(eye, np.float64)
+        self.target = np.asarray(target, np.float64)
+        self.fov = fov_deg
+        self.state = ViewerState()
+        self._frame_state = None
+        self._register_params()
+
+    # -- params ------------------------------------------------------------
+
+    def _register_params(self):
+        from ..app import _register_params
+
+        _register_params(self.cfg_holder)
+
+    # -- camera ------------------------------------------------------------
+
+    def _camera(self, frame):
+        from ..scene import Camera
+
+        cfg = self.cfg_holder[0]
+        return Camera.look_at(
+            tuple(self.eye), tuple(self.target), vfov_deg=self.fov,
+            aspect=cfg.width / cfg.height,
+        ).with_jitter(frame)
+
+    def _apply_camera_delta(self, dyaw, dpitch, ddolly):
+        """Orbit eye around target (editor-style turntable) + dolly."""
+        rel = self.eye - self.target
+        r = float(np.linalg.norm(rel)) or 1e-6
+        yaw = math.atan2(rel[0], rel[2]) + dyaw
+        pitch = math.asin(np.clip(rel[1] / r, -1.0, 1.0)) + dpitch
+        pitch = float(np.clip(pitch, -1.45, 1.45))
+        r = float(np.clip(r * math.exp(ddolly), 0.05, 1e6))
+        self.eye = self.target + r * np.asarray(
+            [math.cos(pitch) * math.sin(yaw), math.sin(pitch),
+             math.cos(pitch) * math.cos(yaw)]
+        )
+
+    # -- pick --------------------------------------------------------------
+
+    def _do_pick(self, px, py, camera):
+        from ..render.picking import pick
+
+        cfg = self.cfg_holder[0]
+        px = int(np.clip(px, 0, cfg.width - 1))
+        py = int(np.clip(py, 0, cfg.height - 1))
+        res = pick(self.scene, self.cpu, camera, px, py, cfg.width, cfg.height)
+        with self.state.lock:
+            self.state.pick_result = {
+                "hit": res.hit, "tri": res.tri, "instance": res.instance,
+                "instance_name": res.instance_name, "material": res.material,
+                "t": res.t if res.t != float("inf") else -1.0,
+                "position": list(res.position),
+            }
+            # toggle: picking the same instance again clears the outline
+            self.state.picked_instance = (
+                -1 if self.state.picked_instance == res.instance else res.instance
+            )
+
+    # -- main loop ---------------------------------------------------------
+
+    def render_one(self, i):
+        """Render frame ``i`` and publish it. Returns the ldr array."""
+        import jax
+
+        from ..render import render_frame_jit
+        from ..render.frame import render_frame_restir_jit
+        from ..utils.params import registry
+        from ..utils.png import encode_png
+        from ..utils.stats import stats
+
+        st = self.state
+        with st.lock:
+            dyaw, dpitch, ddolly = st.cam_delta
+            st.cam_delta = [0.0, 0.0, 0.0]
+            pick_req = st.pick_req
+            st.pick_req = None
+            profile_req = st.profile_req
+            st.profile_req = False
+        if dyaw or dpitch or ddolly:
+            self._apply_camera_delta(dyaw, dpitch, ddolly)
+        registry.apply_pending()
+        cfg = self.cfg_holder[0]
+        cam = self._camera(i)
+        if pick_req is not None:
+            self._do_pick(pick_req[0], pick_req[1], cam)
+        if profile_req:
+            from ..render.profile import time_passes
+
+            try:
+                times = time_passes(self.scene, cam, cfg, reps=5)
+            except Exception as e:  # pragma: no cover - diagnostics only
+                times = {"error": str(e)}
+            with st.lock:
+                st.pass_times = times
+
+        stats.begin_frame()
+        key = jax.random.PRNGKey(i)
+        restir = (
+            cfg.mode in ("restir_di", "restir_gi", "restir_pt")
+            and self.scene.num_emissives > 0
+        )
+        if restir:
+            out, self._frame_state = render_frame_restir_jit(
+                self.scene, cam, key, cfg, self._frame_state, self.textures
+            )
+        else:
+            out = render_frame_jit(self.scene, cam, key, cfg)
+        ldr = out["ldr"]
+        picked = self.state.picked_instance
+        if picked >= 0 and restir and self._frame_state is not None:
+            import jax.numpy as jnp
+
+            from ..accel.megakernel import G
+            from ..ops.post import picked_outline_p
+
+            gb = self._frame_state.gbuf
+            if gb.shape[1] == cfg.width * cfg.height:
+                ldr_p = jnp.moveaxis(ldr.astype(jnp.float32), -1, 0)
+                inst_img = gb[G.INST].reshape(cfg.height, cfg.width)
+                ldr = jnp.moveaxis(
+                    picked_outline_p(ldr_p / 255.0, inst_img, picked) * 255.0,
+                    0, -1,
+                ).astype(jnp.uint8)
+        ldr = np.asarray(ldr)
+        dt = stats.end_frame()
+        self.state.publish(
+            encode_png(ldr),
+            {
+                "frame_ms": dt * 1000.0, "fps": stats.fps, "frame": i,
+                "mode": cfg.mode, "width": cfg.width, "height": cfg.height,
+                "tris": self.cpu.num_tris,
+                "emissives": len(self.cpu.emissive_tris),
+                "eye": [round(float(v), 4) for v in self.eye],
+                "history_ms": [
+                    round(t * 1000.0, 2) for t in stats._frame_times
+                ],
+            },
+        )
+        return ldr
+
+    def run(self, frames=None):
+        i = 0
+        while self.state.running and (frames is None or i < frames):
+            self.render_one(i)
+            i += 1
+
+    def run_in_thread(self, frames=None):
+        t = threading.Thread(target=self.run, kwargs={"frames": frames}, daemon=True)
+        t.start()
+        return t
+
+    def stop(self):
+        self.state.running = False

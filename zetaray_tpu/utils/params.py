@@ -73,11 +73,21 @@ class ParamRegistry:
             self._pending.append((path, value))
 
     def apply_pending(self) -> int:
+        """Apply queued sets; a bad value is logged and dropped so a remote
+        caller can never kill the frame loop (the reference clamps/ignores
+        malformed param messages the same way)."""
         with self._lock:
             pending, self._pending = self._pending, []
+        applied = 0
         for path, value in pending:
-            self.set(path, value)
-        return len(pending)
+            try:
+                self.set(path, value)
+                applied += 1
+            except (KeyError, ValueError, TypeError) as e:
+                from . import log
+
+                log.warning(f"param set {path}={value!r} rejected: {e}")
+        return applied
 
     def set(self, path: str, value: Any) -> None:
         p = self.get(path)

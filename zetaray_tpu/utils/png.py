@@ -12,8 +12,8 @@ import zlib
 import numpy as np
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """img: [H, W, 3|4] uint8."""
+def encode_png(img: np.ndarray) -> bytes:
+    """img: [H, W, 3|4] uint8 -> PNG file bytes."""
     img = np.ascontiguousarray(img)
     assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] in (3, 4)
     h, w, c = img.shape
@@ -24,11 +24,18 @@ def write_png(path: str, img: np.ndarray) -> None:
         body = tag + data
         return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
 
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: [H, W, 3|4] uint8."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png(img))
 
 
 def read_png(path: str) -> np.ndarray:
