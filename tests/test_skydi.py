@@ -133,8 +133,13 @@ def test_spatial_and_temporal_reuse(floor_scene, sky):
     cfg = SD.SkyDIConfig()
     res = SD.initial_candidates(gb, sky, 7, cfg)
     m0 = np.asarray(res[10])
-    # temporal: merge the same reservoirs (static camera)
-    res_t = SD.temporal_reuse(res, res, gb, gb, cam, 16, 16, 8, cfg, sky)
+    # temporal: merge the same reservoirs (static camera); prev planes are
+    # the PACKED temporal G-buffer
+    from zetaray_tpu.ops.gbuffer_pack import pack_temporal
+
+    res_t = SD.temporal_reuse(
+        res, res, pack_temporal(gb), gb, cam, 16, 16, 8, cfg, sky
+    )
     m1 = np.asarray(res_t[10])
     assert (m1 >= m0 - 1e-5).all() and m1.mean() > m0.mean() * 1.5
     res_s = SD.spatial_reuse(res_t, gb, 16, 16, 9, cfg)

@@ -253,7 +253,7 @@ def main(argv=None):
             # picked-object outline (Display.cpp:358-398 Sobel pass)
             import jax.numpy as jnp
 
-            from .accel.megakernel import G
+            from .ops.gbuffer_pack import TG
             from .ops.post import picked_outline_p
 
             names = [n for n in cpu.inst_names if args.outline in n]
@@ -262,7 +262,7 @@ def main(argv=None):
                 ldr_p = jnp.moveaxis(out["ldr"].astype(jnp.float32), -1, 0)
                 n_gb = state.gbuf.shape[1]
                 if n_gb == ldr_p.shape[1] * ldr_p.shape[2]:
-                    inst_img = state.gbuf[G.INST].reshape(ldr_p.shape[1:])
+                    inst_img = state.gbuf[TG.INST].reshape(ldr_p.shape[1:])
                     out["ldr"] = jnp.moveaxis(
                         picked_outline_p(ldr_p / 255.0, inst_img, pid) * 255.0,
                         0, -1,

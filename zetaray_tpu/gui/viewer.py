@@ -179,13 +179,13 @@ class Viewer:
         if picked >= 0 and restir and self._frame_state is not None:
             import jax.numpy as jnp
 
-            from ..accel.megakernel import G
+            from ..ops.gbuffer_pack import TG
             from ..ops.post import picked_outline_p
 
             gb = self._frame_state.gbuf
             if gb.shape[1] == cfg.width * cfg.height:
                 ldr_p = jnp.moveaxis(ldr.astype(jnp.float32), -1, 0)
-                inst_img = gb[G.INST].reshape(cfg.height, cfg.width)
+                inst_img = gb[TG.INST].reshape(cfg.height, cfg.width)
                 ldr = jnp.moveaxis(
                     picked_outline_p(ldr_p / 255.0, inst_img, picked) * 255.0,
                     0, -1,

@@ -421,16 +421,22 @@ def temporal_reuse(
     ey = jnp.clip(ey, 0, prev_rows - 1)
     idx = ey * width + ix
 
+    from .gbuffer_pack import depth_valid, unpack_normal
+
     prev_r = _gather_rows(prev_res, idx)
+    # ``prev_gbuf`` is the PACKED temporal G-buffer (ops.gbuffer_pack: the
+    # reference's oct16-snorm normal + R32F depth planes) -- 3 gathered rows
+    # instead of 40, and the same quantized values the reference's temporal
+    # kernel reads.
     prev_g = _gather_rows(prev_gbuf, idx)
-    # reuse validity: geometry agreement with the reprojected prev pixel
-    ns_prev = v3.from_rows(prev_g, G.NS)
-    depth_prev = prev_g[G.DEPTH]
+    nx, ny, nz = unpack_normal(prev_g)
+    ns_prev = V3(nx, ny, nz)
+    depth_prev, prev_valid = depth_valid(prev_g)
     depth_ok = jnp.abs(depth_prev - depth_prev_est) < (
         cfg.depth_tolerance * jnp.maximum(depth_prev_est, 1e-3)
     )
     normal_ok = v3.dot(ns, ns_prev) > cfg.normal_tolerance
-    ok = inside & depth_ok & normal_ok & (prev_g[G.VALID] > 0.5) & valid
+    ok = inside & depth_ok & normal_ok & prev_valid & valid
     prev_r = prev_r.at[10].set(jnp.where(ok, prev_r[10], 0.0))
     prev_r = prev_r.at[11].set(jnp.where(ok, prev_r[11], 0.0))
 

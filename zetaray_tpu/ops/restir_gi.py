@@ -231,12 +231,12 @@ def temporal_reuse(
     ey = jnp.clip(ey, 0, prev_rows - 1)
     idx = ey * width + ix
     prev_r = jnp.take(prev_res, idx, axis=1)
+    # prev_gbuf is the PACKED temporal G-buffer (ops.gbuffer_pack)
+    from .gbuffer_pack import temporal_geom_ok
+
     prev_g = jnp.take(prev_gbuf, idx, axis=1)
-    ok = (
-        inside
-        & (jnp.abs(prev_g[G.DEPTH] - depth_est) < cfg.depth_tolerance * jnp.maximum(depth_est, 1e-3))
-        & (v3.dot(ns, v3.from_rows(prev_g, G.NS)) > cfg.normal_tolerance)
-        & (prev_g[G.VALID] > 0.5)
+    ok = inside & temporal_geom_ok(
+        prev_g, ns, depth_est, cfg.depth_tolerance, cfg.normal_tolerance
     )
     prev_r = prev_r.at[10].set(jnp.where(ok, prev_r[10], 0.0))
     prev_r = prev_r.at[11].set(jnp.where(ok, prev_r[11], 0.0))

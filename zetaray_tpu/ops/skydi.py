@@ -180,14 +180,12 @@ def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height,
     )
     nidx = iy * width + ix
     nb = _gather_rows(prev_res, nidx)
+    # prev_gbuf is the PACKED temporal G-buffer (ops.gbuffer_pack)
+    from .gbuffer_pack import temporal_geom_ok
+
     nb_g = _gather_rows(prev_gbuf, nidx)
-    depth_prev = nb_g[G.DEPTH]
-    ok = (
-        inside & valid
-        & (jnp.abs(depth_prev - depth_est)
-           < cfg.depth_tolerance * jnp.maximum(depth_est, 1e-3))
-        & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
-        & (nb_g[G.VALID] > 0.5)
+    ok = inside & valid & temporal_geom_ok(
+        nb_g, ns, depth_est, cfg.depth_tolerance, cfg.normal_tolerance
     )
     wi_b = v3.from_rows(nb, 0)
     le_b = v3.from_rows(nb, 3)

@@ -104,7 +104,10 @@ class FrameState(NamedTuple):
 
     reservoirs: jnp.ndarray  # [R_ROWS, N] DI reservoirs
     gi_reservoirs: jnp.ndarray  # [R_ROWS, N] GI reservoirs (zeros if unused)
-    gbuf: jnp.ndarray  # [G.ROWS, N]
+    # PACKED temporal G-buffer planes (ops.gbuffer_pack.TG): oct16-snorm
+    # normal + R32F depth + instance id -- the reference's packed plane
+    # formats, 13x smaller than the 40-row shading G-buffer
+    gbuf: jnp.ndarray  # [TG.ROWS, N]
     camera_prev: object  # Camera pytree
     history: jnp.ndarray  # [H, W, 3] TAA color history (HDR)
     sky_reservoirs: object = None  # [16, N] SkyDI direction reservoirs
@@ -590,9 +593,11 @@ def render_frame_restir(
     # Temporal feedback stores the *pre-spatial* reservoirs (the reference
     # feeds the temporal reservoirs forward, DirectLighting.cpp); the TAA
     # history stays planar [3, h, w].
+    from ..ops.gbuffer_pack import pack_temporal
+
     new_state = FrameState(
-        reservoirs=res, gi_reservoirs=gi_res, gbuf=gb, camera_prev=camera,
-        history=hdr, sky_reservoirs=sky_res_new,
+        reservoirs=res, gi_reservoirs=gi_res, gbuf=pack_temporal(gb),
+        camera_prev=camera, history=hdr, sky_reservoirs=sky_res_new,
     )
     # external contract: channel-last [H, W, 3] images
     return {"hdr": hdr.transpose(1, 2, 0), "ldr": ldr.transpose(1, 2, 0)}, new_state

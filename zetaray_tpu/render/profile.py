@@ -93,13 +93,16 @@ def time_passes(scene, camera, cfg, key=None, reps: int = 10) -> dict:
     res = f_init(gb, lsets, seed)
     out["di_initial"] = _time(f_init, gb, lsets, seed, reps=reps)
 
+    from ..ops.gbuffer_pack import pack_temporal
+
+    tg = jax.jit(pack_temporal)(gb)  # prev-frame planes are packed
     f_temp = jax.jit(
-        lambda r, g, s: RD.temporal_reuse(
-            r, r, g, g, camera, w, h, s, cfg.restir, trans=trans, coat=coat
+        lambda r, tg, g, s: RD.temporal_reuse(
+            r, r, tg, g, camera, w, h, s, cfg.restir, trans=trans, coat=coat
         )
     )
-    res_t = f_temp(res, gb, seed)
-    out["di_temporal"] = _time(f_temp, res, gb, seed, reps=reps)
+    res_t = f_temp(res, tg, gb, seed)
+    out["di_temporal"] = _time(f_temp, res, tg, gb, seed, reps=reps)
 
     f_vis = jax.jit(lambda sc, r, g: RD.visibility_reuse(sc, r, g))
     _ = f_vis(scene, res_t, gb)
@@ -137,13 +140,13 @@ def time_passes(scene, camera, cfg, key=None, reps: int = 10) -> dict:
         gi = f_gi0(scene, gb, key, seed)
         out["gi_initial"] = _time(f_gi0, scene, gb, key, seed, reps=reps)
         f_git = jax.jit(
-            lambda r, g, s: RG.temporal_reuse(
-                r, r, g, g, camera, w, h, s, cfg.restir_gi,
+            lambda r, tg, g, s: RG.temporal_reuse(
+                r, r, tg, g, camera, w, h, s, cfg.restir_gi,
                 trans=trans, coat=coat,
             )
         )
-        _ = f_git(gi, gb, seed)
-        out["gi_temporal"] = _time(f_git, gi, gb, seed, reps=reps)
+        _ = f_git(gi, tg, gb, seed)
+        out["gi_temporal"] = _time(f_git, gi, tg, gb, seed, reps=reps)
         f_gis = jax.jit(
             lambda r, g, s: RG.spatial_reuse(
                 r, g, w, h, s, cfg.restir_gi, trans=trans, coat=coat

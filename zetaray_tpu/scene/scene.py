@@ -181,10 +181,18 @@ def load_scene(path) -> CpuScene:
     mat_id = cat(mids, np.int32)
     materials = _materials_soa(mats)
     em_mask = materials.emissive[mat_id].max(axis=-1) > 0.0
+    # Vertex quantization: round-trip normals through oct16 snorm and uvs
+    # through half2 -- the reference's packed Vertex format (Mesh.h Vertex,
+    # encoded on import), so shading sees the same quantized values its
+    # kernels do. scene.packed.pack_vertex_buffer is the at-rest layout.
+    from .packed import quantize_normals, quantize_uvs
+
+    qn = lambda xs: quantize_normals(cat(xs))
+    qu = lambda xs: quantize_uvs(cat(xs))
     return CpuScene(
         v0=cat(v0s), v1=cat(v1s), v2=cat(v2s),
-        n0=cat(n0s), n1=cat(n1s), n2=cat(n2s),
-        uv0=cat(uv0s), uv1=cat(uv1s), uv2=cat(uv2s),
+        n0=qn(n0s), n1=qn(n1s), n2=qn(n2s),
+        uv0=qu(uv0s), uv1=qu(uv1s), uv2=qu(uv2s),
         mat_id=mat_id,
         inst_id=cat(iids, np.int32),
         inst_names=inst_names,
