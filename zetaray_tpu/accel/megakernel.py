@@ -49,7 +49,51 @@ NS = 64  # number of presampled sets
 
 
 def _tri_hits_soa(w, o: V3, d: V3, t_min, t_max, tc):
-    """w: [4, 3, tc] Woop chunk; o/d: V3 of [rt]. Returns ([tc, rt] ...)"""
+    """w: [4, 3, tc] Woop chunk; o/d: V3 of [rt]. Returns ([tc, rt] ...).
+
+    Two lowerings, A/B-measured on v5e at 512^2:
+      - broadcast FMAs on the VPU (default): 9.9 ms/full bounce;
+      - the Woop transform as two [3*tc, 4] x [4, rt] MXU dot_generals
+        (ZETARAY_WOOP_MXU=1): 3.5x faster on an ISOLATED closest-hit
+        kernel, but 10.4 ms inside the full bounce kernel -- the in-kernel
+        [4,3,tc] transpose + extra VMEM pressure costs more than the MXU
+        saves once the kernel is shading-bound. Kept selectable for
+        intersection-bound workloads (accel.stream large scenes)."""
+    import os
+
+    if not os.environ.get("ZETARAY_WOOP_MXU"):
+        return _tri_hits_vpu(w, o, d, t_min, t_max, tc)
+    rt = o.x.shape[0]
+    A = w.transpose(1, 2, 0).reshape(3 * tc, 4)
+    O = jnp.concatenate(
+        [o.x[None], o.y[None], o.z[None], jnp.ones((1, rt))], axis=0
+    )
+    D = jnp.concatenate(
+        [d.x[None], d.y[None], d.z[None], jnp.zeros((1, rt))], axis=0
+    )
+    dims = (((1,), (0,)), ((), ()))
+    LO = jax.lax.dot_general(
+        A, O, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    LD = jax.lax.dot_general(
+        A, D, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    ou, ov, ow = LO[:tc], LO[tc : 2 * tc], LO[2 * tc :]
+    du, dv, dw = LD[:tc], LD[tc : 2 * tc], LD[2 * tc :]
+    par = jnp.abs(dw) < 1e-12
+    t = -ow / jnp.where(par, 1.0, dw)
+    u = ou + t * du
+    v = ov + t * dv
+    valid = (
+        (~par) & (t > t_min) & (t < t_max) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    )
+    return jnp.where(valid, t, INF), u, v
+
+
+def _tri_hits_vpu(w, o: V3, d: V3, t_min, t_max, tc):
+    """Broadcast-FMA (VPU) form of _tri_hits_soa, kept for A/B timing."""
 
     def row(r):
         lo = (
