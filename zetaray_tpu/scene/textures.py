@@ -157,6 +157,11 @@ def load_scene_textures(cpu_scene) -> dict:
     mats = cpu_scene.materials
     paths = cpu_scene.texture_paths or []
     out = {"ids": {}}
+    # decoded-texture dedup (the reference's TexSRV ref-counted cache,
+    # SceneCore asset containers): two texture slots or material entries
+    # referencing the same image share one decoded device copy per
+    # colorspace -- keyed (path, srgb) since sRGB decode changes texels
+    cache: dict = {}
     for slot, attr, srgb in _SLOTS:
         ids = getattr(mats, attr, None)
         if ids is None:
@@ -165,9 +170,15 @@ def load_scene_textures(cpu_scene) -> dict:
         table = {}
         for i in sorted(set(int(x) for x in ids if int(x) >= 0)):
             if i < len(paths) and paths[i]:
-                mips = load_texture(paths[i], srgb=srgb)
-                if mips is not None:
-                    table[i] = [jnp.asarray(m) for m in mips]
+                key = (str(paths[i]), bool(srgb))
+                if key not in cache:
+                    mips = load_texture(paths[i], srgb=srgb)
+                    cache[key] = (
+                        [jnp.asarray(m) for m in mips]
+                        if mips is not None else None
+                    )
+                if cache[key] is not None:
+                    table[i] = cache[key]
         out[slot] = table
     return out
 
