@@ -138,6 +138,25 @@ def test_camera_orbit(gui):
     assert np.allclose(viewer.target, (0, 1.0, 0.0))
 
 
+def test_hot_reload(gui):
+    """The dxc-shader-reload analog: POST /api/reload re-imports the op
+    modules + drops jit traces at the next frame boundary; rendering after
+    the reload is bit-identical for the same seeds (nothing changed on
+    disk), and temporal state is reset."""
+    viewer, port = gui
+    before = np.asarray(viewer.render_one(20))
+    viewer._frame_state = object()  # sentinel: must be cleared by reload
+    status, resp = _post(port, "/api/reload", {})
+    assert resp["ok"]
+    after = np.asarray(viewer.render_one(20))
+    status, body, _ = _get(port, "/api/reload_result")
+    reloaded = json.loads(body)["reloaded"]
+    assert "zetaray_tpu.render.frame" in reloaded
+    assert "zetaray_tpu.ops.shading_soa" in reloaded
+    assert viewer._frame_state is None  # sentinel cleared (pt mode leaves it)
+    np.testing.assert_array_equal(before, after)
+
+
 def test_profile_endpoint_queued(gui):
     viewer, port = gui
     status, resp = _post(port, "/api/profile", {})

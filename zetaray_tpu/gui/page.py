@@ -68,7 +68,9 @@ PAGE = r"""<!doctype html>
   <button onclick="toggleGraph()">Show DOT</button>
   <pre id="graph" style="display:none"></pre>
   <h2>Session</h2>
+  <button onclick="hotReload()">Hot reload ops</button>
   <button onclick="fetch('/api/quit',{method:'POST',body:'{}'})">Quit</button>
+  <div id="reloadinfo" class="dim"></div>
 </div>
 <script>
 const $ = s => document.querySelector(s);
@@ -210,6 +212,15 @@ async function reqProfile() {
     $('#passes').innerHTML = ''; $('#passes').appendChild(tab);
   };
   setTimeout(poll, 1500);
+}
+
+async function hotReload() {
+  $('#reloadinfo').textContent = 'reloading + re-jitting…';
+  await fetch('/api/reload', {method:'POST', body:'{}'});
+  setTimeout(async () => {
+    const r = await (await fetch('/api/reload_result')).json();
+    $('#reloadinfo').textContent = `reloaded ${r.reloaded.length} modules`;
+  }, 2500);
 }
 
 async function toggleGraph() {

@@ -86,6 +86,9 @@ def make_server(viewer: Viewer, port: int = 0) -> ThreadingHTTPServer:
             elif self.path == "/api/pick":
                 with st.lock:
                     self._json(st.pick_result or {})
+            elif self.path == "/api/reload_result":
+                with st.lock:
+                    self._json({"reloaded": list(st.reload_result)})
             elif self.path == "/api/graph":
                 from ..render.graph import frame_dag
 
@@ -128,6 +131,12 @@ def make_server(viewer: Viewer, port: int = 0) -> ThreadingHTTPServer:
                 with st.lock:
                     st.profile_req = True
                 self._json({"ok": True, "note": "poll /api/pass_times"})
+            elif self.path == "/api/reload":
+                # hot reload (the reference's per-pass dxc reload button)
+                with st.lock:
+                    st.reload_req = True
+                self._json({"ok": True, "note": "reloads at next frame; "
+                                                "GET /api/reload_result"})
             elif self.path == "/api/quit":
                 viewer.stop()
                 self._json({"ok": True})

@@ -33,6 +33,8 @@ class ViewerState:
     cam_delta: list = field(default_factory=lambda: [0.0, 0.0, 0.0])  # yaw, pitch, dolly
     running: bool = True
     profile_req: bool = False
+    reload_req: bool = False  # hot reload (dxc-reload analog, gui.reload)
+    reload_result: list = field(default_factory=list)
 
     def publish(self, png: bytes, stats: dict):
         with self.lock:
@@ -145,6 +147,17 @@ class Viewer:
             st.pick_req = None
             profile_req = st.profile_req
             st.profile_req = False
+            reload_req = st.reload_req
+            st.reload_req = False
+        if reload_req:
+            # dxc-shader-reload analog: re-import the op modules, drop jit
+            # traces, reset temporal state (layouts may have changed)
+            from .reload import reload_ops
+
+            done = reload_ops()
+            self._frame_state = None
+            with st.lock:
+                st.reload_result = done
         if dyaw or dpitch or ddolly:
             self._apply_camera_delta(dyaw, dpitch, ddolly)
         registry.apply_pending()
