@@ -66,6 +66,29 @@ def main():
     _ = float(out["hdr"].sum())
     restir_ms = (time.time() - t0) / n * 1000.0
 
+    # -- ReSTIR PT (the reference's flagship integrator), fewer reps:
+    #    reported for parity, not the headline
+    try:
+        cfg_pt_mode = RenderConfig(
+            width=512, height=512, mode="restir_pt",
+            pt=PTConfig(max_bounces=3), denoise=True, taa=True,
+        )
+        state_pt = None
+        for i in range(3):
+            out_pt, state_pt = render_frame_restir_jit(
+                scene, cam, jax.random.PRNGKey(i), cfg_pt_mode, state_pt
+            )
+        _ = float(out_pt["hdr"].sum())
+        t0 = time.time()
+        for i in range(10):
+            out_pt, state_pt = render_frame_restir_jit(
+                scene, cam, jax.random.PRNGKey(20 + i), cfg_pt_mode, state_pt
+            )
+        _ = float(out_pt["hdr"].sum())
+        restir_pt_ms = round((time.time() - t0) / 10 * 1000.0, 3)
+    except Exception:
+        restir_pt_ms = None
+
     # -- plain PT (the round-1 metric, for cross-round comparison)
     cfg_pt = RenderConfig(width=512, height=512, pt=PTConfig(max_bounces=4))
     out = render_frame_jit(scene, cam, jax.random.PRNGKey(0), cfg_pt)
@@ -126,6 +149,7 @@ def main():
                     "pt_512_4bounce_ms": round(pt_ms, 3),
                     "primary_mrays_per_s": round(mrays, 1),
                     "restir_di_resample_ms": round(resample_ms, 3),
+                    "restir_pt_512_ms": restir_pt_ms,
                 },
             }
         )

@@ -43,3 +43,20 @@ np.savez_compressed(
     dst, ldr=np.asarray(out["ldr"]), hdr=np.asarray(out["hdr"]).astype(np.float32)
 )
 print("wrote", dst, "mean ldr", float(np.asarray(out["ldr"]).mean()))
+
+# second golden: pt mode + sun/sky + froxel volumetrics (the atmosphere path)
+from zetaray_tpu.ops.sky import SkyParams
+from zetaray_tpu.ops.volumetrics import VolumetricsConfig
+from zetaray_tpu.render.frame import render_frame_jit
+
+cfg2 = RenderConfig(
+    width=64, height=64, mode="pt",
+    pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.7, 0.2))),
+    volumetrics=VolumetricsConfig(),
+)
+out2 = render_frame_jit(sc, cam.with_jitter(0), jax.random.PRNGKey(0), cfg2)
+dst2 = Path(__file__).parent / "cornell_pt_sky_vol_64.npz"
+np.savez_compressed(
+    dst2, ldr=np.asarray(out2["ldr"]), hdr=np.asarray(out2["hdr"]).astype(np.float32)
+)
+print("wrote", dst2, "mean ldr", float(np.asarray(out2["ldr"]).mean()))

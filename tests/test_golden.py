@@ -14,6 +14,7 @@ import jax
 import pytest
 
 GOLDEN = Path(__file__).parent / "golden" / "cornell_restir_gi_64.npz"
+GOLDEN_SKY = Path(__file__).parent / "golden" / "cornell_pt_sky_vol_64.npz"
 
 
 def _render(cornell_dev):
@@ -47,4 +48,35 @@ def test_golden_image(cornell_dev):
     np.testing.assert_allclose(hdr, z["hdr"], atol=5e-3, rtol=1e-3)
     # LDR: at most a tiny fraction of pixels may differ by >1 step
     diff = np.abs(ldr.astype(np.int32) - z["ldr"].astype(np.int32))
+    assert (diff > 1).mean() < 0.005, (diff > 1).mean()
+
+
+def test_golden_pt_sky_volumetrics(cornell_dev):
+    """Second golden: pt mode + sun/sky + froxel inscattering (the
+    atmosphere path the restir golden doesn't touch)."""
+    if not GOLDEN_SKY.exists():
+        pytest.skip("golden missing")
+    from zetaray_tpu.ops.pathtracer import PTConfig
+    from zetaray_tpu.ops.sky import SkyParams
+    from zetaray_tpu.ops.volumetrics import VolumetricsConfig
+    from zetaray_tpu.render import RenderConfig
+    from zetaray_tpu.render.frame import render_frame_jit
+    from zetaray_tpu.scene import Camera
+
+    cam = Camera.look_at((0, 1, 3.5), (0, 1, 0), vfov_deg=45, aspect=1.0)
+    cfg = RenderConfig(
+        width=64, height=64, mode="pt",
+        pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.7, 0.2))),
+        volumetrics=VolumetricsConfig(),
+    )
+    out = render_frame_jit(
+        cornell_dev, cam.with_jitter(0), jax.random.PRNGKey(0), cfg
+    )
+    z = np.load(GOLDEN_SKY)
+    np.testing.assert_allclose(
+        np.asarray(out["hdr"]).astype(np.float32), z["hdr"], atol=5e-3, rtol=1e-3
+    )
+    diff = np.abs(
+        np.asarray(out["ldr"]).astype(np.int32) - z["ldr"].astype(np.int32)
+    )
     assert (diff > 1).mean() < 0.005, (diff > 1).mean()

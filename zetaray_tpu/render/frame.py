@@ -619,7 +619,7 @@ def render_frame(scene, camera, key, cfg: RenderConfig, shard_rays=None):
         from ..accel.megakernel import gbuffer
         from ..ops.volumetrics import apply_inscattering, build_froxels
 
-        gb = gbuffer(scene, o, d)
+        gb = gbuffer(scene, o, d, interpret=_on_cpu())
         froxels = build_froxels(scene, camera, cfg.pt.sky, cfg.volumetrics)
         hdr = apply_inscattering(hdr, gb, camera, froxels, cfg.volumetrics, w, h)
     ldr = _postprocess(hdr, cfg)
