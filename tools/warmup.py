@@ -46,18 +46,23 @@ def main(argv=None):
     s = args.size
 
     variants = []
-    for mode in ("pt", "restir_di", "restir_gi"):
+    for mode in ("pt", "restir_di", "restir_gi", "restir_pt"):
         variants.append(RenderConfig(width=s, height=s, mode=mode,
                                      pt=PTConfig(max_bounces=4)))
     variants.append(RenderConfig(width=s, height=s,
                                  pt=PTConfig(max_bounces=4, sky=SkyParams())))
     variants.append(RenderConfig(width=s, height=s, mode="restir_di",
                                  pt=PTConfig(max_bounces=4), denoise=True))
+    # the bench flagship shape: DI+GI + a-trous + TAA
+    variants.append(RenderConfig(width=s, height=s, mode="restir_gi",
+                                 pt=PTConfig(max_bounces=3), denoise=True,
+                                 taa=True))
 
     state_cache = {}
     for i, cfg in enumerate(variants):
         t0 = time.time()
-        if cfg.mode in ("restir_di", "restir_gi") and scene.num_emissives > 0:
+        if (cfg.mode in ("restir_di", "restir_gi", "restir_pt")
+                and scene.num_emissives > 0):
             out, st = render_frame_restir_jit(scene, cam, key, cfg, None)
             out["hdr"].block_until_ready()
             # also warm the steady (state != None) variant
