@@ -31,6 +31,37 @@ CORNELL_EMISSIVE = (
 )
 
 
+# Test tiers (reference CI discipline, .github/workflows/build.yml): the
+# fast tier (`-m "not slow"`) is the per-commit signal (~unit tests +
+# oracles + goldens-lite); the slow tier adds full-frame renders, the
+# multi-device mesh suite, and statistical convergence tests. Run all of
+# tests/ for the nightly-style full pass.
+_SLOW_MODULES = {
+    "test_banded_frame",
+    "test_cutout",
+    "test_golden",
+    "test_megakernel",
+    "test_parallel",
+    "test_pathtracer",
+    "test_restir_di",
+    "test_restir_gi",
+    "test_restir_pt",
+    "test_sky_integration",
+    "test_skydi",
+    "test_stream",
+    "test_temporal_motion",
+    "test_texturing",
+    "test_transmission",
+    "test_volumetrics",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)

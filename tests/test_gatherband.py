@@ -1,0 +1,83 @@
+"""Banded gathers (core.gatherband) vs plain jnp.take."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zetaray_tpu.core.gatherband import pick_band_rows, take_rows
+
+
+def _mk(h, w, r, seed=0):
+    rng = np.random.default_rng(seed)
+    src = jnp.asarray(rng.standard_normal((r, h * w)), jnp.float32)
+    return src
+
+
+def test_plain_mode_matches_take():
+    h, w, r = 16, 32, 5
+    src = _mk(h, w, r)
+    idx = jnp.asarray(np.random.default_rng(1).integers(0, h * w, h * w))
+    vals, ok = take_rows(src, idx, width=w, height=h, band_rows=0)
+    np.testing.assert_array_equal(vals, jnp.take(src, idx, axis=1))
+    assert bool(ok.all())
+
+
+def test_banded_matches_take_within_halo():
+    h, w, r = 32, 16, 6
+    band, halo = 8, 8
+    src = _mk(h, w, r)
+    # offsets within +-halo rows of each destination pixel
+    rng = np.random.default_rng(2)
+    y = np.repeat(np.arange(h), w)
+    x = np.tile(np.arange(w), h)
+    dy = rng.integers(-halo, halo + 1, h * w)
+    dx = rng.integers(-w + 1, w, h * w)
+    ny = np.clip(y + dy, 0, h - 1)
+    nx = np.clip(x + dx, 0, w - 1)
+    idx = jnp.asarray(ny * w + nx)
+    vals, ok = take_rows(
+        src, idx, width=w, height=h, band_rows=band, halo_rows=halo
+    )
+    ref = jnp.take(src, idx, axis=1)
+    # everything within the halo window must match exactly and report ok
+    okn = np.asarray(ok)
+    assert okn.mean() > 0.95  # clamped rows stay in-window
+    np.testing.assert_array_equal(
+        np.asarray(vals)[:, okn], np.asarray(ref)[:, okn]
+    )
+
+
+def test_banded_flags_out_of_window():
+    h, w, r = 32, 16, 3
+    src = _mk(h, w, r)
+    # every pixel reads from row 0: bottom bands are out of window
+    idx = jnp.asarray(np.tile(np.arange(w), h))
+    vals, ok = take_rows(src, idx, width=w, height=h, band_rows=8, halo_rows=4)
+    okn = np.asarray(ok).reshape(h, w)
+    assert okn[:8].all()  # first band covers row 0 via its window
+    assert not okn[16:].any()  # far bands cannot see row 0
+    assert np.asarray(vals)[:, ~np.asarray(ok)].sum() == 0.0
+
+
+def test_banded_halo_extended_source():
+    """Sharded-style source: first source row is global row src_row0."""
+    h, w, r = 16, 8, 4
+    src_rows = h + 8
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.standard_normal((r, src_rows * w)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, src_rows * w, h * w))
+    vals, ok = take_rows(
+        src, idx, width=w, height=h, band_rows=8, halo_rows=12, src_row0=-4
+    )
+    ref = jnp.take(src, idx, axis=1)
+    okn = np.asarray(ok)
+    np.testing.assert_array_equal(
+        np.asarray(vals)[:, okn], np.asarray(ref)[:, okn]
+    )
+
+
+def test_pick_band_rows():
+    assert pick_band_rows(512, 512, 16) == 0  # 16 MB table: leave plain
+    b = pick_band_rows(1088, 1920, 16)
+    assert b > 0 and 1088 % b == 0

@@ -213,6 +213,81 @@ def test_shift_invalid_cases_zero_the_merge():
     )
 
 
+def test_replay_self_shift_is_identity(cornell_dev):
+    """Replaying a fresh path at its own generating pixel reproduces the
+    stored reconnection vertex exactly (same surface + same RNG stream ->
+    same prefix ray -> same closest hit), and the area-convention target
+    equals the folded target times the stored convention bridge PDFS3."""
+    from zetaray_tpu.accel.megakernel import gbuffer
+    from zetaray_tpu.core.rng import seed_from_key
+
+    cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=1.0)
+    w = h = 16
+    o, d = cam.generate_rays(w, h)
+    gb = gbuffer(cornell_dev, o, d, interpret=True)
+    key = jax.random.PRNGKey(3)
+    seed = seed_from_key(key)
+    cfg = RP.ReSTIRPTConfig()
+    res = RP.initial_samples(
+        cornell_dev, gb, key, PTConfig(max_bounces=3), seed, cfg
+    )
+    surf = RP._surf(gb)
+    # force every lane down the replay path
+    phat_r, w_factor, rows_r, ok_r = RP._replay_shift(cornell_dev, surf, res, cfg)
+    has3 = np.asarray(res[RP.PR.HAS3]) > 0.5
+    okn = np.asarray(ok_r) & has3
+    assert okn.sum() > 20  # cornell: most lanes have a second vertex
+    # replayed vertex == stored vertex on its own pixel
+    np.testing.assert_allclose(
+        np.asarray(rows_r[RP.PR.X : RP.PR.X + 3])[:, okn],
+        np.asarray(res[RP.PR.X : RP.PR.X + 3])[:, okn],
+        atol=1e-3,
+    )
+    # area target = folded target * p_A(x3|x2): the convention bridge
+    phat_folded, *_ = RP._phat_pt(surf, res, full=cfg.full_target)
+    lhs = np.asarray(phat_r)[okn]
+    rhs = (np.asarray(phat_folded) * np.asarray(res[RP.PR.PDFS3]))[okn]
+    pos_m = (rhs > 1e-10) & (lhs > 1e-10)
+    np.testing.assert_allclose(lhs[pos_m], rhs[pos_m], rtol=2e-2)
+    # Jacobian at the generating pixel is 1 -> w_factor = 1/PDFS3
+    wf = np.asarray(w_factor)[okn]
+    pdfs3 = np.asarray(res[RP.PR.PDFS3])[okn]
+    np.testing.assert_allclose(wf[pos_m] * pdfs3[pos_m], 1.0, rtol=2e-2)
+
+
+def test_replay_recovers_reuse_when_reconnection_invalid(setup):
+    """force_replay routes EVERY merge through replay + reconnect-at-x3;
+    the estimator must stay consistent with the PT oracle (reuse flows
+    exclusively through the replay shift)."""
+    scene, cam, _ = setup
+    cfg = RenderConfig(
+        width=20, height=20, mode="restir_pt",
+        pt=PTConfig(max_bounces=3),
+        restir_pt=RP.ReSTIRPTConfig(replay=True, force_replay=True),
+    )
+    state = None
+    acc = 0.0
+    n = 6
+    for i in range(n):
+        out, state = render_frame_restir(scene, cam, jax.random.PRNGKey(i), cfg, state)
+        h = np.asarray(out["hdr"])
+        assert np.isfinite(h).all() and (h >= 0).all()
+        acc += h.mean()
+    rp_mean = acc / n
+    ref = np.mean(
+        [
+            np.asarray(
+                render_frame(
+                    scene, cam, jax.random.PRNGKey(60 + i),
+                    RenderConfig(width=20, height=20, pt=PTConfig(max_bounces=3)),
+                )["hdr"]
+            )
+            for i in range(12)
+        ]
+    )
+    assert abs(rp_mean - ref) / ref < 0.2, (rp_mean, ref)
+
+
 def test_identity_shift_preserves_target():
     """Shifting a sample to its own generating pixel must reproduce the
     original target exactly (identity shift, Jacobian 1)."""

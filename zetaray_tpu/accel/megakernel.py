@@ -205,9 +205,21 @@ def _rng8(i, rt, bounce, seed, salt):
     return tuple(S.to_unit_float(x) for x in (*r0, *r1))
 
 
+def _ablate():
+    """Dev-only kernel bisection: ZETARAY_MK_SKIP=comma,separated,blocks
+    with blocks in {rng, sample, recon, occl, emit}. Perf diagnosis only --
+    never set in production paths."""
+    import os
+
+    return frozenset(
+        s for s in os.environ.get("ZETARAY_MK_SKIP", "").split(",") if s
+    )
+
+
 def _bounce_kernel(
     scal_ref, state_ref, woop_ref, attrsT_ref, lset_ref, out_ref,
     *, rt, tp, tc, cfg, last, has_lights, has_transmission, has_coat,
+    skip=frozenset(),
 ):
     i = pl.program_id(0)
     bounce = scal_ref[0, 0]
@@ -259,7 +271,7 @@ def _bounce_kernel(
     wo_dot_ng = -v3.dot(d, ng_raw)
 
     # -- emitted radiance with MIS
-    if has_lights:
+    if has_lights and "emit" not in skip:
         two_sided = at[A.DOUBLE] > 0.5
         vis_side = two_sided | (wo_dot_ng > 0.0)
         le = v3.from_rows(at, A.EMISS)
@@ -281,11 +293,14 @@ def _bounce_kernel(
     if not last:
         # -- surface reconstruction (SoA)
         w0 = 1.0 - bu - bv
-        ns = v3.normalize(
-            v3.from_rows(at, A.N0) * w0
-            + v3.from_rows(at, A.N1) * bu
-            + v3.from_rows(at, A.N2) * bv
-        )
+        if "recon" in skip:
+            ns = ng_raw
+        else:
+            ns = v3.normalize(
+                v3.from_rows(at, A.N0) * w0
+                + v3.from_rows(at, A.N1) * bu
+                + v3.from_rows(at, A.N2) * bv
+            )
         front = wo_dot_ng > 0.0
         sgn = jnp.where(front, 1.0, -1.0)
         ng = ng_raw * sgn
@@ -307,7 +322,11 @@ def _bounce_kernel(
         frame = S.make_frame(ns)
         wo_l = frame.to_local(-d)
 
-        u1, u2, u3, u4, u5, u6, u7, u8 = _rng8(i, rt, bounce, seed, jnp.uint32(0x9E37))
+        if "rng" in skip:
+            half = jnp.full((rt,), 0.5)
+            u1 = u2 = u3 = u4 = u5 = u6 = u7 = u8 = half
+        else:
+            u1, u2, u3, u4, u5, u6, u7, u8 = _rng8(i, rt, bounce, seed, jnp.uint32(0x9E37))
 
         # -- NEE against the tile's presampled light set
         if cfg.nee and has_lights:
@@ -341,7 +360,10 @@ def _bounce_kernel(
             if cfg.min_nee_bounce > 0:
                 candidate = candidate & (bounce >= cfg.min_nee_bounce)
             shadow_o = pos + ng * _EPS_RAY
-            occ = _occluded_soa(woop_ref, shadow_o, to_l, rt, tp, tc)
+            if "occl" in skip:
+                occ = jnp.zeros((rt,), jnp.float32) > 0.5
+            else:
+                occ = _occluded_soa(woop_ref, shadow_o, to_l, rt, tp, tc)
             vis = candidate & ~occ
             mis2 = S.power_heuristic(pdf_l_sa2, pdf_b)
             scale = cos_surf * mis2 / jnp.maximum(pdf_l_sa2, 1e-12)
@@ -382,7 +404,12 @@ def _bounce_kernel(
             )
 
         # -- BSDF sample
-        wi_l, wgt, pdf = S.bsdf_sample(mat, wo_l, u5, u6, u7)
+        if "sample" in skip:
+            wi_l = wo_l
+            wgt = V3(jnp.full((rt,), 0.8), jnp.full((rt,), 0.8), jnp.full((rt,), 0.8))
+            pdf = jnp.full((rt,), 1.0)
+        else:
+            wi_l, wgt, pdf = S.bsdf_sample(mat, wo_l, u5, u6, u7)
         wi_w2 = frame.to_world(wi_l)
         # reflected rays leave above the geometric surface, transmitted below
         # (and/or logic: Mosaic cannot select between i1 vectors)
@@ -642,7 +669,7 @@ def bounce_step(
     kernel = functools.partial(
         _bounce_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg, last=last,
         has_lights=has_lights, has_transmission=has_transmission,
-        has_coat=has_coat,
+        has_coat=has_coat, skip=_ablate(),
     )
     return pl.pallas_call(
         kernel,

@@ -1,0 +1,231 @@
+"""Packed reservoir encodings for reuse-path gathers.
+
+The reference stores its ReSTIR reservoirs in packed textures -- DI uses two
+RGBA32U planes (DirectLighting/DirectLighting.h:106-116), ReSTIR PT a
+7-texture set (IndirectLighting.h:303-340) -- and every temporal/spatial
+kernel reads the packed form directly. This module is the TPU counterpart:
+the merge-relevant reservoir fields quantized into uint32 rows (oct16 snorm
+normals, IEEE halfs, rgb8 factors -- core.packing, same encodings as the
+reference's Octahedral/half formats), so
+
+  * temporal/spatial gathers move 8 rows instead of 16 (DI/GI) and 12
+    instead of 32 (PT) -- the gather is the pass's dominant cost;
+  * banded windows (core.gatherband) fit 2x more rows in VMEM;
+  * the stored form matches the reference's quantization, per BASELINE's
+    "same packed formats" bar.
+
+Only the fields a *merge at another pixel* needs are packed: the running
+w_sum / phat of the destination pixel never travel, and every merge
+re-evaluates the candidate's target at the destination surface.
+
+Layouts (rows of one uint32 each; f32 values bitcast):
+
+DI / GI (8 rows):            PT (26 rows):
+  0-2  y_pos.xyz f32           0-2  x_rc.xyz f32
+  3    oct16(y_ng)             3    oct16(n_rc)
+  4    half2(le.xy)            4    half2(le.xy)
+  5    half(le.z)|two<<16      5    half2(le.z, dist)
+  6    W f32                   6    oct16(w_s)
+  7    M u16 | half(phat)<<16  7    half2(ls.xy)
+                               8    half2(ls.z, rough)
+                               9    rgb8(base)|metal8<<24
+                               10   W f32
+                               11   M u16
+                               12   srcpix u24 | has3<<24  (replay identity)
+                               13   srcseed u32
+                               14   pdfa f32
+                               15-17 x3.xyz f32
+                               18   oct16(n3)
+                               19   half2(le3.xy)
+                               20   half2(le3.z, r3)
+                               21   rgb8(b3)|m3_u8<<24
+                               22   oct16(ws3)
+                               23   half2(ls3.xy)
+                               24   half(ls3.z)
+                               25   pdfs3 f32
+
+(DI row 7 carries the sample's own target value for the pairwise-MIS
+spatial pass, which reads the neighbor's p_i(y_i) -- PairwiseMIS.hlsli.
+PT rows 12-25 carry the replay-shift state: the generating RNG identity
+must survive the packed round trip exactly, so srcpix/srcseed/pdfa/x3 are
+stored raw; the reference's RBuffers store the same replay state,
+IndirectLighting.h:303-340.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import packing as P
+
+DI_PACKED_ROWS = 8
+PT_PACKED_ROWS = 26
+_F16_MAX = 65504.0
+
+
+def _u32(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+
+
+def _f32(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.uint32), jnp.float32)
+
+
+def _h(x):
+    """f32 -> f16 bits (clamped to the finite f16 range)."""
+    return P.jax_f16_bits(jnp.clip(x, -_F16_MAX, _F16_MAX))
+
+
+def _h2(a, b):
+    """Two f32 rows -> one uint32 of finite-clamped halfs."""
+    return P.pack_f16x2(
+        jnp.clip(a, -_F16_MAX, _F16_MAX), jnp.clip(b, -_F16_MAX, _F16_MAX)
+    )
+
+
+def _oct_rows(x, y, z):
+    return P.oct_encode_u16x2(jnp.stack([x, y, z], -1))
+
+
+def _unoct_rows(p):
+    v = P.oct_decode_u16x2(p)
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
+def pack_di(res):
+    """[16, N] DI/GI reservoir rows -> [8, N] uint32 packed rows.
+
+    Works for restir_di (rows 12 = two_sided) and restir_gi (row 12 unused
+    there -- packing a junk flag is harmless since GI never reads it).
+    """
+    two = (res[12] > 0.5).astype(jnp.uint32)
+    return jnp.stack([
+        _u32(res[0]), _u32(res[1]), _u32(res[2]),
+        _oct_rows(res[3], res[4], res[5]),
+        _h2(res[6], res[7]),
+        _h(res[8]) | (two << 16),
+        _u32(res[11]),
+        jnp.clip(res[10], 0.0, 65535.0).astype(jnp.uint32)
+        | (_h(res[13]) << 16),
+    ], 0)
+
+
+def unpack_di(p, rows: int = 16):
+    """[8, N] packed -> [rows, N] f32 reservoir rows (w_sum/phat zeroed)."""
+    n = p.shape[1]
+    nx, ny, nz = _unoct_rows(p[3])
+    le_x, le_y = P.unpack_f16x2(p[4])
+    le_z = P.f16_bits_to_f32((p[5] & jnp.uint32(0xFFFF)).astype(jnp.uint16))
+    two = ((p[5] >> 16) & jnp.uint32(1)).astype(jnp.float32)
+    out = jnp.zeros((rows, n))
+    out = out.at[0].set(_f32(p[0])).at[1].set(_f32(p[1])).at[2].set(_f32(p[2]))
+    out = out.at[3].set(nx).at[4].set(ny).at[5].set(nz)
+    out = out.at[6].set(le_x).at[7].set(le_y).at[8].set(le_z)
+    out = out.at[10].set((p[7] & jnp.uint32(0xFFFF)).astype(jnp.float32))
+    out = out.at[11].set(_f32(p[6]))
+    out = out.at[12].set(two)
+    out = out.at[13].set(
+        P.f16_bits_to_f32(((p[7] >> 16) & jnp.uint32(0xFFFF)).astype(jnp.uint16))
+    )
+    return out
+
+
+def pack_pt(res):
+    """[PR.ROWS, N] ReSTIR PT reservoir -> [26, N] uint32 packed rows."""
+    from .restir_pt import PR
+
+    def rgb8m(base3, metal):
+        return P.pack_rgb8(jnp.stack(base3, -1)) | (
+            jnp.round(jnp.clip(metal, 0.0, 1.0) * 255.0).astype(jnp.uint32)
+            << 24
+        )
+
+    srcpix = jnp.clip(res[PR.SRCPIX], 0.0, float((1 << 24) - 1)).astype(jnp.uint32)
+    has3 = (res[PR.HAS3] > 0.5).astype(jnp.uint32)
+    return jnp.stack([
+        _u32(res[PR.X]), _u32(res[PR.X + 1]), _u32(res[PR.X + 2]),
+        _oct_rows(res[PR.N], res[PR.N + 1], res[PR.N + 2]),
+        _h2(res[PR.LE], res[PR.LE + 1]),
+        _h2(res[PR.LE + 2], res[PR.DIST]),
+        _oct_rows(res[PR.WS], res[PR.WS + 1], res[PR.WS + 2]),
+        _h2(res[PR.LS], res[PR.LS + 1]),
+        _h2(res[PR.LS + 2], res[PR.ROUGH]),
+        rgb8m((res[PR.BASE], res[PR.BASE + 1], res[PR.BASE + 2]),
+              res[PR.METAL]),
+        _u32(res[PR.W]),
+        jnp.clip(res[PR.M], 0.0, 65535.0).astype(jnp.uint32),
+        srcpix | (has3 << 24),
+        jax.lax.bitcast_convert_type(res[PR.SRCSEED], jnp.uint32),
+        _u32(res[PR.PDFA]),
+        _u32(res[PR.X3]), _u32(res[PR.X3 + 1]), _u32(res[PR.X3 + 2]),
+        _oct_rows(res[PR.N3], res[PR.N3 + 1], res[PR.N3 + 2]),
+        _h2(res[PR.LE3], res[PR.LE3 + 1]),
+        _h2(res[PR.LE3 + 2], res[PR.R3]),
+        rgb8m((res[PR.B3], res[PR.B3 + 1], res[PR.B3 + 2]), res[PR.M3]),
+        _oct_rows(res[PR.WS3], res[PR.WS3 + 1], res[PR.WS3 + 2]),
+        _h2(res[PR.LS3], res[PR.LS3 + 1]),
+        _h(res[PR.LS3 + 2]),
+        _u32(res[PR.PDFS3]),
+    ], 0)
+
+
+def unpack_pt(p):
+    """[26, N] packed -> [PR.ROWS, N] f32 rows (w_sum/phat zeroed)."""
+    from .restir_pt import PR
+
+    n = p.shape[1]
+    nx, ny, nz = _unoct_rows(p[3])
+    le_x, le_y = P.unpack_f16x2(p[4])
+    le_z, dist = P.unpack_f16x2(p[5])
+    wx, wy, wz = _unoct_rows(p[6])
+    ls_x, ls_y = P.unpack_f16x2(p[7])
+    ls_z, rough = P.unpack_f16x2(p[8])
+    base = P.unpack_rgb8(p[9])
+    metal = ((p[9] >> 24) & jnp.uint32(0xFF)).astype(jnp.float32) / 255.0
+    out = jnp.zeros((PR.ROWS, n))
+    out = out.at[PR.X].set(_f32(p[0])).at[PR.X + 1].set(_f32(p[1]))
+    out = out.at[PR.X + 2].set(_f32(p[2]))
+    out = out.at[PR.N].set(nx).at[PR.N + 1].set(ny).at[PR.N + 2].set(nz)
+    out = out.at[PR.LE].set(le_x).at[PR.LE + 1].set(le_y)
+    out = out.at[PR.LE + 2].set(le_z)
+    out = out.at[PR.WS].set(wx).at[PR.WS + 1].set(wy).at[PR.WS + 2].set(wz)
+    out = out.at[PR.LS].set(ls_x).at[PR.LS + 1].set(ls_y)
+    out = out.at[PR.LS + 2].set(ls_z)
+    out = out.at[PR.BASE].set(base[..., 0]).at[PR.BASE + 1].set(base[..., 1])
+    out = out.at[PR.BASE + 2].set(base[..., 2])
+    out = out.at[PR.METAL].set(metal).at[PR.ROUGH].set(rough)
+    out = out.at[PR.DIST].set(dist)
+    out = out.at[PR.W].set(_f32(p[10]))
+    out = out.at[PR.M].set(p[11].astype(jnp.float32))
+    # replay-shift state
+    out = out.at[PR.SRCPIX].set(
+        (p[12] & jnp.uint32(0xFFFFFF)).astype(jnp.float32)
+    )
+    out = out.at[PR.HAS3].set(
+        ((p[12] >> 24) & jnp.uint32(1)).astype(jnp.float32)
+    )
+    out = out.at[PR.SRCSEED].set(jax.lax.bitcast_convert_type(p[13], jnp.float32))
+    out = out.at[PR.PDFA].set(_f32(p[14]))
+    out = out.at[PR.X3].set(_f32(p[15])).at[PR.X3 + 1].set(_f32(p[16]))
+    out = out.at[PR.X3 + 2].set(_f32(p[17]))
+    n3x, n3y, n3z = _unoct_rows(p[18])
+    out = out.at[PR.N3].set(n3x).at[PR.N3 + 1].set(n3y).at[PR.N3 + 2].set(n3z)
+    l3x, l3y = P.unpack_f16x2(p[19])
+    l3z, r3 = P.unpack_f16x2(p[20])
+    out = out.at[PR.LE3].set(l3x).at[PR.LE3 + 1].set(l3y)
+    out = out.at[PR.LE3 + 2].set(l3z)
+    b3 = P.unpack_rgb8(p[21])
+    m3 = ((p[21] >> 24) & jnp.uint32(0xFF)).astype(jnp.float32) / 255.0
+    out = out.at[PR.B3].set(b3[..., 0]).at[PR.B3 + 1].set(b3[..., 1])
+    out = out.at[PR.B3 + 2].set(b3[..., 2])
+    out = out.at[PR.M3].set(m3).at[PR.R3].set(r3)
+    w3x, w3y, w3z = _unoct_rows(p[22])
+    out = out.at[PR.WS3].set(w3x).at[PR.WS3 + 1].set(w3y)
+    out = out.at[PR.WS3 + 2].set(w3z)
+    s3x, s3y = P.unpack_f16x2(p[23])
+    s3z = P.f16_bits_to_f32((p[24] & jnp.uint32(0xFFFF)).astype(jnp.uint16))
+    out = out.at[PR.LS3].set(s3x).at[PR.LS3 + 1].set(s3y)
+    out = out.at[PR.LS3 + 2].set(s3z)
+    out = out.at[PR.PDFS3].set(_f32(p[25]))
+    return out

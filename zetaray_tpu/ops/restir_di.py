@@ -72,6 +72,11 @@ class ReSTIRConfig:
     # reference's unbiased estimator, PairwiseMIS.hlsli / Bitterli 2022).
     spatial_mis: str = "biased"
     spatial_neighbors: int = 3  # per pairwise pass (reference default)
+    # Gather reuse candidates through the PACKED reservoir encoding
+    # (ops.reservoir_pack; the reference's RGBA32U reservoir textures,
+    # DirectLighting.h:106-116): halves the gathered rows and matches the
+    # reference's quantization. False keeps raw-f32 reuse (bit-exact).
+    packed_reuse: bool = True
 
 
 def _surface_from_gbuf(gb, trans: bool = False, coat: bool = False):
@@ -336,6 +341,83 @@ def _gather_rows(arr, idx):
     return jnp.take(arr, idx, axis=1)
 
 
+def _take_src(src, idx, band, width, height, src_row0=0):
+    """Reuse-pass gather with optional banded VMEM windows.
+
+    ``band``: None = plain flat take (source assumed VMEM-resident);
+    (band_rows, halo_rows) = core.gatherband windows for large single-chip
+    resolutions (the 1080p gather-cliff mitigation). Returns (vals, ok)
+    where ok is None in plain mode, else the window-hit mask to AND into
+    the caller's reuse-validity test.
+    """
+    if band is None:
+        return jnp.take(src, idx, axis=1), None
+    from ..core.gatherband import take_rows
+
+    return take_rows(
+        src, idx, width=width, height=height, band_rows=band[0],
+        halo_rows=band[1], src_row0=src_row0,
+    )
+
+
+def _take_multi(parts, idx, band, width, height, src_row0=0):
+    """Gather several row tables with ONE take.
+
+    A [N]-index XLA gather costs ~2.5 ms at 512^2 on v5e regardless of the
+    row count (measured: 3 rows and 40 rows gather in the same time -- the
+    cost is per index, not per byte). Every reuse pass therefore
+    concatenates its reservoir + geometry fetches into a single gather.
+    ``parts``: list of [R_i, N] arrays (uint32 parts ride bitcast as f32).
+    Returns (list of gathered parts in original dtypes, ok-or-None).
+    """
+    views, dtypes, sizes = [], [], []
+    for p in parts:
+        dtypes.append(p.dtype)
+        sizes.append(p.shape[0])
+        views.append(
+            p if p.dtype == jnp.float32
+            else jax.lax.bitcast_convert_type(p, jnp.float32)
+        )
+    cat = jnp.concatenate(views, axis=0)
+    vals, ok = _take_src(cat, idx, band, width, height, src_row0)
+    outs = []
+    off = 0
+    for r, dt in zip(sizes, dtypes):
+        o = vals[off:off + r]
+        off += r
+        if dt != jnp.float32:
+            o = jax.lax.bitcast_convert_type(o, dt)
+        outs.append(o)
+    return outs, ok
+
+
+# Slim geometry table for the spatial-reuse agreement test: the full 40-row
+# G-buffer gather fetched 35 unused rows per neighbor (measured ~2x the
+# pass cost at 512^2); the test needs only depth + shading normal + validity.
+GEOM_DEPTH, GEOM_NS, GEOM_VALID = 0, 1, 4
+_GEOM_SRC_ROWS = None  # built lazily from G below
+
+
+def geom_table(gbuf):
+    """[5, N] slim geometry rows (depth, ns.xyz, valid) for reuse tests."""
+    return jnp.stack(
+        [gbuf[G.DEPTH], gbuf[G.NS], gbuf[G.NS + 1], gbuf[G.NS + 2],
+         gbuf[G.VALID]], 0,
+    )
+
+
+def geom_ok_slim(gbuf, nb_geom, ns, cfg):
+    """Neighbor-agreement test against gathered slim geometry rows."""
+    depth = gbuf[G.DEPTH]
+    ns_nb = V3(nb_geom[GEOM_NS], nb_geom[GEOM_NS + 1], nb_geom[GEOM_NS + 2])
+    return (
+        (jnp.abs(nb_geom[GEOM_DEPTH] - depth)
+         < cfg.depth_tolerance * jnp.maximum(depth, 1e-3))
+        & (v3.dot(ns, ns_nb) > cfg.normal_tolerance)
+        & (nb_geom[GEOM_VALID] > 0.5)
+    )
+
+
 def lvg_merge(
     res, gbuf, camera, lvg, seed, cfg, lvg_cfg, trans=False, coat=False,
     pix=None,
@@ -377,7 +459,7 @@ def lvg_merge(
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
     trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
-    pos_prev=None,
+    pos_prev=None, band=None,
 ):
     """Merge reprojected previous-frame reservoirs into the current ones.
 
@@ -423,12 +505,23 @@ def temporal_reuse(
 
     from .gbuffer_pack import depth_valid, unpack_normal
 
-    prev_r = _gather_rows(prev_res, idx)
     # ``prev_gbuf`` is the PACKED temporal G-buffer (ops.gbuffer_pack: the
-    # reference's oct16-snorm normal + R32F depth planes) -- 3 gathered rows
-    # instead of 40, and the same quantized values the reference's temporal
-    # kernel reads.
-    prev_g = _gather_rows(prev_gbuf, idx)
+    # reference's oct16-snorm normal + R32F depth planes, the same
+    # quantized values the reference's temporal kernel reads); reservoirs
+    # ride packed too (reservoir_pack), and BOTH are fetched with ONE
+    # gather (_take_multi: gather cost is per index, not per row).
+    if cfg.packed_reuse:
+        from .reservoir_pack import DI_PACKED_ROWS, pack_di, unpack_di
+
+        src = prev_res if prev_res.shape[0] == DI_PACKED_ROWS else pack_di(prev_res)
+        (prev_p, prev_g), okb = _take_multi(
+            [src, prev_gbuf], idx, band, width, height, prev_row0
+        )
+        prev_r = unpack_di(prev_p)
+    else:
+        (prev_r, prev_g), okb = _take_multi(
+            [prev_res, prev_gbuf], idx, band, width, height, prev_row0
+        )
     nx, ny, nz = unpack_normal(prev_g)
     ns_prev = V3(nx, ny, nz)
     depth_prev, prev_valid = depth_valid(prev_g)
@@ -437,6 +530,8 @@ def temporal_reuse(
     )
     normal_ok = v3.dot(ns, ns_prev) > cfg.normal_tolerance
     ok = inside & depth_ok & normal_ok & prev_valid & valid
+    if okb is not None:
+        ok = ok & okb
     prev_r = prev_r.at[10].set(jnp.where(ok, prev_r[10], 0.0))
     prev_r = prev_r.at[11].set(jnp.where(ok, prev_r[11], 0.0))
 
@@ -453,6 +548,7 @@ def temporal_reuse(
 def spatial_step(
     res, gbuf, width, height, seed, it, cfg: ReSTIRConfig,
     trans=False, coat=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
+    band=None,
 ):
     """One spatial-reuse iteration.
 
@@ -485,16 +581,25 @@ def spatial_step(
     nx = jnp.clip(x + dx, 0, width - 1)
     ny = jnp.clip(y + dy, 0, height - 1)
     nidx = (ny - src_row0) * width + nx
-    nb = _gather_rows(res_src, nidx)
-    # geometry agreement with the neighbor's surface
-    nb_g = _gather_rows(gbuf_src, nidx)
-    depth = gbuf[G.DEPTH]
-    depth_nb = nb_g[G.DEPTH]
-    ok = (
-        (jnp.abs(depth_nb - depth) < cfg.depth_tolerance * jnp.maximum(depth, 1e-3))
-        & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
-        & (nb_g[G.VALID] > 0.5)
-    )
+    if band is not None:
+        band = (band[0], max(band[1], cfg.spatial_radius))
+    # reservoir + slim neighbor geometry in ONE gather (_take_multi)
+    if cfg.packed_reuse:
+        from .reservoir_pack import pack_di, unpack_di
+
+        (nb_p, nb_geom), okb = _take_multi(
+            [pack_di(res_src), geom_table(gbuf_src)], nidx, band, width,
+            height, src_row0,
+        )
+        nb = unpack_di(nb_p)
+    else:
+        (nb, nb_geom), okb = _take_multi(
+            [res_src, geom_table(gbuf_src)], nidx, band, width, height,
+            src_row0,
+        )
+    ok = geom_ok_slim(gbuf, nb_geom, ns, cfg)
+    if okb is not None:
+        ok = ok & okb
     nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
     nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
     return _merge(res, nb, surf, u[:, 2], full=cfg.full_target)
@@ -529,6 +634,7 @@ def _geom_ok(gbuf, nb_g, ns, cfg):
 def spatial_step_pairwise(
     res, gbuf, width, height, seed, it, cfg: ReSTIRConfig,
     trans=False, coat=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
+    band=None,
 ):
     """One pairwise-MIS spatial pass over ``cfg.spatial_neighbors`` defensive
     strategies (reference PairwiseMIS.hlsli; Bitterli 2022 dissertation).
@@ -557,15 +663,30 @@ def spatial_step_pairwise(
 
     # gather all neighbors + geometry validity first (k_eff drives the MIS
     # denominators, like the reference counting valid strategies up front)
+    if band is not None:
+        band = (band[0], max(band[1], cfg.spatial_radius))
+    if cfg.packed_reuse:
+        from .reservoir_pack import pack_di, unpack_di
+
+        res_src_p = pack_di(res_src)
     nbs = []
     k_eff = jnp.zeros((n,))
     for i in range(k):
         nidx, u_stream = _neighbor_pick(
             pix, width, height, seed, it * 16 + i, cfg, src_row0
         )
-        nb = _gather_rows(res_src, nidx)
-        nb_g = _gather_rows(gbuf_src, nidx)
+        if cfg.packed_reuse:
+            (nb_p, nb_g), okb = _take_multi(
+                [res_src_p, gbuf_src], nidx, band, width, height, src_row0
+            )
+            nb = unpack_di(nb_p)
+        else:
+            (nb, nb_g), okb = _take_multi(
+                [res_src, gbuf_src], nidx, band, width, height, src_row0
+            )
         ok = _geom_ok(gbuf, nb_g, ns, cfg) & valid
+        if okb is not None:
+            ok = ok & okb
         k_eff = k_eff + ok.astype(jnp.float32)
         nbs.append((nb, nb_g, ok, u_stream))
     k_div = jnp.maximum(k_eff, 1.0)
@@ -643,7 +764,7 @@ def spatial_step_pairwise(
 
 def spatial_reuse(
     res, gbuf, width, height, seed, cfg: ReSTIRConfig,
-    trans=False, coat=False, pix=None,
+    trans=False, coat=False, pix=None, band=None,
 ):
     """Merge reservoirs from random nearby pixels (per-pixel offsets)."""
     step = (
@@ -651,7 +772,10 @@ def spatial_reuse(
     )
     out = res
     for it in range(cfg.spatial_iterations):
-        out = step(out, gbuf, width, height, seed, it, cfg, trans, coat, pix)
+        out = step(
+            out, gbuf, width, height, seed, it, cfg, trans, coat, pix,
+            band=band,
+        )
     return out
 
 

@@ -43,6 +43,7 @@ class ReSTIRGIConfig:
     spatial_radius: int = 12
     depth_tolerance: float = 0.1
     normal_tolerance: float = 0.9
+    packed_reuse: bool = True  # see restir_di.ReSTIRConfig.packed_reuse
 
 
 def _surf(gbuf, trans: bool = False, coat: bool = False):
@@ -199,7 +200,7 @@ def _merge(res_a, res_b, surf, u, m_cap=None, full=True):
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
     trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
-    pos_prev=None,
+    pos_prev=None, band=None,
 ):
     from ..core.rng import uniform4
 
@@ -230,14 +231,28 @@ def temporal_reuse(
     inside = inside & (ey >= 0) & (ey < prev_rows)
     ey = jnp.clip(ey, 0, prev_rows - 1)
     idx = ey * width + ix
-    prev_r = jnp.take(prev_res, idx, axis=1)
+    from .restir_di import _take_multi
+
+    if cfg.packed_reuse:
+        from .reservoir_pack import DI_PACKED_ROWS, pack_di, unpack_di
+
+        src = prev_res if prev_res.shape[0] == DI_PACKED_ROWS else pack_di(prev_res)
+        (prev_p, prev_g), okb = _take_multi(
+            [src, prev_gbuf], idx, band, width, height, prev_row0
+        )
+        prev_r = unpack_di(prev_p)
+    else:
+        (prev_r, prev_g), okb = _take_multi(
+            [prev_res, prev_gbuf], idx, band, width, height, prev_row0
+        )
     # prev_gbuf is the PACKED temporal G-buffer (ops.gbuffer_pack)
     from .gbuffer_pack import temporal_geom_ok
 
-    prev_g = jnp.take(prev_gbuf, idx, axis=1)
     ok = inside & temporal_geom_ok(
         prev_g, ns, depth_est, cfg.depth_tolerance, cfg.normal_tolerance
     )
+    if okb is not None:
+        ok = ok & okb
     prev_r = prev_r.at[10].set(jnp.where(ok, prev_r[10], 0.0))
     prev_r = prev_r.at[11].set(jnp.where(ok, prev_r[11], 0.0))
     if pix is None:
@@ -249,6 +264,7 @@ def temporal_reuse(
 def spatial_step(
     res, gbuf, width, height, seed, it, cfg,
     trans=False, coat=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
+    band=None,
 ):
     """One GI spatial-reuse iteration (sharding hooks as restir_di.spatial_step)."""
     from ..core.rng import uniform4
@@ -270,23 +286,38 @@ def spatial_step(
     nx = jnp.clip(x + jnp.round(r * jnp.cos(phi)).astype(jnp.int32), 0, width - 1)
     ny = jnp.clip(y + jnp.round(r * jnp.sin(phi)).astype(jnp.int32), 0, height - 1)
     nidx = (ny - src_row0) * width + nx
-    nb = jnp.take(res_src, nidx, axis=1)
-    nb_g = jnp.take(gbuf_src, nidx, axis=1)
-    depth = gbuf[G.DEPTH]
-    ok = (
-        (jnp.abs(nb_g[G.DEPTH] - depth) < cfg.depth_tolerance * jnp.maximum(depth, 1e-3))
-        & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
-        & (nb_g[G.VALID] > 0.5)
-    )
+    from .restir_di import _take_multi, geom_ok_slim, geom_table
+
+    if band is not None:
+        band = (band[0], max(band[1], cfg.spatial_radius))
+    if cfg.packed_reuse:
+        from .reservoir_pack import pack_di, unpack_di
+
+        (nb_p, nb_geom), okb = _take_multi(
+            [pack_di(res_src), geom_table(gbuf_src)], nidx, band, width,
+            height, src_row0,
+        )
+        nb = unpack_di(nb_p)
+    else:
+        (nb, nb_geom), okb = _take_multi(
+            [res_src, geom_table(gbuf_src)], nidx, band, width, height,
+            src_row0,
+        )
+    ok = geom_ok_slim(gbuf, nb_geom, ns, cfg)
+    if okb is not None:
+        ok = ok & okb
     nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
     nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
     return _merge(res, nb, surf, u[:, 2], full=cfg.full_target)
 
 
-def spatial_reuse(res, gbuf, width, height, seed, cfg, trans=False, coat=False, pix=None):
+def spatial_reuse(res, gbuf, width, height, seed, cfg, trans=False, coat=False, pix=None, band=None):
     out = res
     for it in range(cfg.spatial_iterations):
-        out = spatial_step(out, gbuf, width, height, seed, it, cfg, trans, coat, pix)
+        out = spatial_step(
+            out, gbuf, width, height, seed, it, cfg, trans, coat, pix,
+            band=band,
+        )
     return out
 
 

@@ -64,7 +64,27 @@ class PR:
     W = 22
     PHAT = 23
     DIST = 24  # |x1 - x_rc| at generation (reconnection-validity test)
-    ROWS = 32
+    # -- replay-shift data (reference: ReSTIR_PT_Replay kernel family,
+    # IndirectLighting.h:32-52). The path's generating RNG identity lets a
+    # destination pixel re-run the prefix sample with the SOURCE's random
+    # stream (counter-based pcg4d makes the stored seed sufficient -- the
+    # reference likewise replays from the reservoir's stored RNG state),
+    # and the second path vertex x3 is stored so the replayed prefix can
+    # RECONNECT there (hybrid shift: replay segment 1, reconnect at x3).
+    SRCPIX = 25  # generating pixel id (exact in f32)
+    SRCSEED = 26  # generating frame seed (u32 bitcast)
+    PDFA = 27  # area pdf of x_rc given the generating pixel (Jacobian)
+    HAS3 = 28  # x3 exists (suffix hit a surface)
+    X3 = 29  # 3: second path vertex
+    N3 = 32  # 3
+    LE3 = 35  # 3: emission at x3 toward x2
+    B3 = 38  # 3: x3 material
+    M3 = 41
+    R3 = 42
+    WS3 = 43  # 3: suffix direction at x3
+    LS3 = 46  # 3: pdf-folded suffix radiance beyond x3
+    PDFS3 = 49  # area pdf of x3 given x2 (folded/area convention bridge)
+    ROWS = 50
 
 
 @dataclass(frozen=True)
@@ -79,8 +99,18 @@ class ReSTIRPTConfig:
     # conditions before a reconnection shift is attempted)
     min_reconnect_dist: float = 0.05  # relative to primary-hit depth
     min_reconnect_rough: float = 0.1  # rc roughness below this -> no shift
+    # Replay fallback (reference ReSTIR_PT_Replay): when the reconnection
+    # at x2 is invalid at the destination, re-sample the first path segment
+    # with the source's RNG stream (one closest-hit trace per merge) and
+    # reconnect at the stored second vertex x3. False drops reuse instead
+    # (unbiased either way; replay preserves reuse on glossy/near rc).
+    replay: bool = True
+    # Testing hook: route EVERY merge through the replay shift (case A
+    # treated as invalid) so the replay path can be validated end-to-end.
+    force_replay: bool = False
     full_target: bool = False  # see restir_di.ReSTIRConfig.full_target
     sort_suffix: bool = True  # reorder suffix rays by (material, octant)
+    packed_reuse: bool = True  # see restir_di.ReSTIRConfig.packed_reuse
 
 
 def _surf(gbuf, trans=False, coat=False):
@@ -219,7 +249,13 @@ def initial_samples(
     rc_metal = at[A.METAL]
     rc_rough = at[A.ROUGH]
 
-    # -- suffix: BSDF sample at rc + L_raw trace
+    # -- suffix: BSDF sample at rc, then the first suffix vertex x3 is
+    # resolved EXPLICITLY (closest hit + local shading) so its data can be
+    # stored for the replay shift's reconnect-at-x3 case; only the radiance
+    # beyond x3 is folded by a recursive trace. NEE at x3 is disabled
+    # (min_nee_bounce shifts one vertex deeper): its contribution depends
+    # on the incoming direction, which a shifted prefix changes -- exactly
+    # the term that cannot be frozen (the reference's replay re-traces it).
     rc_mat = S.MatSoA(base=rc_base, metallic=rc_metal, roughness=rc_rough,
                       ior=jnp.maximum(at[A.IOR], 1.01))
     rc_frame = S.make_frame(n_rc)
@@ -232,14 +268,6 @@ def initial_samples(
     o3 = jnp.stack([(x_rc + n_rc * _EPS_RAY).x, (x_rc + n_rc * _EPS_RAY).y,
                     (x_rc + n_rc * _EPS_RAY).z], -1)
     d3 = jnp.stack([w_s.x, w_s.y, w_s.z], -1)
-    # suffix trace: emission at bounce 0 fully weighted (the suffix's first
-    # segment was BSDF-sampled with no competing NEE at rc), NEE beyond
-    l_cfg = replace(
-        pt_cfg,
-        max_bounces=max(pt_cfg.max_bounces - 2, 0),
-        min_emissive_bounce=0,
-        min_nee_bounce=0,
-    )
     if cfg.sort_suffix:
         # genuine shader-execution reordering (the reference's Sort stage,
         # IndirectLighting ReSTIR_PT_Sort): group suffix rays by rc material
@@ -251,12 +279,79 @@ def initial_samples(
         )
         keys = at[A.MATID].astype(jnp.int32) * 8 + octant
         perm, inv_perm = _sort_perm(keys)
-        l_raw = trace(scene, o3[perm], d3[perm], key, l_cfg, pix0=pix0, rt=rt)[inv_perm]
     else:
-        l_raw = trace(scene, o3, d3, key, l_cfg, pix0=pix0, rt=rt)
+        perm = inv_perm = None
+
+    # x3 = first suffix hit (explicit)
+    if perm is not None:
+        sh3_p = intersect_closest_shaded(scene, o3[perm], d3[perm])
+        sh3 = jax.tree_util.tree_map(lambda a: a[inv_perm], sh3_p)
+    else:
+        sh3 = intersect_closest_shaded(scene, o3, d3)
+    at3 = sh3.attrs.T
+    has3 = suffix_ok & sh3.valid
+    x3 = V3(*(o3 + sh3.t[:, None] * d3).T)
+    n3_raw = v3.from_rows(at3, A.NG)
+    front3 = -v3.dot(V3(*d3.T), n3_raw) > 0.0
+    n3 = n3_raw * jnp.where(front3, 1.0, -1.0)
+    two3 = at3[A.DOUBLE] > 0.5
+    le3_gain = jnp.where(has3 & (two3 | front3), 1.0, 0.0)
+    le3 = v3.from_rows(at3, A.EMISS) * le3_gain
+    b3 = v3.from_rows(at3, A.BASE)
+    m3 = at3[A.METAL]
+    r3 = at3[A.ROUGH]
+
+    # suffix continuation at x3 (stream 203) + folded radiance beyond
+    mat3 = S.MatSoA(base=b3, metallic=m3, roughness=r3,
+                    ior=jnp.maximum(at3[A.IOR], 1.01))
+    frame3 = S.make_frame(n3)
+    wo3_l = frame3.to_local(V3(*(-d3).T))
+    u3 = uniform4(pix, 203, seed, salt=0x3A19)
+    ws3_l, _, pdf3 = S.bsdf_sample(mat3, wo3_l, u3[:, 0], u3[:, 1], u3[:, 2])
+    ws3 = frame3.to_world(ws3_l)
+    suffix3_ok = has3 & (pdf3 > 0.0) & (v3.dot(ws3, n3) > 1e-6)
+    o4 = jnp.stack([(x3 + n3 * _EPS_RAY).x, (x3 + n3 * _EPS_RAY).y,
+                    (x3 + n3 * _EPS_RAY).z], -1)
+    d4 = jnp.stack([ws3.x, ws3.y, ws3.z], -1)
+    l4_cfg = replace(
+        pt_cfg,
+        max_bounces=max(pt_cfg.max_bounces - 3, 0),
+        min_emissive_bounce=0,
+        min_nee_bounce=0,
+    )
+    if pt_cfg.max_bounces >= 3:
+        if perm is not None:
+            l4 = trace(scene, o4[perm], d4[perm], key, l4_cfg, pix0=pix0, rt=rt)[inv_perm]
+        else:
+            l4 = trace(scene, o4, d4, key, l4_cfg, pix0=pix0, rt=rt)
+    else:
+        l4 = jnp.zeros((n, 3))
+    cos3 = jnp.maximum(v3.dot(ws3, n3), 0.0)
+    gain3 = jnp.where(suffix3_ok, cos3 / jnp.maximum(pdf3, 1e-12), 0.0)
+    ls3 = V3(l4[:, 0] * gain3, l4[:, 1] * gain3, l4[:, 2] * gain3)
+
+    # L_s at the rc vertex: (Le3 + f3 * Ls3) folded by the rc sample pdf
+    f3, _ = S.bsdf_eval(mat3, wo3_l, ws3_l)
+    lout3 = le3 + f3 * ls3
     cos_s = jnp.maximum(v3.dot(w_s, n_rc), 0.0)
     gain_s = jnp.where(suffix_ok, cos_s / jnp.maximum(pdf_s, 1e-12), 0.0)
-    l_s = V3(l_raw[:, 0] * gain_s, l_raw[:, 1] * gain_s, l_raw[:, 2] * gain_s)
+    l_s = V3(lout3.x * gain_s, lout3.y * gain_s, lout3.z * gain_s)
+    zero = jnp.zeros(n)
+    l_s = v3.where(has3, l_s, V3(zero, zero, zero))
+    if pt_cfg.sky is not None:
+        # suffix first segment escaped: sky radiance (+ sun disk, matching
+        # the trace oracle's bounce-0 miss on a specular-counted ray)
+        from . import sky as SK
+
+        sky_s = suffix_ok & ~sh3.valid
+        env_s = SK.sky_radiance(V3(*d3.T), pt_cfg.sky, with_disk=False)
+        disk_s = SK.sun_disk(d3, pt_cfg.sky)
+        l_sky = V3(
+            (env_s.x + disk_s[:, 0]) * gain_s,
+            (env_s.y + disk_s[:, 1]) * gain_s,
+            (env_s.z + disk_s[:, 2]) * gain_s,
+        )
+        l_s = v3.where(sky_s, l_sky, l_s)
 
     # -- escaped prefix rays: sky vertex on the far sphere
     if pt_cfg.sky is not None:
@@ -297,22 +392,200 @@ def initial_samples(
     res = res.at[PR.M].set(jnp.where(hit, 1.0, 0.0))
     res = res.at[PR.W].set(big_w)
     res = res.at[PR.PHAT].set(phat)
+
+    # replay-shift identity + the second vertex (reconnect-at-x3 target)
+    res = res.at[PR.SRCPIX].set(pix.astype(jnp.float32))
+    seed_f = jax.lax.bitcast_convert_type(
+        jnp.full((n,), jnp.asarray(seed).astype(jnp.uint32)), jnp.float32
+    )
+    res = res.at[PR.SRCSEED].set(seed_f)
+    res = res.at[PR.PDFA].set(jnp.where(hit, pdf_area, 0.0))
+    res = res.at[PR.HAS3].set(has3.astype(jnp.float32))
+    res = res.at[PR.X3].set(x3.x).at[PR.X3 + 1].set(x3.y).at[PR.X3 + 2].set(x3.z)
+    res = res.at[PR.N3].set(n3.x).at[PR.N3 + 1].set(n3.y).at[PR.N3 + 2].set(n3.z)
+    res = res.at[PR.LE3].set(le3.x).at[PR.LE3 + 1].set(le3.y)
+    res = res.at[PR.LE3 + 2].set(le3.z)
+    res = res.at[PR.B3].set(b3.x).at[PR.B3 + 1].set(b3.y).at[PR.B3 + 2].set(b3.z)
+    res = res.at[PR.M3].set(m3).at[PR.R3].set(r3)
+    res = res.at[PR.WS3].set(ws3.x).at[PR.WS3 + 1].set(ws3.y)
+    res = res.at[PR.WS3 + 2].set(ws3.z)
+    res = res.at[PR.LS3].set(ls3.x).at[PR.LS3 + 1].set(ls3.y)
+    res = res.at[PR.LS3 + 2].set(ls3.z)
+    # p_A(x3 | x2): converts this sample's pdf-folded suffix convention to
+    # the area convention the replay shift evaluates in (see _merge)
+    to23 = x3 - x_rc
+    d23_2 = jnp.maximum(v3.dot(to23, to23), 1e-12)
+    cos3_to2 = jnp.maximum(-v3.dot(to23 * jax.lax.rsqrt(d23_2), n3), 1e-6)
+    pdfs3 = pdf_s * cos3_to2 / d23_2
+    res = res.at[PR.PDFS3].set(jnp.where(has3, pdfs3, 0.0))
     return res
 
 
-def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None):
-    """GRIS combine with reconnection shift: phat of B's path re-anchored at
-    this pixel, zeroed when the shift is invalid (hybrid conditions)."""
+def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig):
+    """Replay + reconnect-at-x3 shift (reference ReSTIR_PT_Replay).
+
+    Re-samples the candidate's FIRST path segment at the destination
+    surface with the candidate's own RNG stream (SRCPIX/SRCSEED rows --
+    counter-based pcg4d makes the stored seed a full replay state, like
+    the reference replaying from the reservoir's RNG), traces one closest
+    hit to find the replayed vertex x2', and reconnects x2' to the stored
+    second vertex x3. Only *fresh* paths (still anchored at their
+    generating pixel; HAS3 set) replay -- any taken candidate is
+    re-anchored and loses replay eligibility, which keeps every applied
+    shift's Jacobian well-defined (the reference replays deeper chains;
+    documented difference).
+
+    Returns (phat_B, w_factor, rows_B, ok_B):
+      phat_B   area-convention target of the replayed path at this pixel
+      w_factor multiplies W_b * m_b in the resampling weight:
+               J * (1 / PDFS3) with J = p_A(x2'|dest) / p_A(x2|src)
+      rows_B   the re-canonicalized reservoir rows of the replayed path
+      ok_B     shift validity
+    """
+    from ..accel.intersect import intersect_closest_shaded
+    from ..core.rng import uniform4
+    from ..scene.scene import A
+
+    pos, ns, ng, wo, mat, frame, valid = surf
+    n = res_b.shape[1]
+    src_pix = res_b[PR.SRCPIX].astype(jnp.int32)
+    src_seed = jax.lax.bitcast_convert_type(res_b[PR.SRCSEED], jnp.uint32)
+    u = uniform4(src_pix, 201, src_seed, salt=0x9717)
+    wo_l = frame.to_local(wo)
+    wi_l, _, pdf_sa = S.bsdf_sample(mat, wo_l, u[:, 0], u[:, 1], u[:, 2])
+    wi = frame.to_world(wi_l)
+    live = (
+        valid & (res_b[PR.HAS3] > 0.5) & (res_b[PR.PDFA] > 0.0)
+        & (pdf_sa > 0.0) & (v3.dot(wi, ng) > 1e-6)
+    )
+    o2 = jnp.stack([(pos + ng * _EPS_RAY).x, (pos + ng * _EPS_RAY).y,
+                    (pos + ng * _EPS_RAY).z], -1)
+    d2 = jnp.stack([wi.x, wi.y, wi.z], -1)
+    sh = intersect_closest_shaded(scene, o2, d2)
+    hit = sh.valid & live
+    at = sh.attrs.T
+    x2p = V3(*(o2 + sh.t[:, None] * d2).T)
+    n2_raw = v3.from_rows(at, A.NG)
+    front2 = -v3.dot(V3(*d2.T), n2_raw) > 0.0
+    n2 = n2_raw * jnp.where(front2, 1.0, -1.0)
+
+    # reconnection x2' -> x3 (stored second vertex)
+    x3 = v3.from_rows(res_b, PR.X3)
+    n3 = v3.from_rows(res_b, PR.N3)
+    le3 = v3.from_rows(res_b, PR.LE3)
+    ws3 = v3.from_rows(res_b, PR.WS3)
+    ls3 = v3.from_rows(res_b, PR.LS3)
+    to3 = x3 - x2p
+    d23_2 = jnp.maximum(v3.dot(to3, to3), 1e-12)
+    inv23 = jax.lax.rsqrt(d23_2)
+    dir23 = to3 * inv23
+    cos2 = v3.dot(dir23, n2)  # at x2' toward x3
+    cos3 = jnp.maximum(-v3.dot(dir23, n3), 0.0)  # at x3 toward x2'
+    to_q = x2p - pos
+    dq2 = jnp.maximum(v3.dot(to_q, to_q), 1e-12)
+    dist_q = jnp.sqrt(dq2)
+    dist23 = jnp.sqrt(d23_2)
+    # hybrid conditions at the NEW reconnection vertex pair
+    far3 = dist23 > cfg.min_reconnect_dist * jnp.maximum(dist_q, 1e-3)
+    rough2 = at[A.ROUGH] >= cfg.min_reconnect_rough
+    ok = hit & far3 & rough2 & (cos2 > 1e-6) & (cos3 > 1e-6)
+
+    # BSDF at x2' for (in from pixel, out to x3)
+    mat2 = S.MatSoA(
+        base=v3.from_rows(at, A.BASE), metallic=at[A.METAL],
+        roughness=at[A.ROUGH], ior=jnp.maximum(at[A.IOR], 1.01),
+    )
+    frame2 = S.make_frame(n2)
+    f2, _ = S.bsdf_eval(
+        mat2, frame2.to_local(V3(-wi.x, -wi.y, -wi.z)), frame2.to_local(dir23)
+    )
+    # BSDF at x3 for (in from x2', out to the stored suffix)
+    mat3 = S.MatSoA(
+        base=v3.from_rows(res_b, PR.B3), metallic=res_b[PR.M3],
+        roughness=res_b[PR.R3], ior=jnp.full((n,), 1.5),
+    )
+    frame3 = S.make_frame(n3)
+    f3, _ = S.bsdf_eval(
+        mat3, frame3.to_local(V3(-dir23.x, -dir23.y, -dir23.z)),
+        frame3.to_local(ws3),
+    )
+    lout3 = le3 + f3 * ls3
+
+    # area-convention target: f1 * f2' * Lout3 * G(q,x2') * G(x2',x3)
+    wi_v = wi
+    cos1 = v3.dot(wi_v, ns)
+    cos_rc = jnp.maximum(-v3.dot(wi_v, n2), 0.0)
+    if cfg.full_target:
+        f1, _ = S.bsdf_eval(mat, wo_l, wi_l)
+    else:
+        inv_pi = 0.3183098861
+        f1 = V3((mat.base.x + 0.04) * inv_pi, (mat.base.y + 0.04) * inv_pi,
+                (mat.base.z + 0.04) * inv_pi)
+    g_q2 = cos1 * cos_rc / dq2
+    g_23 = cos2 * cos3 / d23_2
+    phat_b = jnp.maximum(v3.luminance(f1 * f2 * lout3) * g_q2 * g_23, 0.0)
+    phat_b = jnp.where(ok & (cos1 > 1e-6), phat_b, 0.0)
+
+    # weight factor: replay Jacobian x folded->area convention bridge
+    pdfa_new = pdf_sa * cos_rc / dq2
+    jac = pdfa_new / jnp.maximum(res_b[PR.PDFA], 1e-20)
+    w_factor = jnp.where(
+        ok, jac / jnp.maximum(res_b[PR.PDFS3], 1e-20), 0.0
+    )
+
+    # re-canonicalized rows: rc = x2', area-folded suffix via x3
+    rows = jnp.zeros((PR.ROWS, n))
+    rows = rows.at[PR.X].set(x2p.x).at[PR.X + 1].set(x2p.y)
+    rows = rows.at[PR.X + 2].set(x2p.z)
+    rows = rows.at[PR.N].set(n2.x).at[PR.N + 1].set(n2.y).at[PR.N + 2].set(n2.z)
+    # LE stays 0 (bounce-1 emission belongs to the DI pass)
+    rows = rows.at[PR.WS].set(dir23.x).at[PR.WS + 1].set(dir23.y)
+    rows = rows.at[PR.WS + 2].set(dir23.z)
+    ls_new = lout3 * g_23  # so _phat_pt's f_rc*LS*G(r,x2') is the area target
+    rows = rows.at[PR.LS].set(ls_new.x).at[PR.LS + 1].set(ls_new.y)
+    rows = rows.at[PR.LS + 2].set(ls_new.z)
+    rows = rows.at[PR.BASE].set(mat2.base.x).at[PR.BASE + 1].set(mat2.base.y)
+    rows = rows.at[PR.BASE + 2].set(mat2.base.z)
+    rows = rows.at[PR.METAL].set(mat2.metallic).at[PR.ROUGH].set(mat2.roughness)
+    rows = rows.at[PR.DIST].set(dist_q)
+    return phat_b, w_factor, rows, ok
+
+
+def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None, scene=None):
+    """GRIS combine with the hybrid shift: reconnection at the stored rc
+    vertex when the conditions hold at this pixel, else (cfg.replay, with
+    ``scene`` provided) replay-and-reconnect-at-x3; invalid shifts
+    contribute 0 (unbiased)."""
     valid = surf[6]
     m_b = res_b[PR.M]
     if m_cap is not None:
         m_b = jnp.minimum(m_b, m_cap)
     phat_b, *_ = _phat_pt(surf, res_b, full=cfg.full_target)
-    phat_b = jnp.where(_shift_valid(surf, res_b, cfg), phat_b, 0.0)
+    shift_a = _shift_valid(surf, res_b, cfg)
+    if cfg.force_replay:
+        shift_a = shift_a & jnp.zeros_like(shift_a)
+    phat_b = jnp.where(shift_a, phat_b, 0.0)
     w_b = jnp.where(valid, phat_b * res_b[PR.W] * m_b, 0.0)
+
+    use_replay = cfg.replay and scene is not None
+    if use_replay:
+        phat_r, w_factor, rows_r, ok_r = _replay_shift(scene, surf, res_b, cfg)
+        case_b = ~shift_a & ok_r
+        phat_b = jnp.where(case_b, phat_r, phat_b)
+        w_b = jnp.where(
+            case_b & valid, phat_r * res_b[PR.W] * w_factor * m_b, w_b
+        )
+
     w_sum = res_a[PR.WSUM] + w_b
     take = u * w_sum < w_b
     out = jnp.where(take[None, :], res_b, res_a)
+    if use_replay:
+        # case-B takes store the re-canonicalized (replayed) path
+        tb = take & case_b
+        out = jnp.where(tb[None, :], rows_r, out)
+    # any taken candidate is re-anchored at this pixel: replay eligibility
+    # (and its generating-pixel identity) no longer applies
+    out = out.at[PR.HAS3].set(jnp.where(take, 0.0, out[PR.HAS3]))
     y_phat = jnp.where(take, phat_b, res_a[PR.PHAT])
     m_new = res_a[PR.M] + m_b
     big_w = jnp.where(
@@ -326,7 +599,7 @@ def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None):
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
     trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
-    pos_prev=None,
+    pos_prev=None, band=None, scene=None,
 ):
     from ..core.rng import uniform4
 
@@ -354,25 +627,40 @@ def temporal_reuse(
     inside = inside & (ey >= 0) & (ey < prev_rows)
     ey = jnp.clip(ey, 0, prev_rows - 1)
     idx = ey * width + ix
-    prev_r = jnp.take(prev_res, idx, axis=1)
+    from .restir_di import _take_multi
+
+    if cfg.packed_reuse:
+        from .reservoir_pack import PT_PACKED_ROWS, pack_pt, unpack_pt
+
+        src = prev_res if prev_res.shape[0] == PT_PACKED_ROWS else pack_pt(prev_res)
+        (prev_p, prev_g), okb = _take_multi(
+            [src, prev_gbuf], idx, band, width, height, prev_row0
+        )
+        prev_r = unpack_pt(prev_p)
+    else:
+        (prev_r, prev_g), okb = _take_multi(
+            [prev_res, prev_gbuf], idx, band, width, height, prev_row0
+        )
     # prev_gbuf is the PACKED temporal G-buffer (ops.gbuffer_pack)
     from .gbuffer_pack import temporal_geom_ok
 
-    prev_g = jnp.take(prev_gbuf, idx, axis=1)
     ok = inside & temporal_geom_ok(
         prev_g, ns, depth_est, cfg.depth_tolerance, cfg.normal_tolerance
     )
+    if okb is not None:
+        ok = ok & okb
     prev_r = prev_r.at[PR.M].set(jnp.where(ok, prev_r[PR.M], 0.0))
     prev_r = prev_r.at[PR.W].set(jnp.where(ok, prev_r[PR.W], 0.0))
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 203, seed, salt=0x4A31)[:, 0]
-    return _merge(res, prev_r, surf, u, cfg, m_cap=cfg.m_max)
+    return _merge(res, prev_r, surf, u, cfg, m_cap=cfg.m_max, scene=scene)
 
 
 def spatial_step(
     res, gbuf, width, height, seed, it, cfg,
     trans=False, coat=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
+    band=None, scene=None,
 ):
     from ..core.rng import uniform4
 
@@ -393,23 +681,38 @@ def spatial_step(
     nx = jnp.clip(x + jnp.round(r * jnp.cos(phi)).astype(jnp.int32), 0, width - 1)
     ny = jnp.clip(y + jnp.round(r * jnp.sin(phi)).astype(jnp.int32), 0, height - 1)
     nidx = (ny - src_row0) * width + nx
-    nb = jnp.take(res_src, nidx, axis=1)
-    nb_g = jnp.take(gbuf_src, nidx, axis=1)
-    depth = gbuf[G.DEPTH]
-    ok = (
-        (jnp.abs(nb_g[G.DEPTH] - depth) < cfg.depth_tolerance * jnp.maximum(depth, 1e-3))
-        & (v3.dot(ns, v3.from_rows(nb_g, G.NS)) > cfg.normal_tolerance)
-        & (nb_g[G.VALID] > 0.5)
-    )
+    from .restir_di import _take_multi, geom_ok_slim, geom_table
+
+    if band is not None:
+        band = (band[0], max(band[1], cfg.spatial_radius))
+    if cfg.packed_reuse:
+        from .reservoir_pack import pack_pt, unpack_pt
+
+        (nb_p, nb_geom), okb = _take_multi(
+            [pack_pt(res_src), geom_table(gbuf_src)], nidx, band, width,
+            height, src_row0,
+        )
+        nb = unpack_pt(nb_p)
+    else:
+        (nb, nb_geom), okb = _take_multi(
+            [res_src, geom_table(gbuf_src)], nidx, band, width, height,
+            src_row0,
+        )
+    ok = geom_ok_slim(gbuf, nb_geom, ns, cfg)
+    if okb is not None:
+        ok = ok & okb
     nb = nb.at[PR.M].set(jnp.where(ok, nb[PR.M], 0.0))
     nb = nb.at[PR.W].set(jnp.where(ok, nb[PR.W], 0.0))
-    return _merge(res, nb, surf, u[:, 2], cfg)
+    return _merge(res, nb, surf, u[:, 2], cfg, scene=scene)
 
 
-def spatial_reuse(res, gbuf, width, height, seed, cfg, trans=False, coat=False, pix=None):
+def spatial_reuse(res, gbuf, width, height, seed, cfg, trans=False, coat=False, pix=None, band=None, scene=None):
     out = res
     for it in range(cfg.spatial_iterations):
-        out = spatial_step(out, gbuf, width, height, seed, it, cfg, trans, coat, pix)
+        out = spatial_step(
+            out, gbuf, width, height, seed, it, cfg, trans, coat, pix,
+            band=band, scene=scene,
+        )
     return out
 
 

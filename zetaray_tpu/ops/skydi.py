@@ -156,7 +156,8 @@ def initial_candidates(gbuf, sky, seed, cfg: SkyDIConfig,
 
 def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height,
                    seed, cfg: SkyDIConfig, sky, trans=False, coat=False,
-                   pix=None, prev_row0=0, prev_rows=None, pos_prev=None):
+                   pix=None, prev_row0=0, prev_rows=None, pos_prev=None,
+                   band=None):
     """Merge the reprojected previous-frame direction reservoir."""
     n = res.shape[1]
     pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
@@ -179,14 +180,19 @@ def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height,
         & (jnp.round(py).astype(jnp.int32) - prev_row0 <= rows - 1)
     )
     nidx = iy * width + ix
-    nb = _gather_rows(prev_res, nidx)
+    from .restir_di import _take_multi
+
+    (nb, nb_g), okb = _take_multi(
+        [prev_res, prev_gbuf], nidx, band, width, height, prev_row0
+    )
     # prev_gbuf is the PACKED temporal G-buffer (ops.gbuffer_pack)
     from .gbuffer_pack import temporal_geom_ok
 
-    nb_g = _gather_rows(prev_gbuf, nidx)
     ok = inside & valid & temporal_geom_ok(
         nb_g, ns, depth_est, cfg.depth_tolerance, cfg.normal_tolerance
     )
+    if okb is not None:
+        ok = ok & okb
     wi_b = v3.from_rows(nb, 0)
     le_b = v3.from_rows(nb, 3)
     m_b = jnp.minimum(nb[10], cfg.m_max * jnp.maximum(res[10], 1.0))
@@ -202,7 +208,7 @@ def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height,
 
 def spatial_step(res, gbuf, width, height, seed, it, cfg: SkyDIConfig,
                  trans=False, coat=False, pix=None, res_src=None,
-                 gbuf_src=None, src_row0=0):
+                 gbuf_src=None, src_row0=0, band=None):
     from .restir_di import _neighbor_pick
 
     n = res.shape[1]
@@ -218,9 +224,16 @@ def spatial_step(res, gbuf, width, height, seed, it, cfg: SkyDIConfig,
     nidx, u_stream = _neighbor_pick(
         pix, width, height, seed, it + 64, cfg, src_row0
     )
-    nb = _gather_rows(res_src, nidx)
-    nb_g = _gather_rows(gbuf_src, nidx)
-    ok = _geom_ok(gbuf, nb_g, ns, cfg) & valid
+    from .restir_di import _take_multi, geom_ok_slim, geom_table
+
+    if band is not None:
+        band = (band[0], max(band[1], cfg.spatial_radius))
+    (nb, nb_geom), okb = _take_multi(
+        [res_src, geom_table(gbuf_src)], nidx, band, width, height, src_row0
+    )
+    ok = geom_ok_slim(gbuf, nb_geom, ns, cfg) & valid
+    if okb is not None:
+        ok = ok & okb
     wi_b = v3.from_rows(nb, 0)
     le_b = v3.from_rows(nb, 3)
     m_b = jnp.where(ok, nb[10], 0.0)
@@ -231,11 +244,11 @@ def spatial_step(res, gbuf, width, height, seed, it, cfg: SkyDIConfig,
 
 
 def spatial_reuse(res, gbuf, width, height, seed, cfg: SkyDIConfig,
-                  trans=False, coat=False, pix=None):
+                  trans=False, coat=False, pix=None, band=None):
     out = res
     for it in range(cfg.spatial_iterations):
         out = spatial_step(out, gbuf, width, height, seed, it, cfg,
-                           trans, coat, pix)
+                           trans, coat, pix, band=band)
     return out
 
 

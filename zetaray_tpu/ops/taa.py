@@ -57,7 +57,7 @@ def _cubic_w(f):
     return w0, w1, w2, w3
 
 
-def catmull_rom_p(img, px, py):
+def catmull_rom_p(img, px, py, band=None):
     """Catmull-Rom resample of a planar image at fractional pixel coords.
 
     img: [3, H, W]; px, py: [N] pixel-center coordinates (0.5 = center of
@@ -84,11 +84,25 @@ def catmull_rom_p(img, px, py):
     wins = jnp.stack(
         [pad[:, j:j + h, i:i + w] for j in range(4) for i in range(4)], -1
     )
-    table = wins.transpose(1, 2, 0, 3).reshape(h * w, 48)
     idx = y1.astype(jnp.int32) * w + x1.astype(jnp.int32)
-    g = jnp.take(table, idx, axis=0).reshape(n, 3, 16)  # [N, 3, 16]
     wgt = (wy[:, :, None] * wx[:, None, :]).reshape(n, 16)
-    return jnp.einsum("nck,nk->cn", g, wgt)
+    if band is not None:
+        # banded [48, H*W] row gather (the large-res gather-cliff path);
+        # the destination grid is assumed to match the source grid
+        from ..core.gatherband import take_rows
+
+        table_r = wins.transpose(0, 3, 1, 2).reshape(48, h * w)
+        g, ok = take_rows(
+            table_r, idx, width=w, height=h, band_rows=band[0],
+            halo_rows=band[1],
+        )
+        out = jnp.einsum("ckn,nk->cn", g.reshape(3, 16, n), wgt)
+        return out, ok
+    # rows-major [48, H*W] gather: measured ~25% faster than the
+    # items-major [H*W, 48] form (the gather cost is per index either way)
+    table_r = wins.transpose(0, 3, 1, 2).reshape(48, h * w)
+    g = jnp.take(table_r, idx, axis=1)
+    return jnp.einsum("ckn,nk->cn", g.reshape(3, 16, n), wgt)
 
 
 def _depth_dilated_motion(motion, depth, valid):
@@ -120,7 +134,7 @@ def _depth_dilated_motion(motion, depth, valid):
 def taa_resolve_p(
     curr, history, world_pos, valid, prev_cam, cfg: TAAConfig = TAAConfig(),
     height_full=None, hist_row0=0, hist_rows=None, curr_ext=None, depth=None,
-    row0=0,
+    row0=0, band=None,
 ):
     """One TAA step, planar.
 
@@ -159,12 +173,28 @@ def taa_resolve_p(
     ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
     inside = inside & (jnp.round(ey_f) >= 0) & (jnp.round(ey_f) <= hr - 1)
     if cfg.catmull_rom:
-        hist = catmull_rom_p(history, px, jnp.clip(ey_f, 0.0, hr - 1.0))
+        if band is not None:
+            hist, okb = catmull_rom_p(
+                history, px, jnp.clip(ey_f, 0.0, hr - 1.0), band=band
+            )
+            inside = inside & okb
+        else:
+            hist = catmull_rom_p(history, px, jnp.clip(ey_f, 0.0, hr - 1.0))
         hist = hist.reshape(3, h, w)
     else:
-        hist = jnp.take(
-            history.reshape(3, -1), iy * w + ix, axis=1
-        ).reshape(3, h, w)
+        if band is not None:
+            from ..core.gatherband import take_rows
+
+            hist, okb = take_rows(
+                history.reshape(3, -1), iy * w + ix, width=w, height=h,
+                band_rows=band[0], halo_rows=band[1],
+            )
+            inside = inside & okb
+            hist = hist.reshape(3, h, w)
+        else:
+            hist = jnp.take(
+                history.reshape(3, -1), iy * w + ix, axis=1
+            ).reshape(3, h, w)
     if cfg.clamp:
         if curr_ext is None:
             lo, hi = _neighborhood_minmax_p(curr)

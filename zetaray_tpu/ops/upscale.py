@@ -62,6 +62,7 @@ def _bilinear_p(img, px, py):
 def taau_resolve(
     curr_lr, history, pos_lr, valid_lr, depth_lr, prev_cam, jitter,
     out_w, out_h, cfg: UpscaleConfig = UpscaleConfig(),
+    out_row0=0, out_rows=None, lr_row0=0, hr_full=None, hist_row0=0,
 ):
     """One temporal-upscale step.
 
@@ -70,15 +71,27 @@ def taau_resolve(
     display-res accumulated output (None on the first frame); pos_lr /
     valid_lr / depth_lr: render-res G-buffer planes; prev_cam: previous
     camera. Returns the new display-res image (= next history).
+
+    Sharding hooks (parallel.mesh, the FSR2-slot equivalent of the TAA
+    halo path): this call may produce only the display-row band
+    [``out_row0``, ``out_row0 + out_rows``); the render-res inputs are then
+    halo-extended with their first row at global render row ``lr_row0``
+    (``hr_full`` = full render height), and ``history`` is halo-extended
+    with first row at global display row ``hist_row0``. Defaults reproduce
+    the single-chip whole-image call exactly.
     """
     _, hr, wr = curr_lr.shape
+    if out_rows is None:
+        out_rows = out_h
+    if hr_full is None:
+        hr_full = hr  # sharded callers must pass the full render height
     sx = wr / out_w
-    sy = hr / out_h
+    sy = hr_full / out_h
 
-    # display-pixel centers in render-res texel coords
+    # display-pixel centers (of this band) in render-res texel coords
     xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
-    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
-    px = jnp.tile(xs, out_h)
+    ys = (jnp.arange(out_rows, dtype=jnp.float32) + out_row0 + 0.5) * sy - 0.5
+    px = jnp.tile(xs, out_rows)
     py = jnp.repeat(ys, out_w)
 
     # current color: bilinear at the display pixel, confidence = Gaussian
@@ -87,18 +100,19 @@ def taau_resolve(
     jy = jnp.asarray(jitter[1], jnp.float32)
     spx = px - jx
     spy = py - jy
-    cur = _bilinear_p(curr_lr, spx, spy)  # [3, N]
+    spy_l = spy - lr_row0  # local row coords into the (halo-extended) inputs
+    cur = _bilinear_p(curr_lr, spx, spy_l)  # [3, N]
     dx = spx - jnp.round(spx)
     dy = spy - jnp.round(spy)
     d2 = dx * dx + dy * dy
     conf = jnp.exp(-d2 / (2.0 * cfg.sigma * cfg.sigma))
 
     valid_s = (
-        _bilinear_p(valid_lr[None].astype(jnp.float32), spx, spy)[0] > 0.99
+        _bilinear_p(valid_lr[None].astype(jnp.float32), spx, spy_l)[0] > 0.99
     )
 
     if history is None:
-        return cur.reshape(3, out_h, out_w)
+        return cur.reshape(3, out_rows, out_w)
 
     # reprojection: per-lr-texel motion (display-space offset between the
     # texel's jittered sample coordinate and its reprojected history
@@ -109,7 +123,9 @@ def taau_resolve(
         pos_lr.reshape(3, -1).T, out_w, out_h
     )
     tx = ((jnp.arange(wr, dtype=jnp.float32) + 0.5 + jx) / wr) * out_w - 0.5
-    ty = ((jnp.arange(hr, dtype=jnp.float32) + 0.5 + jy) / hr) * out_h - 0.5
+    ty = (
+        (jnp.arange(hr, dtype=jnp.float32) + lr_row0 + 0.5 + jy) / hr_full
+    ) * out_h - 0.5
     m_lr = jnp.stack(
         [
             (p_lr - jnp.tile(tx, hr)).reshape(hr, wr),
@@ -121,28 +137,31 @@ def taau_resolve(
     if cfg.depth_dilate:
         m_lr = _depth_dilated_motion(m_lr, depth_lr, ok_lr)
     m_lr = jnp.where(ok_lr[None], m_lr, 0.0)
-    m_s = _bilinear_p(m_lr, spx, spy)  # [2, N] display-space offsets
+    m_s = _bilinear_p(m_lr, spx, spy_l)  # [2, N] display-space offsets
     # px/py are render-res texel coords of display pixel centers; invert
     # the mapping back to display coords and apply the sampled motion
     hpx = (px + 0.5) / sx - 0.5 + m_s[0]
     hpy = (py + 0.5) / sy - 0.5 + m_s[1]
+    hist_rows = history.shape[1]
+    hpy_l = hpy - hist_row0
     inside = (
         (hpx >= -0.5) & (hpx <= out_w - 0.5)
         & (hpy >= -0.5) & (hpy <= out_h - 0.5)
+        & (hpy_l >= -0.5) & (hpy_l <= hist_rows - 0.5)
     )
     hist = catmull_rom_p(
         history, jnp.clip(hpx, 0.0, out_w - 1.0),
-        jnp.clip(hpy, 0.0, out_h - 1.0),
+        jnp.clip(hpy_l, 0.0, hist_rows - 1.0),
     )
 
     if cfg.clamp:
         lo_lr, hi_lr = _neighborhood_minmax_p(curr_lr)
-        lo = _bilinear_p(lo_lr, spx, spy)
-        hi = _bilinear_p(hi_lr, spx, spy)
+        lo = _bilinear_p(lo_lr, spx, spy_l)
+        hi = _bilinear_p(hi_lr, spx, spy_l)
         hist = jnp.clip(hist, lo, hi)
 
     ok = inside & valid_s
     alpha = jnp.clip(cfg.blend * (0.25 + 0.75 * conf), 0.02, 1.0)
     blended = alpha[None, :] * cur + (1.0 - alpha[None, :]) * hist
     out = jnp.where(ok[None, :], blended, cur)
-    return out.reshape(3, out_h, out_w)
+    return out.reshape(3, out_rows, out_w)

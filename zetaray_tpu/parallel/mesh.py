@@ -94,7 +94,13 @@ def _sharded_restir_fn(mesh: Mesh, cfg: RenderConfig, halo: int, has_state: bool
     from ..render.frame import FrameState, render_frame_restir
 
     n = mesh.size
-    h_loc = cfg.height // n
+    # ShardCtx describes the RENDER-res rows (render_scale < 1 renders a
+    # smaller internal image; only the color history is display res)
+    h_render = cfg.height
+    if cfg.render_scale != 1.0:
+        h_render = max(8, int(round(cfg.height * cfg.render_scale)))
+    assert h_render % n == 0, "render rows not divisible by mesh"
+    h_loc = h_render // n
     ctx = ShardCtx(axis=TILE_AXIS, n_shards=n, h_local=h_loc, halo=halo)
 
     res_spec = P(None, TILE_AXIS)  # [rows, pixels]: shard the pixel axis

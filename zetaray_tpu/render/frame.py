@@ -89,6 +89,13 @@ class RenderConfig:
             from ..ops.upscale import UpscaleConfig
 
             object.__setattr__(self, "upscale_cfg", UpscaleConfig())
+    # Banded gathers for single-chip large resolutions (core.gatherband,
+    # the 1080p gather-cliff mitigation): -1 = auto (band when the reuse
+    # tables outgrow the VMEM-resident fast-gather regime), 0 = off,
+    # >0 = explicit band height in rows. ``band_halo`` bounds how far
+    # temporal reprojection may land outside its band before reuse drops.
+    band_rows: int = -1
+    band_halo: int = 64
     tonemapper: str = "agx"
     auto_exposure: bool = True
     manual_exposure: float = 1.0
@@ -268,11 +275,9 @@ def render_frame_restir(
     w, h = cfg.width, cfg.height
     if cfg.render_scale != 1.0:
         # FSR2-slot temporal upscaling: everything up to the upscaler runs
-        # at render res; only the color history/output are display res
-        if shard is not None:
-            raise NotImplementedError(
-                "render_scale < 1 is not supported under shard_map yet"
-            )
+        # at render res; only the color history/output are display res.
+        # Sharded frames render row bands at render res and reconstruct
+        # their display-res band with halo-extended inputs (ops.upscale).
         w = max(8, int(round(cfg.width * cfg.render_scale)))
         h = max(8, int(round(cfg.height * cfg.render_scale)))
     trans = scene.has_transmission
@@ -300,6 +305,17 @@ def render_frame_restir(
 
     n_loc = h_loc * w
     rt = _pick_rt(n_loc)
+
+    # Banded gathers (core.gatherband): single-chip large-res mitigation for
+    # the reuse/TAA gather cliff; sharded frames keep per-shard tables small
+    # (the multi-chip instance of the same banding) so band=None there.
+    band = None
+    if shard is None and cfg.band_rows != 0:
+        from ..core.gatherband import pick_band_rows
+
+        br = cfg.band_rows if cfg.band_rows > 0 else pick_band_rows(h, w, 16)
+        if br > 0 and h % br == 0:
+            band = (br, cfg.band_halo)
 
     gb = gbuffer(scene, o, d, rt=rt, interpret=interp)
     if textures:
@@ -329,7 +345,7 @@ def render_frame_restir(
             res = RD.temporal_reuse(
                 res, state.reservoirs, state.gbuf, gb, state.camera_prev,
                 w, h, seed, cfg.restir, trans=trans, coat=coat,
-                pos_prev=pos_prev,
+                pos_prev=pos_prev, band=band,
             )
         else:
             prev_r = _hxf(state.reservoirs, w, halo, axis, n_sh)
@@ -342,7 +358,10 @@ def render_frame_restir(
             )
     res = RD.visibility_reuse(scene, res, gb)
     if shard is None:
-        res_sp = RD.spatial_reuse(res, gb, w, h, seed, cfg.restir, trans=trans, coat=coat)
+        res_sp = RD.spatial_reuse(
+            res, gb, w, h, seed, cfg.restir, trans=trans, coat=coat,
+            band=band,
+        )
     else:
         hs = cfg.restir.spatial_radius
         gb_ext = _hxf(gb, w, hs, axis, n_sh)
@@ -383,7 +402,7 @@ def render_frame_restir(
                 sky_res = SD.temporal_reuse(
                     sky_res, state.sky_reservoirs, state.gbuf, gb,
                     state.camera_prev, w, h, seed, cfg.skydi_cfg, cfg.pt.sky,
-                    trans=trans, coat=coat, pos_prev=pos_prev,
+                    trans=trans, coat=coat, pos_prev=pos_prev, band=band,
                 )
             else:
                 prev_sr = _hxf(state.sky_reservoirs, w, halo, axis, n_sh)
@@ -397,7 +416,8 @@ def render_frame_restir(
         sky_res_new = sky_res
         if shard is None:
             sky_sp = SD.spatial_reuse(
-                sky_res, gb, w, h, seed, cfg.skydi_cfg, trans=trans, coat=coat
+                sky_res, gb, w, h, seed, cfg.skydi_cfg, trans=trans,
+                coat=coat, band=band,
             )
         else:
             hk = cfg.skydi_cfg.spatial_radius
@@ -429,7 +449,7 @@ def render_frame_restir(
                 gi_res = RG.temporal_reuse(
                     gi_res, state.gi_reservoirs, state.gbuf, gb,
                     state.camera_prev, w, h, seed, cfg.restir_gi, trans=trans,
-                    coat=coat, pos_prev=pos_prev,
+                    coat=coat, pos_prev=pos_prev, band=band,
                 )
             else:
                 prev_gi = _hxf(state.gi_reservoirs, w, halo, axis, n_sh)
@@ -442,7 +462,10 @@ def render_frame_restir(
                     pos_prev=pos_prev,
                 )
         if shard is None:
-            gi_sp = RG.spatial_reuse(gi_res, gb, w, h, seed, cfg.restir_gi, trans=trans, coat=coat)
+            gi_sp = RG.spatial_reuse(
+                gi_res, gb, w, h, seed, cfg.restir_gi, trans=trans,
+                coat=coat, band=band,
+            )
         else:
             hg = cfg.restir_gi.spatial_radius
             gb_ext_g = _hxf(gb, w, hg, axis, n_sh)
@@ -473,7 +496,8 @@ def render_frame_restir(
                 gi_res = RP.temporal_reuse(
                     gi_res, state.gi_reservoirs, state.gbuf, gb,
                     state.camera_prev, w, h, seed, cfg.restir_pt,
-                    trans=trans, coat=coat, pos_prev=pos_prev,
+                    trans=trans, coat=coat, pos_prev=pos_prev, band=band,
+                    scene=scene,
                 )
             else:
                 prev_pt = _hxf(state.gi_reservoirs, w, halo, axis, n_sh)
@@ -483,11 +507,12 @@ def render_frame_restir(
                     w, h, seed, cfg.restir_pt, trans=trans, coat=coat,
                     pix=pix,
                     prev_row0=row0 - halo, prev_rows=h_loc + 2 * halo,
-                    pos_prev=pos_prev,
+                    pos_prev=pos_prev, scene=scene,
                 )
         if shard is None:
             pt_sp = RP.spatial_reuse(
-                gi_res, gb, w, h, seed, cfg.restir_pt, trans=trans, coat=coat
+                gi_res, gb, w, h, seed, cfg.restir_pt, trans=trans,
+                coat=coat, band=band, scene=scene,
             )
         else:
             hp = cfg.restir_pt.spatial_radius
@@ -498,7 +523,7 @@ def render_frame_restir(
                 pt_sp = RP.spatial_step(
                     pt_sp, gb, w, h, seed, it, cfg.restir_pt, trans=trans,
                     coat=coat, pix=pix, res_src=pt_ext, gbuf_src=gb_ext_p,
-                    src_row0=row0 - hp,
+                    src_row0=row0 - hp, scene=scene,
                 )
         indirect = RP.shade(
             scene, pt_sp, gb, cfg.restir_pt, trans=trans, coat=coat,
@@ -566,18 +591,37 @@ def render_frame_restir(
     if cfg.render_scale != 1.0:
         from ..ops.upscale import taau_resolve
 
-        hdr = taau_resolve(
-            hdr,
-            state.history if (cfg.taa and state is not None) else None,
-            pos_img, valid_img, depth_img,
-            state.camera_prev if state is not None else camera,
-            camera.jitter, cfg.width, cfg.height, cfg.upscale_cfg,
-        )
+        hist = state.history if (cfg.taa and state is not None) else None
+        prev_c = state.camera_prev if state is not None else camera
+        if shard is None:
+            hdr = taau_resolve(
+                hdr, hist, pos_img, valid_img, depth_img, prev_c,
+                camera.jitter, cfg.width, cfg.height, cfg.upscale_cfg,
+            )
+        else:
+            # render-res stencils (bilinear/minmax/dilate) need a 2-row
+            # halo; the display-res history reuses the temporal halo
+            hs = 2
+            out_rows = cfg.height // n_sh
+            out_row0 = jax.lax.axis_index(axis) * out_rows
+            if hist is not None:
+                hist = _hx(hist, halo, axis, n_sh, row_axis=1)
+            hdr = taau_resolve(
+                _hx(hdr, hs, axis, n_sh, row_axis=1),
+                hist,
+                _hx(pos_img, hs, axis, n_sh, row_axis=1),
+                _hx(valid_img, hs, axis, n_sh),
+                _hx(depth_img, hs, axis, n_sh),
+                prev_c, camera.jitter, cfg.width, cfg.height,
+                cfg.upscale_cfg,
+                out_row0=out_row0, out_rows=out_rows, lr_row0=row0 - hs,
+                hr_full=h, hist_row0=out_row0 - halo,
+            )
     elif cfg.taa and state is not None:
         if shard is None:
             hdr = TA.taa_resolve_p(
                 hdr, state.history, pos_img, valid_img, state.camera_prev,
-                depth=depth_img,
+                depth=depth_img, band=band,
             )
         else:
             hist_ext = _hx(state.history, halo, axis, n_sh, row_axis=1)
