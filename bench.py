@@ -89,6 +89,119 @@ def main():
     except Exception:
         restir_pt_ms = None
 
+    # -- full-surface feature frame (VERDICT r2 #7: skydi + LVG + pairwise
+    #    MIS + volumetrics at 256^2 so the round-2 machinery has numbers)
+    try:
+        from zetaray_tpu.ops.restir_di import ReSTIRConfig
+        from zetaray_tpu.ops.sky import SkyParams
+        from zetaray_tpu.ops.volumetrics import VolumetricsConfig
+
+        cfg_feat = RenderConfig(
+            width=256, height=256, mode="restir_gi",
+            pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.8, 0.2))),
+            restir=ReSTIRConfig(lvg_samples=2, spatial_mis="pairwise"),
+            skydi=True, volumetrics=VolumetricsConfig(),
+            denoise=True, taa=True,
+        )
+        state_f = None
+        for i in range(3):
+            out_f, state_f = render_frame_restir_jit(
+                scene, cam, jax.random.PRNGKey(i), cfg_feat, state_f
+            )
+        _ = float(out_f["hdr"].sum())
+        t0 = time.time()
+        for i in range(10):
+            out_f, state_f = render_frame_restir_jit(
+                scene, cam, jax.random.PRNGKey(30 + i), cfg_feat, state_f
+            )
+        _ = float(out_f["hdr"].sum())
+        features_ms = round((time.time() - t0) / 10 * 1000.0, 3)
+    except Exception:
+        features_ms = None
+
+    # -- temporal upscaling (FSR2-slot): 256 -> 512 reconstruction
+    try:
+        cfg_up = RenderConfig(
+            width=512, height=512, mode="restir_gi",
+            pt=PTConfig(max_bounces=2), render_scale=0.5, taa=True,
+        )
+        state_u = None
+        for i in range(3):
+            out_u, state_u = render_frame_restir_jit(
+                scene, cam, jax.random.PRNGKey(i), cfg_up, state_u
+            )
+        _ = float(out_u["hdr"].sum())
+        t0 = time.time()
+        for i in range(10):
+            out_u, state_u = render_frame_restir_jit(
+                scene, cam, jax.random.PRNGKey(40 + i), cfg_up, state_u
+            )
+        _ = float(out_u["hdr"].sum())
+        upscale_ms = round((time.time() - t0) / 10 * 1000.0, 3)
+    except Exception:
+        upscale_ms = None
+
+    # -- clustered scene end-to-end (VERDICT r2 #3: the Sponza-config proxy):
+    #    Cornell subdivided past the VMEM wall -> BVH-cluster streaming
+    try:
+        from zetaray_tpu.scene.subdivide import subdivide_scene
+
+        cpu_big = subdivide_scene(load_scene(ASSET), 100_000)
+        big = upload_scene(cpu_big)
+        assert big.cluster_aabb is not None
+        n_tris = cpu_big.num_tris
+        cfg_cl = RenderConfig(
+            width=256, height=256, mode="restir_gi",
+            pt=PTConfig(max_bounces=2), denoise=True, taa=True,
+        )
+        state_c = None
+        for i in range(2):
+            out_c, state_c = render_frame_restir_jit(
+                big, cam, jax.random.PRNGKey(i), cfg_cl, state_c
+            )
+        _ = float(out_c["hdr"].sum())
+        t0 = time.time()
+        for i in range(5):
+            out_c, state_c = render_frame_restir_jit(
+                big, cam, jax.random.PRNGKey(50 + i), cfg_cl, state_c
+            )
+        _ = float(out_c["hdr"].sum())
+        clustered_ms = round((time.time() - t0) / 5 * 1000.0, 3)
+        # ~4 trace sweeps/frame at 2 bounces (gbuffer, GI dir + suffix, shadow)
+        clustered_mrays = round(
+            256 * 256 * 4 / (clustered_ms * 1e-3) / 1e6, 1
+        )
+        clustered = {
+            "clustered_tris": int(n_tris),
+            "clustered_256_restir_gi_ms": clustered_ms,
+            "clustered_mrays_per_s": clustered_mrays,
+        }
+    except Exception as e:
+        clustered = {"clustered_error": str(e)[:120]}
+
+    # -- single-chip 1080p banded frame (VERDICT r2 #2: gather-cliff fix;
+    #    round-2 measured 941 ms unbanded)
+    try:
+        cfg_hd = RenderConfig(
+            width=1920, height=1080, mode="restir_gi",
+            pt=PTConfig(max_bounces=2), denoise=True, taa=True,
+        )
+        state_h = None
+        for i in range(2):
+            out_h, state_h = render_frame_restir_jit(
+                scene, cam, jax.random.PRNGKey(i), cfg_hd, state_h
+            )
+        _ = float(out_h["hdr"].sum())
+        t0 = time.time()
+        for i in range(5):
+            out_h, state_h = render_frame_restir_jit(
+                scene, cam, jax.random.PRNGKey(70 + i), cfg_hd, state_h
+            )
+        _ = float(out_h["hdr"].sum())
+        hd_ms = round((time.time() - t0) / 5 * 1000.0, 3)
+    except Exception:
+        hd_ms = None
+
     # -- plain PT (the round-1 metric, for cross-round comparison)
     cfg_pt = RenderConfig(width=512, height=512, pt=PTConfig(max_bounces=4))
     out = render_frame_jit(scene, cam, jax.random.PRNGKey(0), cfg_pt)
@@ -150,6 +263,10 @@ def main():
                     "primary_mrays_per_s": round(mrays, 1),
                     "restir_di_resample_ms": round(resample_ms, 3),
                     "restir_pt_512_ms": restir_pt_ms,
+                    "features_256_skydi_lvg_pairwise_vol_ms": features_ms,
+                    "upscale_256_to_512_ms": upscale_ms,
+                    "restir_gi_1080p_single_chip_banded_ms": hd_ms,
+                    **clustered,
                 },
             }
         )

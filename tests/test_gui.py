@@ -165,3 +165,49 @@ def test_profile_endpoint_queued(gui):
     # don't actually run time_passes here (slow on CPU); clear the flag
     with viewer.state.lock:
         viewer.state.profile_req = False
+
+
+def test_material_editor_roundtrip(gui):
+    """POST /api/material edits the table; the next frame re-uploads the
+    scene with the new value (GET /api/materials reflects it)."""
+    viewer, port = gui
+    st, mats = _post(port, "/api/material",
+                     {"index": 0, "field": "roughness", "value": 0.33})
+    assert st == 200 and mats["queued"]
+    viewer.render_one(101)  # applies the queued edit
+    _, body, _ = _get(port, "/api/materials")
+    mats = json.loads(body)
+    assert abs(mats[0]["roughness"] - 0.33) < 1e-6
+    # bad field rejected
+    try:
+        _post(port, "/api/material", {"index": 0, "field": "nope", "value": 1})
+        assert False, "expected 400"
+    except Exception:
+        pass
+
+
+def test_transform_gizmo_moves_instance(gui):
+    """POST /api/transform translates the picked instance through the
+    scene refit: the device scene's world bounds move accordingly."""
+    viewer, port = gui
+    sel = np.asarray(viewer.scene.inst_id) == 0
+    x_before = float(np.asarray(viewer.scene.v0)[sel, 0].mean())
+    st, r = _post(port, "/api/transform",
+                  {"instance": 0, "translate": [0.25, 0.0, 0.0]})
+    assert st == 200 and r["queued"]
+    viewer.render_one(102)
+    x_after = float(np.asarray(viewer.scene.v0)[sel, 0].mean())
+    assert abs((x_after - x_before) - 0.25) < 1e-3, (x_before, x_after)
+    # move it back (keep the module-scoped fixture's scene consistent)
+    _post(port, "/api/transform", {"instance": 0, "translate": [-0.25, 0, 0]})
+    viewer.render_one(103)
+
+
+def test_log_endpoint(gui):
+    viewer, port = gui
+    from zetaray_tpu.utils import log as L
+
+    L.info("gui-test marker")
+    _, body, _ = _get(port, "/api/log")
+    entries = json.loads(body)["log"]
+    assert any("gui-test marker" in e[2] for e in entries)

@@ -132,3 +132,46 @@ def test_normal_map_perturbs(cornell_dev):
     np.testing.assert_allclose(
         np.linalg.norm(ns_after, axis=0), 1.0, atol=1e-4
     )
+
+
+def test_secondary_bounce_texturing_paths_agree(cornell_dev):
+    """VERDICT r2 #5: base color fetched at every path vertex. A solid
+    half-red texture on texid 0 must change the indirect bounce color, and
+    the split megakernel (interpret) must agree with the XLA wavefront."""
+    import os
+
+    from zetaray_tpu.accel.megakernel import trace_megakernel
+    from zetaray_tpu.core.rng import seed_from_key
+    from zetaray_tpu.ops.pathtracer import PTConfig, trace_reference
+
+    cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=1.0)
+    o, d = cam.generate_rays(16, 16)
+    key = jax.random.PRNGKey(7)
+    cfg = PTConfig(max_bounces=2)
+    tex = jnp.zeros((8, 8, 4)).at[..., 0].set(0.5).at[..., 3].set(1.0)
+    textures = {0: tex}
+
+    seed = seed_from_key(key)
+    mk_plain = np.asarray(
+        trace_megakernel(cornell_dev, o, d, seed, cfg, rt=256, interpret=True)
+    )
+    mk_tex = np.asarray(
+        trace_megakernel(
+            cornell_dev, o, d, seed, cfg, rt=256, interpret=True,
+            textures=textures, spread_angle=0.002,
+        )
+    )
+    # texturing at bounce vertices must change the indirect component
+    assert np.abs(mk_tex - mk_plain).max() > 1e-4
+    # textured green/blue bounce light off texid-0 surfaces drops
+    assert mk_tex.mean() < mk_plain.mean()
+
+    ref_tex = np.asarray(
+        trace_reference(
+            cornell_dev, o, d, key, cfg, textures=textures,
+            spread_angle=0.002,
+        )
+    )
+    # statistical agreement (different RNG stream structures)
+    m, r = mk_tex.mean(), ref_tex.mean()
+    assert abs(m - r) / max(r, 1e-9) < 0.15, (m, r)

@@ -194,15 +194,92 @@ def _occluded_soa(woop_ref, o, seg: V3, rt, tp, tc, t_min=1e-3, t_max=1.0 - 1e-3
     return jax.lax.fori_loop(0, n_chunks, chunk, init) > 0.5
 
 
-def _rng8(i, rt, bounce, seed, salt):
+def _rng5(i, rt, bounce, seed, salt):
+    """Five uniforms per lane from ONE pcg4d call.
+
+    Integer hashing is the megakernel's hottest block by far (measured
+    round 3: the former two-call _rng8 cost ~6.2 ms/bounce at 512^2 --
+    two-thirds of the whole bounce kernel; u32 multiplies emulate slowly
+    on the VPU). One pcg4d yields 128 well-mixed bits: the four outputs'
+    top-24 bits drive the light pick + the three BSDF-sample uniforms, and
+    the Russian-roulette uniform is assembled from their low bytes (pcg4d's
+    final xorshift folds high entropy into the low bits, so the slices are
+    independent). Same (pixel, bounce, frame) counter structure as the
+    reference's per-pixel PCG streams (Sampling.hlsli:12-74).
+    """
     pix = jax.lax.broadcasted_iota(jnp.uint32, (rt, 1), 0)[:, 0] + (
         i * rt
     ).astype(jnp.uint32)
     b = jnp.full((rt,), bounce, jnp.uint32)
     s = jnp.full((rt,), seed, jnp.uint32)
-    r0 = S.pcg4d_soa(pix, b, s, jnp.full((rt,), salt, jnp.uint32))
-    r1 = S.pcg4d_soa(pix, b, s, jnp.full((rt,), salt + 1, jnp.uint32))
-    return tuple(S.to_unit_float(x) for x in (*r0, *r1))
+    r = S.pcg4d_soa(pix, b, s, jnp.full((rt,), salt, jnp.uint32))
+    u_light, u_s1, u_s2, u_s3 = (S.to_unit_float(x) for x in r)
+    lo = (
+        (r[0] & jnp.uint32(0xFF))
+        | ((r[1] & jnp.uint32(0xFF)) << 8)
+        | ((r[2] & jnp.uint32(0xFF)) << 16)
+    )
+    u_rr = lo.astype(jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
+    return u_light, u_s1, u_s2, u_s3, u_rr
+
+
+def _rng5_f32(i, rt, bounce, seed, salt):
+    """Float-ALU hash variant (S.hashf4_soa): no integer multiplies.
+    Select with ZETARAY_MK_PRNG=f32; same counter structure as _rng5."""
+    pix = (
+        jax.lax.broadcasted_iota(jnp.int32, (rt, 1), 0)[:, 0] + i * rt
+    ).astype(jnp.float32)
+    b = jnp.full((rt,), bounce, jnp.int32).astype(jnp.float32)
+    sd = jnp.full((rt,), (seed & jnp.uint32(0xFFFF)).astype(jnp.int32), jnp.int32)
+    u1, u5, u6, u7 = S.hashf4_soa(
+        pix * (1.0 / 97.0), b * 7.13 + 0.7, sd.astype(jnp.float32) * 0.1237,
+        pix * (1.0 / 8192.0) + b * 0.317,
+    )
+    # fifth stream: one more round keyed off the first four
+    u8, _, _, _ = S.hashf4_soa(u1 * 251.0, u5 * 241.0, u6 * 239.0, u7 * 233.0)
+    return u1, u5, u6, u7, u8
+
+
+def _rng5_hw(i, rt, bounce, seed, salt):
+    """Hardware-PRNG variant (pltpu.prng_random_bits): the TPU's native
+    generator replaces the emulated-u32-multiply hash entirely. Seeded per
+    (frame seed, bounce, global tile) so streams stay sharding-invariant
+    and frame-decorrelated; A/B against _rng5 via ZETARAY_MK_PRNG=hw."""
+    # prng_seed accepts at most 2 values: fold (bounce, tile, salt) into one
+    mix = (
+        jnp.uint32(bounce) * jnp.uint32(0x9E3779B9)
+        ^ (i + 1).astype(jnp.uint32) * jnp.uint32(salt)
+    )
+    pltpu.prng_seed(seed, mix)
+    bits = pltpu.prng_random_bits((5, rt))
+    u = (
+        (pltpu.bitcast(bits, jnp.uint32) >> 8).astype(jnp.int32)
+        .astype(jnp.float32) * (1.0 / 16777216.0)
+    )
+    return u[0], u[1], u[2], u[3], u[4]
+
+
+def bounce_uniforms(n, bounce, seed, salt=0x9E37, pix0=0):
+    """[5, N] per-ray uniforms for one bounce, computed in XLA.
+
+    Bit-identical to the in-kernel _rng5 slicing (same pcg4d counters), but
+    hashed OUTSIDE the Pallas kernel: XLA lowers u32 multiplies well while
+    Mosaic's emulation made the in-kernel hash the single hottest block of
+    the whole frame (measured round 3: ~6 ms/bounce at 512^2). The rows
+    ride into the bounce kernel as one [5, rt] VMEM block per tile
+    (~5 MB/bounce of extra input bandwidth -- noise)."""
+    pix = jnp.arange(n, dtype=jnp.uint32) + jnp.asarray(pix0).astype(jnp.uint32)
+    b = jnp.full((n,), bounce, jnp.uint32)
+    sd = jnp.full((n,), seed, jnp.uint32)
+    r = S.pcg4d_soa(pix, b, sd, jnp.full((n,), salt, jnp.uint32))
+    u14 = [S.to_unit_float(x) for x in r]
+    lo = (
+        (r[0] & jnp.uint32(0xFF))
+        | ((r[1] & jnp.uint32(0xFF)) << 8)
+        | ((r[2] & jnp.uint32(0xFF)) << 16)
+    )
+    u_rr = lo.astype(jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
+    return jnp.stack([u14[0], u14[1], u14[2], u14[3], u_rr], 0)
 
 
 def _ablate():
@@ -217,7 +294,7 @@ def _ablate():
 
 
 def _bounce_kernel(
-    scal_ref, state_ref, woop_ref, attrsT_ref, lset_ref, out_ref,
+    scal_ref, state_ref, woop_ref, attrsT_ref, lset_ref, u_ref, out_ref,
     *, rt, tp, tc, cfg, last, has_lights, has_transmission, has_coat,
     skip=frozenset(),
 ):
@@ -324,9 +401,12 @@ def _bounce_kernel(
 
         if "rng" in skip:
             half = jnp.full((rt,), 0.5)
-            u1 = u2 = u3 = u4 = u5 = u6 = u7 = u8 = half
+            u1 = u5 = u6 = u7 = u8 = half
         else:
-            u1, u2, u3, u4, u5, u6, u7, u8 = _rng8(i, rt, bounce, seed, jnp.uint32(0x9E37))
+            # precomputed in XLA (bounce_uniforms); hashing in-kernel was
+            # the hottest block of the whole frame
+            u = u_ref[:]
+            u1, u5, u6, u7, u8 = u[0], u[1], u[2], u[3], u[4]
 
         # -- NEE against the tile's presampled light set
         if cfg.nee and has_lights:
@@ -651,6 +731,359 @@ def gbuffer(scene, o, d, t_min=1e-4, rt=1024, interpret=False):
     return out[:, :n]
 
 
+# --------------------------------------------------------------------------
+# Split bounce: trace kernel + shade kernel (two pallas_calls per bounce).
+#
+# Measured round 3 (512^2, 3 bounces, Cornell): the FUSED bounce kernel runs
+# ~9 ms/bounce while every component isolated is <1 ms -- Mosaic hits a
+# register/VMEM-pressure cliff once closest-hit + NEE + BSDF sampling share
+# one kernel (halving the RNG hashes changed nothing; deleting the sampling
+# subgraph recovered ~6 ms/bounce). Splitting keeps each kernel under the
+# cliff at the cost of one [SURF_ROWS, N] HBM round trip (~0.1 ms).
+# --------------------------------------------------------------------------
+
+SURF_ROWS = 24  # 0-2 pos | 3-5 ns | 6-8 ng | 9-11 base | 12 metal
+# | 13 rough | 14 ior | 15 trans | 16 eta | 17 coatw | 18 coatr
+# | 19-20 uv | 21 texid | 22 uvdens | 23 pad  (rows 19-22 feed the
+# secondary-bounce texture fetch between the trace and shade kernels)
+
+
+def _bounce_trace_kernel(
+    scal_ref, state_ref, woop_ref, attrsT_ref, out_ref, surf_ref,
+    *, rt, tp, tc, cfg, last, has_lights,
+):
+    """Closest hit + env/emissive accumulation + surface reconstruction."""
+    bounce = scal_ref[0, 0]
+    st = state_ref[:]
+    o = V3(st[0], st[1], st[2])
+    d = V3(st[3], st[4], st[5])
+    thr = V3(st[6], st[7], st[8])
+    rad = V3(st[9], st[10], st[11])
+    prev_pdf = st[12]
+    alive = st[13] > 0.5
+    spec = st[14] > 0.5
+
+    t_hit, bu, bv, at = _closest_soa(
+        woop_ref, attrsT_ref, o, d, cfg.t_min, rt, tp, tc
+    )
+    hit = t_hit < INF
+    found = hit & alive
+
+    if cfg.sky is not None:
+        from ..ops import sky as SK
+
+        miss = alive & ~hit
+        env = SK.sky_radiance(d, cfg.sky, with_disk=False)
+        disk_gain = jnp.where(spec, 1.0, 0.0) if cfg.sun_nee else jnp.ones((rt,))
+        sun = np.asarray(cfg.sky.sun_dir, np.float64)
+        sun = sun / np.linalg.norm(sun)
+        c_sun = d.x * float(sun[0]) + d.y * float(sun[1]) + d.z * float(sun[2])
+        cos_r = float(np.cos(cfg.sky.sun_angular_radius))
+        edge = jnp.clip((c_sun - cos_r) / max(1e-6, 1.0 - cos_r) * 4.0, 0.0, 1.0)
+        disk = edge * (cfg.sky.sun_intensity * SK.SUN_RADIANCE_SCALE) * disk_gain
+        gain_env = jnp.where(miss, 1.0, 0.0)
+        rad = rad + thr * V3(
+            (env.x + disk * SK.SUN_COLOR[0]) * gain_env,
+            (env.y + disk * SK.SUN_COLOR[1]) * gain_env,
+            (env.z + disk * SK.SUN_COLOR[2]) * gain_env,
+        )
+
+    ng_raw = v3.from_rows(at, A.NG)
+    wo_dot_ng = -v3.dot(d, ng_raw)
+    if has_lights:
+        two_sided = at[A.DOUBLE] > 0.5
+        vis_side = two_sided | (wo_dot_ng > 0.0)
+        le = v3.from_rows(at, A.EMISS)
+        pdf_l_sa = at[A.EM_PDF_AREA] * t_hit * t_hit / jnp.maximum(
+            jnp.abs(wo_dot_ng), 1e-8
+        )
+        if cfg.nee:
+            mis = jnp.where(spec, 1.0, S.power_heuristic(prev_pdf, pdf_l_sa))
+        else:
+            mis = jnp.ones((rt,))
+        gain = jnp.where(found & vis_side, mis, 0.0)
+        if cfg.min_emissive_bounce > 0:
+            gain = jnp.where(bounce >= cfg.min_emissive_bounce, gain, 0.0)
+        rad = rad + thr * le * gain
+
+    alive = found
+    # surface reconstruction for the shade kernel
+    w0 = 1.0 - bu - bv
+    ns = v3.normalize(
+        v3.from_rows(at, A.N0) * w0
+        + v3.from_rows(at, A.N1) * bu
+        + v3.from_rows(at, A.N2) * bv
+    )
+    front = wo_dot_ng > 0.0
+    sgn = jnp.where(front, 1.0, -1.0)
+    ng = ng_raw * sgn
+    ns = ns * sgn
+    ns = v3.where(v3.dot(ns, ng) < 0.0, -ns, ns)
+    pos = o + d * t_hit
+    ior = jnp.maximum(at[A.IOR], 1.01)
+
+    for r_i, v in enumerate(st):
+        out_ref[r_i, :] = v
+    out_ref[9, :] = rad.x
+    out_ref[10, :] = rad.y
+    out_ref[11, :] = rad.z
+    out_ref[13, :] = alive.astype(jnp.float32)
+    surf_ref[0, :] = pos.x
+    surf_ref[1, :] = pos.y
+    surf_ref[2, :] = pos.z
+    surf_ref[3, :] = ns.x
+    surf_ref[4, :] = ns.y
+    surf_ref[5, :] = ns.z
+    surf_ref[6, :] = ng.x
+    surf_ref[7, :] = ng.y
+    surf_ref[8, :] = ng.z
+    surf_ref[9, :] = at[A.BASE]
+    surf_ref[10, :] = at[A.BASE + 1]
+    surf_ref[11, :] = at[A.BASE + 2]
+    surf_ref[12, :] = at[A.METAL]
+    surf_ref[13, :] = at[A.ROUGH]
+    surf_ref[14, :] = ior
+    surf_ref[15, :] = at[A.TRANS]
+    surf_ref[16, :] = jnp.where(front, 1.0 / ior, ior)
+    surf_ref[17, :] = at[A.COATW]
+    surf_ref[18, :] = at[A.COATR]
+    surf_ref[19, :] = w0 * at[A.UV0] + bu * at[A.UV1] + bv * at[A.UV2]
+    surf_ref[20, :] = (
+        w0 * at[A.UV0 + 1] + bu * at[A.UV1 + 1] + bv * at[A.UV2 + 1]
+    )
+    surf_ref[21, :] = jnp.where(hit, at[A.TEXID], -1.0)
+    surf_ref[22, :] = at[A.UVDENS]
+    surf_ref[23, :] = jnp.zeros((rt,))
+    # accumulated ray-cone width rides state row 15 (RT.hlsli cone updates;
+    # scal row 3 carries the per-segment spread angle)
+    spread = scal_ref[3, 0] * 1e-6
+    out_ref[15, :] = st[15] + jnp.where(
+        alive, t_hit * spread.astype(jnp.float32), 0.0
+    )
+
+
+def _bounce_shade_kernel(
+    scal_ref, state_ref, surf_ref, woop_ref, lset_ref, u_ref, out_ref,
+    *, rt, tp, tc, cfg, has_lights, has_transmission, has_coat,
+):
+    """NEE + sun NEE + BSDF sample + Russian roulette for one bounce."""
+    i = pl.program_id(0)
+    bounce = scal_ref[0, 0]
+    seed = scal_ref[1, 0].astype(jnp.uint32)
+    i = scal_ref[2, 0] + i
+
+    st = state_ref[:]
+    sf = surf_ref[:]
+    d = V3(st[3], st[4], st[5])
+    thr = V3(st[6], st[7], st[8])
+    rad = V3(st[9], st[10], st[11])
+    alive = st[13] > 0.5
+    pos = V3(sf[0], sf[1], sf[2])
+    ns = V3(sf[3], sf[4], sf[5])
+    ng = V3(sf[6], sf[7], sf[8])
+    mat = S.MatSoA(
+        base=V3(sf[9], sf[10], sf[11]),
+        metallic=sf[12], roughness=sf[13], ior=sf[14],
+        transmission=sf[15] if has_transmission else None,
+        eta=sf[16] if has_transmission else None,
+        coat=sf[17] if has_coat else None,
+        coat_roughness=sf[18] if has_coat else None,
+    )
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(-d)
+
+    u = u_ref[:]
+    u1, u5, u6, u7, u8 = u[0], u[1], u[2], u[3], u[4]
+
+    if cfg.nee and has_lights:
+        set_idx = jax.lax.rem(i + bounce * 13, NS)
+        lset = lset_ref[set_idx]
+        p = jnp.minimum((u1 * PS).astype(jnp.int32), PS - 1)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (PS, rt), 0) == p[None, :]
+        ).astype(jnp.float32)
+        srow = jax.lax.dot_general(
+            lset, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        lp = v3.from_rows(srow, 0)
+        lng = v3.from_rows(srow, 3)
+        lle = v3.from_rows(srow, 6)
+        lpdf_area = srow[9]
+        l2s = srow[10] > 0.5
+        to_l = lp - pos
+        dist2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
+        inv_d = jax.lax.rsqrt(dist2)
+        wi_w = to_l * inv_d
+        cos_surf = v3.dot(wi_w, ns)
+        cos_l_raw = -v3.dot(wi_w, lng)
+        cos_l = jnp.where(l2s, jnp.abs(cos_l_raw), cos_l_raw)
+        wi_l = frame.to_local(wi_w)
+        f, pdf_b = S.bsdf_eval(mat, wo_l, wi_l)
+        pdf_l_sa2 = lpdf_area * dist2 / jnp.maximum(cos_l, 1e-8)
+        candidate = alive & (cos_surf > 1e-6) & (cos_l > 1e-6) & (lpdf_area > 0.0)
+        if cfg.min_nee_bounce > 0:
+            candidate = candidate & (bounce >= cfg.min_nee_bounce)
+        shadow_o = pos + ng * _EPS_RAY
+        occ = _occluded_soa(woop_ref, shadow_o, to_l, rt, tp, tc)
+        vis = candidate & ~occ
+        mis2 = S.power_heuristic(pdf_l_sa2, pdf_b)
+        scale = cos_surf * mis2 / jnp.maximum(pdf_l_sa2, 1e-12)
+        contrib = thr * f * lle * scale
+        if cfg.firefly_clamp > 0.0:
+            contrib = V3(
+                jnp.minimum(contrib.x, cfg.firefly_clamp),
+                jnp.minimum(contrib.y, cfg.firefly_clamp),
+                jnp.minimum(contrib.z, cfg.firefly_clamp),
+            )
+        zero = jnp.zeros((rt,))
+        rad = rad + v3.where(vis, contrib, V3(zero, zero, zero))
+
+    if cfg.sky is not None and cfg.sun_nee:
+        from ..ops import sky as SK
+
+        sun = np.asarray(cfg.sky.sun_dir, np.float64)
+        sun = sun / np.linalg.norm(sun)
+        sdir = V3(
+            jnp.full((rt,), float(sun[0])),
+            jnp.full((rt,), float(sun[1])),
+            jnp.full((rt,), float(sun[2])),
+        )
+        cos_s = v3.dot(sdir, ns)
+        f_s, _ = S.bsdf_eval(mat, wo_l, frame.to_local(sdir))
+        occ_s = _occluded_soa(
+            woop_ref, pos + ng * _EPS_RAY, sdir, rt, tp, tc,
+            t_min=1e-3, t_max=1e8,
+        )
+        e_sun = SK.sun_irradiance(cfg.sky)
+        sun_ok = alive & (cos_s > 1e-6) & ~occ_s
+        gain_s = jnp.where(sun_ok, cos_s, 0.0)
+        rad = rad + thr * V3(
+            f_s.x * float(e_sun[0]) * gain_s,
+            f_s.y * float(e_sun[1]) * gain_s,
+            f_s.z * float(e_sun[2]) * gain_s,
+        )
+
+    wi_l, wgt, pdf = S.bsdf_sample(mat, wo_l, u5, u6, u7)
+    wi_w2 = frame.to_world(wi_l)
+    transmitted = wi_l.z < 0.0
+    side = v3.dot(wi_w2, ng)
+    geo_ok = (transmitted & (side < -1e-6)) | (~transmitted & (side > 1e-6))
+    alive = alive & (pdf > 0.0) & geo_ok
+    thr = thr * wgt
+    do_rr = bounce >= cfg.rr_start
+    q = jnp.clip(v3.max_component(thr), 0.05, 0.95)
+    survive = u8 < q
+    alive = alive & (survive | jnp.logical_not(do_rr))
+    rr_scale = jnp.where(do_rr, 1.0 / q, jnp.ones_like(q))
+    thr = thr * rr_scale
+    offs = jnp.where(transmitted, -_EPS_RAY, _EPS_RAY)
+    o = pos + ng * offs
+
+    out_ref[0, :] = o.x
+    out_ref[1, :] = o.y
+    out_ref[2, :] = o.z
+    out_ref[3, :] = wi_w2.x
+    out_ref[4, :] = wi_w2.y
+    out_ref[5, :] = wi_w2.z
+    out_ref[6, :] = thr.x
+    out_ref[7, :] = thr.y
+    out_ref[8, :] = thr.z
+    out_ref[9, :] = rad.x
+    out_ref[10, :] = rad.y
+    out_ref[11, :] = rad.z
+    out_ref[12, :] = pdf
+    out_ref[13, :] = alive.astype(jnp.float32)
+    out_ref[14, :] = jnp.zeros((rt,))
+    eta_scale = jnp.where(transmitted & (sf[16] > 0.0), sf[16], 1.0)
+    out_ref[15, :] = st[15] * eta_scale
+
+
+def bounce_step_split(
+    state, woop3, attrsT, light_sets, bounce, seed, cfg, last, has_lights,
+    has_transmission=False, has_coat=False, rt=1024, interpret=False, pix0=0,
+    textures=None, spread_angle=0.0,
+):
+    """Two-kernel bounce (see the split-bounce note above).
+
+    ``textures``/``spread_angle``: secondary-bounce base-color texturing
+    (reference RT.hlsli fetches maps at every path vertex with ray-cone
+    mips): the trace kernel emits uv/texid/uvdens + accumulated cone
+    width, the fetch runs as XLA between the two kernels, and the shade
+    kernel consumes the modulated base color."""
+    n = state.shape[1]
+    tp = woop3.shape[2]
+    tc = min(128, tp)
+    scal = jnp.stack(
+        [
+            jnp.full((), bounce, jnp.int32),
+            jnp.asarray(seed).astype(jnp.int32).reshape(()),
+            (jnp.asarray(pix0) // rt).astype(jnp.int32).reshape(()),
+            (jnp.asarray(spread_angle, jnp.float32) * 1e6)
+            .astype(jnp.int32).reshape(()),
+        ]
+    ).reshape(4, 1)
+    tr = functools.partial(
+        _bounce_trace_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg, last=last,
+        has_lights=has_lights,
+    )
+    state2, surf = pl.pallas_call(
+        tr,
+        grid=(n // rt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SURF_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(state.shape, jnp.float32),
+            jax.ShapeDtypeStruct((SURF_ROWS, n), jnp.float32),
+        ),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(scal, state, woop3, attrsT)
+    if last:
+        return state2
+    if textures:
+        from ..scene.textures import base_color_at
+
+        factor = base_color_at(
+            textures, surf[19:21].T, surf[21], state2[15], surf[22]
+        )
+        if factor is not None:
+            surf = surf.at[9:12].set(surf[9:12] * factor)
+    sh = functools.partial(
+        _bounce_shade_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg,
+        has_lights=has_lights, has_transmission=has_transmission,
+        has_coat=has_coat,
+    )
+    u = bounce_uniforms(n, bounce, seed, pix0=pix0)
+    return pl.pallas_call(
+        sh,
+        grid=(n // rt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SURF_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(scal, state2, surf, woop3, light_sets, u)
+
+
 def bounce_step(
     state, woop3, attrsT, light_sets, bounce, seed, cfg, last, has_lights,
     has_transmission=False, has_coat=False, rt=1024, interpret=False, pix0=0,
@@ -671,6 +1104,7 @@ def bounce_step(
         has_lights=has_lights, has_transmission=has_transmission,
         has_coat=has_coat, skip=_ablate(),
     )
+    u = bounce_uniforms(n, bounce, seed, pix0=pix0)
     return pl.pallas_call(
         kernel,
         grid=(n // rt,),
@@ -680,6 +1114,7 @@ def bounce_step(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -687,7 +1122,7 @@ def bounce_step(
         out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(scal, state, woop3, attrsT, light_sets)
+    )(scal, state, woop3, attrsT, light_sets, u)
 
 
 def build_light_sets(scene, seed: jnp.ndarray):
@@ -708,8 +1143,11 @@ def build_light_sets(scene, seed: jnp.ndarray):
     return rows.reshape(LSET_ROWS, NS, PS).transpose(1, 0, 2)
 
 
-def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, rows_out=False):
-    """Full path trace via the bounce megakernel. Returns [N, 3] radiance."""
+def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, rows_out=False, textures=None, spread_angle=0.0):
+    """Full path trace via the bounce megakernel. Returns [N, 3] radiance.
+
+    ``textures``: optional scene texture bundle -- base color is fetched at
+    every path vertex with ray-cone mips (forces the split bounce)."""
     n = o.shape[0]
     n_pad = ((n + rt - 1) // rt) * rt
     has_lights = scene.num_emissives > 0
@@ -732,14 +1170,30 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, r
     else:
         lsets = jnp.zeros((NS, LSET_ROWS, PS))
 
+    import os as _os
+
+    # A/B measured (512^2, 3 bounces): fused 27.4 ms vs split 29.3 ms --
+    # the two-kernel form stays OPT-IN (and is forced by texturing, which
+    # needs the between-kernel XLA fetch)
+    split = bool(textures) or _os.environ.get("ZETARAY_MK_SPLIT") == "1"
     for bounce in range(cfg.max_bounces + 1):
-        state = bounce_step(
-            state, woop3, attrsT, lsets, bounce, seed, cfg,
-            last=(bounce == cfg.max_bounces), has_lights=has_lights,
-            has_transmission=scene.has_transmission,
-            has_coat=scene.has_coat,
-            rt=rt, interpret=interpret, pix0=pix0,
-        )
+        if split:
+            state = bounce_step_split(
+                state, woop3, attrsT, lsets, bounce, seed, cfg,
+                last=(bounce == cfg.max_bounces), has_lights=has_lights,
+                has_transmission=scene.has_transmission,
+                has_coat=scene.has_coat,
+                rt=rt, interpret=interpret, pix0=pix0,
+                textures=textures, spread_angle=spread_angle,
+            )
+        else:
+            state = bounce_step(
+                state, woop3, attrsT, lsets, bounce, seed, cfg,
+                last=(bounce == cfg.max_bounces), has_lights=has_lights,
+                has_transmission=scene.has_transmission,
+                has_coat=scene.has_coat,
+                rt=rt, interpret=interpret, pix0=pix0,
+            )
     if rows_out:  # radiance rows are the kernel-native layout
         return state[9:12, :n]
     return state[9:12, :n].T

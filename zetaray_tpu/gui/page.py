@@ -67,6 +67,12 @@ PAGE = r"""<!doctype html>
   <h2>Render graph</h2>
   <button onclick="toggleGraph()">Show DOT</button>
   <pre id="graph" style="display:none"></pre>
+  <h2>Gizmo</h2>
+  <div id="gizmo" class="dim">pick an instance to manipulate</div>
+  <h2>Materials</h2>
+  <div id="materials"></div>
+  <h2>Log</h2>
+  <pre id="log" style="max-height:140px"></pre>
   <h2>Session</h2>
   <button onclick="hotReload()">Hot reload ops</button>
   <button onclick="fetch('/api/quit',{method:'POST',body:'{}'})">Quit</button>
@@ -249,6 +255,8 @@ window.onmouseup = async e => {
       el.textContent = p.hit
         ? `picked ${p.instance_name || '#' + p.instance} (mat ${p.material}, t=${(+p.t).toFixed(3)})`
         : 'picked: miss';
+      pickedInst = p.hit ? p.instance : -1;
+      gizmoUI();
     }, 600);
   }
   drag = null;
@@ -267,7 +275,85 @@ vp.onwheel = e => {
     body: JSON.stringify({ddolly: e.deltaY > 0 ? 0.12 : -0.12})});
 };
 
-loadParams(); pollFrame(); pollStats();
+// -- gizmo (ImGuizmo-analog: axis nudges + rotate + scale on the picked
+// instance; POST /api/transform -> scene refit)
+let pickedInst = -1;
+function xform(body) {
+  body.instance = pickedInst;
+  fetch('/api/transform', {method:'POST', body: JSON.stringify(body)});
+}
+function gizmoUI() {
+  const g = $('#gizmo');
+  if (pickedInst < 0) { g.className = 'dim';
+    g.textContent = 'pick an instance to manipulate'; return; }
+  g.className = ''; g.innerHTML = '';
+  const step = 0.1;
+  const rows = [
+    ['move X', () => xform({translate:[step,0,0]}), () => xform({translate:[-step,0,0]})],
+    ['move Y', () => xform({translate:[0,step,0]}), () => xform({translate:[0,-step,0]})],
+    ['move Z', () => xform({translate:[0,0,step]}), () => xform({translate:[0,0,-step]})],
+    ['rot Y', () => xform({rotate_y:0.26}), () => xform({rotate_y:-0.26})],
+    ['scale', () => xform({scale:1.1}), () => xform({scale:1/1.1})],
+  ];
+  const hdr = document.createElement('div');
+  hdr.textContent = `instance #${pickedInst}`; g.appendChild(hdr);
+  for (const [name, plus, minus] of rows) {
+    const row = document.createElement('div'); row.className = 'row';
+    const lab = document.createElement('label'); lab.textContent = name;
+    const bm = document.createElement('button'); bm.textContent = '−'; bm.onclick = minus;
+    const bp = document.createElement('button'); bp.textContent = '+'; bp.onclick = plus;
+    row.append(lab, bm, bp); g.appendChild(row);
+  }
+}
+
+// -- material editor (reference: GuiPass material panel)
+async function loadMaterials() {
+  const ms = await (await fetch('/api/materials')).json();
+  const root = $('#materials'); root.innerHTML = '';
+  const setMat = (index, field, value) =>
+    fetch('/api/material', {method:'POST',
+      body: JSON.stringify({index, field, value})});
+  for (const m of ms) {
+    const h = document.createElement('div'); h.className = 'dim';
+    h.textContent = `material ${m.index}`; root.appendChild(h);
+    for (const f of ['metallic', 'roughness', 'transmission', 'coat_weight']) {
+      const row = document.createElement('div'); row.className = 'row';
+      const lab = document.createElement('label'); lab.textContent = f;
+      const r = document.createElement('input'); r.type = 'range';
+      r.min = 0; r.max = 1; r.step = 0.02; r.value = m[f];
+      r.onchange = () => setMat(m.index, f, parseFloat(r.value));
+      row.append(lab, r); root.appendChild(row);
+    }
+    const row = document.createElement('div'); row.className = 'row';
+    const lab = document.createElement('label'); lab.textContent = 'base color';
+    row.appendChild(lab);
+    const col = document.createElement('input'); col.type = 'color';
+    const hex = v => Math.round(Math.pow(Math.min(Math.max(v,0),1), 1/2.2) * 255)
+      .toString(16).padStart(2, '0');
+    col.value = '#' + m.base_color.map(hex).join('');
+    col.onchange = () => {
+      const c = col.value;
+      const lin = s => Math.pow(parseInt(s, 16) / 255, 2.2);
+      setMat(m.index, 'base_color',
+             [lin(c.slice(1,3)), lin(c.slice(3,5)), lin(c.slice(5,7))]);
+    };
+    row.appendChild(col); root.appendChild(row);
+  }
+}
+
+// -- log window (reference: GuiPass log dock)
+async function pollLog() {
+  try {
+    const l = await (await fetch('/api/log')).json();
+    const el = $('#log');
+    el.textContent = (l.log || []).slice(-40)
+      .map(e => `[${e[1]}] ${e[2]}`).join('\n');
+    el.scrollTop = el.scrollHeight;
+  } catch (e) {}
+  setTimeout(pollLog, 2000);
+}
+
+loadParams(); pollFrame(); pollStats(); loadMaterials(); pollLog(); gizmoUI();
 </script>
 </body></html>
 """

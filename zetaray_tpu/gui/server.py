@@ -14,7 +14,15 @@ with curl, which is how the tests drive it):
   GET  /api/pick       last pick result
   POST /api/camera     {"dyaw", "dpitch", "ddolly"} orbit/dolly deltas
   GET  /api/graph      {"dot": frame DAG in Graphviz DOT}
+  GET  /api/materials  the material table (editor view)
+  POST /api/material   {"index", "field", "value"} -> edit + re-upload
+  POST /api/transform  {"instance", "translate"/[x,y,z] | "rotate_y" |
+                        "scale"} -> gizmo edit, applied via scene refit
+  GET  /api/log        {"log": [[level, msg], ...]} ring buffer
   POST /api/quit       stop the render loop + server
+
+The manipulation tier mirrors the reference's GuiPass: ImGuizmo transform
+gizmo + material editor + log window (GuiPass.cpp:343-589).
 """
 
 from __future__ import annotations
@@ -93,6 +101,12 @@ def make_server(viewer: Viewer, port: int = 0) -> ThreadingHTTPServer:
                 from ..render.graph import frame_dag
 
                 self._json({"dot": frame_dag(viewer.cfg_holder[0])})
+            elif self.path == "/api/materials":
+                self._json(viewer.materials_json())
+            elif self.path == "/api/log":
+                from ..utils import log as L
+
+                self._json({"log": L.ring()})
             else:
                 self._json({"error": "not found"}, 404)
 
@@ -131,6 +145,17 @@ def make_server(viewer: Viewer, port: int = 0) -> ThreadingHTTPServer:
                 with st.lock:
                     st.profile_req = True
                 self._json({"ok": True, "note": "poll /api/pass_times"})
+            elif self.path == "/api/material":
+                if req.get("field") not in viewer._MAT_FIELDS:
+                    self._json({"error": f"unknown field {req.get('field')}"}, 400)
+                    return
+                with st.lock:
+                    st.material_req.append(req)
+                self._json({"ok": True, "queued": True})
+            elif self.path == "/api/transform":
+                with st.lock:
+                    st.transform_req.append(req)
+                self._json({"ok": True, "queued": True})
             elif self.path == "/api/reload":
                 # hot reload (the reference's per-pass dxc reload button)
                 with st.lock:

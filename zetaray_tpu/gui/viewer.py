@@ -31,6 +31,10 @@ class ViewerState:
     pick_result: dict | None = None
     picked_instance: int = -1
     cam_delta: list = field(default_factory=lambda: [0.0, 0.0, 0.0])  # yaw, pitch, dolly
+    # editor manipulation queues (reference: GuiPass ImGuizmo + material
+    # editor, GuiPass.cpp:343-589): applied at the next frame boundary
+    transform_req: list = field(default_factory=list)  # dicts, see /api/transform
+    material_req: list = field(default_factory=list)  # dicts, see /api/material
     running: bool = True
     profile_req: bool = False
     reload_req: bool = False  # hot reload (dxc-reload analog, gui.reload)
@@ -73,6 +77,13 @@ class Viewer:
         self.fov = fov_deg
         self.state = ViewerState()
         self._frame_state = None
+        # editor transforms: per-instance accumulated TRS (rest -> now),
+        # applied by scene.refit (the reference's ImGuizmo -> TLAS update)
+        n_inst = len(self.cpu.inst_names)
+        self._inst_xform = np.tile(
+            np.eye(3, 4, dtype=np.float32), (n_inst, 1, 1)
+        )
+        self._scene_rest = self.scene
         self._register_params()
 
     # -- params ------------------------------------------------------------
@@ -127,6 +138,114 @@ class Viewer:
                 -1 if self.state.picked_instance == res.instance else res.instance
             )
 
+    # -- editor manipulation (gizmo + material editor) ---------------------
+
+    def _apply_transforms(self, reqs):
+        """Accumulate per-instance TRS edits and refit the device scene.
+
+        Each req: {"instance": i, "translate": [x,y,z]} and/or
+        {"rotate_y": radians}, {"scale": s}. The composed rest->now
+        transforms go through scene.refit.refit_scene (the TLAS-update
+        analog); temporal state resets (history predates the edit).
+        """
+        import math as _m
+
+        from ..scene.refit import refit_scene
+        from ..utils import log as L
+
+        for req in reqs:
+            i = int(req.get("instance", -1))
+            if not (0 <= i < self._inst_xform.shape[0]):
+                continue
+            m = np.eye(4, dtype=np.float64)
+            if "scale" in req:
+                m[:3, :3] *= float(req["scale"])
+            if "rotate_y" in req:
+                a = float(req["rotate_y"])
+                c, s = _m.cos(a), _m.sin(a)
+                m[:3, :3] = np.array(
+                    [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+                ) @ m[:3, :3]
+            if "translate" in req:
+                m[:3, 3] = np.asarray(req["translate"], np.float64)
+            cur = np.eye(4)
+            cur[:3] = self._inst_xform[i]
+            new = m @ cur
+            self._inst_xform[i] = new[:3].astype(np.float32)
+            L.info(f"transform instance {i}: {req}")
+        n_inst = self._inst_xform.shape[0]
+        delta_pos = np.concatenate(
+            [self._inst_xform, np.eye(3, 4, dtype=np.float32)[None]], 0
+        )
+        lin = delta_pos[:, :, :3]
+        delta_nrm = np.linalg.inv(lin.astype(np.float64)).transpose(0, 2, 1)
+        self.scene = refit_scene(
+            self._scene_rest, delta_pos, delta_nrm.astype(np.float32)
+        )
+        self._frame_state = None
+
+    _MAT_FIELDS = {
+        "base_color": ("base_color", 3), "metallic": ("metallic", 1),
+        "roughness": ("roughness", 1), "emissive": ("emissive", 3),
+        "ior": ("ior", 1), "transmission": ("transmission", 1),
+        "coat_weight": ("coat_weight", 1),
+        "coat_roughness": ("coat_roughness", 1),
+    }
+
+    def materials_json(self):
+        m = self.cpu.materials
+        out = []
+        for i in range(m.base_color.shape[0]):
+            out.append({
+                "index": i,
+                "base_color": [round(float(v), 4) for v in m.base_color[i]],
+                "metallic": round(float(m.metallic[i]), 4),
+                "roughness": round(float(m.roughness[i]), 4),
+                "emissive": [round(float(v), 4) for v in m.emissive[i]],
+                "ior": round(float(m.ior[i]), 4),
+                "transmission": round(float(m.transmission[i]), 4),
+                "coat_weight": round(float(m.coat_weight[i]), 4),
+                "coat_roughness": round(float(m.coat_roughness[i]), 4),
+            })
+        return out
+
+    def _apply_materials(self, reqs):
+        """Material editor edits: mutate the host material table and
+        re-upload (the reference edits Material entries + re-uploads the
+        MaterialBuffer, GuiPass material editor)."""
+        from ..scene import upload_scene
+        from ..utils import log as L
+
+        m = self.cpu.materials
+        changed = False
+        for req in reqs:
+            i = int(req.get("index", -1))
+            field = req.get("field")
+            if field not in self._MAT_FIELDS or not (
+                0 <= i < m.base_color.shape[0]
+            ):
+                continue
+            attr, width = self._MAT_FIELDS[field]
+            val = req.get("value")
+            arr = getattr(m, attr)
+            if width == 1:
+                arr[i] = float(val)
+            else:
+                arr[i] = np.asarray(val, np.float32)[:width]
+            changed = True
+            L.info(f"material {i}.{field} = {val}")
+        if changed:
+            self.scene = upload_scene(self.cpu)
+            self._scene_rest = self.scene
+            # re-apply any instance transforms on the fresh upload
+            if not np.allclose(
+                self._inst_xform,
+                np.tile(np.eye(3, 4, dtype=np.float32),
+                        (self._inst_xform.shape[0], 1, 1)),
+            ):
+                self._apply_transforms([])
+            self._frame_state = None
+
     # -- main loop ---------------------------------------------------------
 
     def render_one(self, i):
@@ -149,6 +268,14 @@ class Viewer:
             st.profile_req = False
             reload_req = st.reload_req
             st.reload_req = False
+            transform_req = st.transform_req
+            st.transform_req = []
+            material_req = st.material_req
+            st.material_req = []
+        if material_req:
+            self._apply_materials(material_req)
+        if transform_req:
+            self._apply_transforms(transform_req)
         if reload_req:
             # dxc-shader-reload analog: re-import the op modules, drop jit
             # traces, reset temporal state (layouts may have changed)

@@ -99,7 +99,7 @@ def _surface_from(o, d, sh, has_coat=False):
     return pos, ng, ns, uv, front, mat, ng_raw
 
 
-def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_out=False):
+def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_out=False, textures=None, spread_angle=0.0):
     """Path-trace radiance for rays (o, d) [N,3]. Returns [N,3] linear HDR.
 
     On TPU this dispatches to the fused bounce megakernel
@@ -121,16 +121,21 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_ou
 
         return trace_megakernel(
             scene, o, d, R.seed_from_key(key), cfg, rt=rt, pix0=pix0,
-            rows_out=rows_out,
+            rows_out=rows_out, textures=textures, spread_angle=spread_angle,
         )
-    out = trace_reference(scene, o, d, key, cfg, pix0=pix0)
+    out = trace_reference(
+        scene, o, d, key, cfg, pix0=pix0, textures=textures,
+        spread_angle=spread_angle,
+    )
     return out.T if rows_out else out
 
 
-def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0):
+def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
+                    textures=None, spread_angle=0.0):
     """XLA-staged wavefront path tracer (oracle / large-scene fallback)."""
     n = o.shape[0]
     seed = R.seed_from_key(key)
+    cone_w = jnp.zeros((n,))  # accumulated ray-cone width (texturing)
     pixel = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] + pix0
     radiance = jnp.zeros((n, 3))
     throughput = jnp.ones((n, 3))
@@ -144,6 +149,18 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0):
         sh = intersect_closest_shaded(scene, o, d, t_min=cfg.t_min)
         found = sh.valid & alive
         pos, ng, ns, uv, front, mat, ng_raw = _surface_from(o, d, sh, scene.has_coat)
+        if textures:
+            # secondary-bounce texturing (RT.hlsli per-vertex fetches)
+            from ..scene.textures import base_color_at
+
+            cone_w = cone_w + jnp.where(alive & sh.valid, sh.t, 0.0) * spread_angle
+            factor = base_color_at(
+                textures, uv,
+                jnp.where(sh.valid, sh.attrs[:, A.TEXID], -1.0),
+                cone_w, sh.attrs[:, A.UVDENS],
+            )
+            if factor is not None:
+                mat = mat._replace(base_color=mat.base_color * factor.T)
 
         # -- environment (sun + sky) on miss rays
         if cfg.sky is not None:
@@ -253,6 +270,9 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0):
         # geometric-side consistency: reflected rays leave above the
         # geometric surface, transmitted rays below it
         transmitted = wi_l[:, 2] < 0.0
+        if textures:
+            # refraction cone update approximation: scale width by eta
+            cone_w = cone_w * jnp.where(transmitted, eta, 1.0)
         side = jnp.sum(wi_w * ng, -1)
         geo_ok = jnp.where(transmitted, side < -1e-6, side > 1e-6)
         alive = alive & (pdf > 0.0) & geo_ok

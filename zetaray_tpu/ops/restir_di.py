@@ -137,9 +137,8 @@ def _phat(mat, frame, wo_l, pos, ns, y_pos: V3, y_ng: V3, y_le: V3, y_two, full=
 # ---------------------------------------------------------------------------
 
 
-def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, srow_scr, *, rt, m0, trans, coat, full):
+def _ris_kernel(scal_ref, gb_ref, lset_ref, u_ref, out_ref, srow_scr, *, rt, m0, trans, coat, full):
     i = pl.program_id(0)
-    seed = scal_ref[0, 0].astype(jnp.uint32)
     tile0 = scal_ref[1, 0]  # global tile index of this shard's first tile
     gi = tile0 + i  # global tile index (sharding-invariant RNG/set choice)
     gb = gb_ref[:]
@@ -148,9 +147,6 @@ def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, srow_scr, *, rt, m0, trans,
     wo_l = frame.to_local(wo)
 
     zero = jnp.zeros((rt,))
-    pix = jax.lax.broadcasted_iota(jnp.uint32, (rt, 1), 0)[:, 0] + (
-        gi * rt
-    ).astype(jnp.uint32)
 
     # Full-set RIS: every pixel rates ALL PS=128 presampled entries of its
     # tile's set with the cheap albedo/pi target as one [PS, rt] broadcast
@@ -210,13 +206,9 @@ def _ris_kernel(scal_ref, gb_ref, lset_ref, out_ref, srow_scr, *, rt, m0, trans,
         precision=jax.lax.Precision.HIGHEST,
     )  # [PS, rt]
     w_sum = cum[PS - 1]
-    bits = S.pcg4d_soa(
-        pix,
-        jnp.zeros((rt,), jnp.uint32),
-        jnp.full((rt,), seed, jnp.uint32),
-        jnp.full((rt,), 0x51E5, jnp.uint32),
-    )
-    u = S.to_unit_float(bits[0])
+    # selection uniform precomputed in XLA (see megakernel.bounce_uniforms:
+    # in-kernel u32 hashing is the slow path on Mosaic)
+    u = u_ref[0]
     target = u * w_sum
     iota_ps = jax.lax.broadcasted_iota(jnp.int32, (PS, rt), 0)
     sel = cum > target[None, :]
@@ -277,6 +269,10 @@ def initial_candidates(
         _ris_kernel, rt=rt, m0=cfg.num_candidates, trans=trans, coat=coat,
         full=cfg.full_target,
     )
+    from ..core.rng import uniform4
+
+    pix_ids = jnp.arange(n_pad, dtype=jnp.int32) + jnp.asarray(pix0)
+    u_sel = uniform4(pix_ids, 0, seed, salt=0x51E5)[:, 0][None, :]
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // rt,),
@@ -284,6 +280,7 @@ def initial_candidates(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((G.ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R_ROWS, n_pad), jnp.float32),
@@ -292,7 +289,7 @@ def initial_candidates(
         # v5e has 128M physical
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, gb, light_sets)
+    )(scal, gb, light_sets, u_sel)
     return out[:, :n]
 
 
@@ -456,10 +453,40 @@ def lvg_merge(
     return res
 
 
+def reproject_prev(
+    gbuf, prev_cam, width, height, prev_row0=0, prev_rows=None, pos_prev=None,
+):
+    """Shared temporal reprojection: the previous-frame flat index of each
+    pixel's hit point + validity pieces. DI, GI, PT and SkyDI temporal
+    reuse all reproject identically, so the frame computes this ONCE and
+    fetches all their reservoir tables with one joint gather
+    (frame.render_frame_restir). Returns (idx, inside, depth_prev_est)."""
+    pos = v3.from_rows(gbuf, G.POS)
+    p_world = (
+        pos_prev if pos_prev is not None
+        else jnp.stack([pos.x, pos.y, pos.z], axis=-1)
+    )
+    px, py, w_fwd = prev_cam.project(p_world, width, height)
+    rel = p_world - jnp.asarray(prev_cam.eye)
+    depth_prev_est = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-12))
+    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
+    inside = (
+        (px >= -0.5) & (px <= width - 0.5) & (py >= -0.5) & (py <= height - 0.5)
+        & (w_fwd > 0.0)
+    )
+    if prev_rows is None:
+        prev_rows = height
+    ey = iy - prev_row0
+    inside = inside & (ey >= 0) & (ey < prev_rows)
+    ey = jnp.clip(ey, 0, prev_rows - 1)
+    return ey * width + ix, inside, depth_prev_est
+
+
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
     trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
-    pos_prev=None, band=None,
+    pos_prev=None, band=None, prefetch=None,
 ):
     """Merge reprojected previous-frame reservoirs into the current ones.
 
@@ -479,30 +506,6 @@ def temporal_reuse(
     frame = S.make_frame(ns)
     wo_l = frame.to_local(wo)
 
-    p_world = (
-        pos_prev if pos_prev is not None
-        else jnp.stack([pos.x, pos.y, pos.z], axis=-1)
-    )
-    px, py, w_fwd = prev_cam.project(p_world, width, height)
-    # G.DEPTH stores the primary-hit ray parameter t (Euclidean distance:
-    # primary dirs are unit), so the reuse test must compare Euclidean
-    # distance to the previous eye -- NOT project()'s view-forward depth,
-    # which is off by 1/cos(theta) toward the image periphery.
-    rel = p_world - jnp.asarray(prev_cam.eye)
-    depth_prev_est = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-12))
-    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
-    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
-    inside = (
-        (px >= -0.5) & (px <= width - 0.5) & (py >= -0.5) & (py <= height - 0.5)
-        & (w_fwd > 0.0)
-    )
-    if prev_rows is None:
-        prev_rows = height
-    ey = iy - prev_row0
-    inside = inside & (ey >= 0) & (ey < prev_rows)
-    ey = jnp.clip(ey, 0, prev_rows - 1)
-    idx = ey * width + ix
-
     from .gbuffer_pack import depth_valid, unpack_normal
 
     # ``prev_gbuf`` is the PACKED temporal G-buffer (ops.gbuffer_pack: the
@@ -510,18 +513,26 @@ def temporal_reuse(
     # quantized values the reference's temporal kernel reads); reservoirs
     # ride packed too (reservoir_pack), and BOTH are fetched with ONE
     # gather (_take_multi: gather cost is per index, not per row).
-    if cfg.packed_reuse:
-        from .reservoir_pack import DI_PACKED_ROWS, pack_di, unpack_di
-
-        src = prev_res if prev_res.shape[0] == DI_PACKED_ROWS else pack_di(prev_res)
-        (prev_p, prev_g), okb = _take_multi(
-            [src, prev_gbuf], idx, band, width, height, prev_row0
-        )
-        prev_r = unpack_di(prev_p)
+    # ``prefetch`` = (prev_r_full, prev_g, inside, depth_prev_est, okb):
+    # the frame's joint DI+GI gather already fetched everything.
+    if prefetch is not None:
+        prev_r, prev_g, inside, depth_prev_est, okb = prefetch
     else:
-        (prev_r, prev_g), okb = _take_multi(
-            [prev_res, prev_gbuf], idx, band, width, height, prev_row0
+        idx, inside, depth_prev_est = reproject_prev(
+            gbuf, prev_cam, width, height, prev_row0, prev_rows, pos_prev
         )
+        if cfg.packed_reuse:
+            from .reservoir_pack import DI_PACKED_ROWS, pack_di, unpack_di
+
+            src = prev_res if prev_res.shape[0] == DI_PACKED_ROWS else pack_di(prev_res)
+            (prev_p, prev_g), okb = _take_multi(
+                [src, prev_gbuf], idx, band, width, height, prev_row0
+            )
+            prev_r = unpack_di(prev_p)
+        else:
+            (prev_r, prev_g), okb = _take_multi(
+                [prev_res, prev_gbuf], idx, band, width, height, prev_row0
+            )
     nx, ny, nz = unpack_normal(prev_g)
     ns_prev = V3(nx, ny, nz)
     depth_prev, prev_valid = depth_valid(prev_g)
@@ -548,7 +559,7 @@ def temporal_reuse(
 def spatial_step(
     res, gbuf, width, height, seed, it, cfg: ReSTIRConfig,
     trans=False, coat=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
-    band=None,
+    band=None, prefetch=None,
 ):
     """One spatial-reuse iteration.
 
@@ -571,38 +582,47 @@ def spatial_step(
 
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
-    x = pix % width
-    y = pix // width
     u = uniform4(pix, it, seed, salt=0x5A71)
-    r = cfg.spatial_radius * jnp.sqrt(u[:, 0])
-    phi = 2.0 * jnp.pi * u[:, 1]
-    dx = jnp.round(r * jnp.cos(phi)).astype(jnp.int32)
-    dy = jnp.round(r * jnp.sin(phi)).astype(jnp.int32)
-    nx = jnp.clip(x + dx, 0, width - 1)
-    ny = jnp.clip(y + dy, 0, height - 1)
-    nidx = (ny - src_row0) * width + nx
-    if band is not None:
-        band = (band[0], max(band[1], cfg.spatial_radius))
-    # reservoir + slim neighbor geometry in ONE gather (_take_multi)
-    if cfg.packed_reuse:
-        from .reservoir_pack import pack_di, unpack_di
-
-        (nb_p, nb_geom), okb = _take_multi(
-            [pack_di(res_src), geom_table(gbuf_src)], nidx, band, width,
-            height, src_row0,
-        )
-        nb = unpack_di(nb_p)
+    if prefetch is not None:
+        # frame-level joint gather (same neighbor pick for DI + GI)
+        nb, nb_geom, okb = prefetch
     else:
-        (nb, nb_geom), okb = _take_multi(
-            [res_src, geom_table(gbuf_src)], nidx, band, width, height,
-            src_row0,
-        )
+        nidx = _disk_neighbor(pix, width, height, u, cfg.spatial_radius, src_row0)
+        if band is not None:
+            band = (band[0], max(band[1], cfg.spatial_radius))
+        # reservoir + slim neighbor geometry in ONE gather (_take_multi)
+        if cfg.packed_reuse:
+            from .reservoir_pack import pack_di, unpack_di
+
+            (nb_p, nb_geom), okb = _take_multi(
+                [pack_di(res_src), geom_table(gbuf_src)], nidx, band, width,
+                height, src_row0,
+            )
+            nb = unpack_di(nb_p)
+        else:
+            (nb, nb_geom), okb = _take_multi(
+                [res_src, geom_table(gbuf_src)], nidx, band, width, height,
+                src_row0,
+            )
     ok = geom_ok_slim(gbuf, nb_geom, ns, cfg)
     if okb is not None:
         ok = ok & okb
     nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
     nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
     return _merge(res, nb, surf, u[:, 2], full=cfg.full_target)
+
+
+def _disk_neighbor(pix, width, height, u, radius, src_row0=0):
+    """Disk-sampled neighbor flat index from a uniform4 row pair."""
+    x = pix % width
+    y = pix // width
+    r = radius * jnp.sqrt(u[:, 0])
+    phi = 2.0 * jnp.pi * u[:, 1]
+    dx = jnp.round(r * jnp.cos(phi)).astype(jnp.int32)
+    dy = jnp.round(r * jnp.sin(phi)).astype(jnp.int32)
+    nx = jnp.clip(x + dx, 0, width - 1)
+    ny = jnp.clip(y + dy, 0, height - 1)
+    return (ny - src_row0) * width + nx
 
 
 def _neighbor_pick(pix, width, height, seed, tag, cfg, src_row0):

@@ -95,7 +95,7 @@ def _phat_area(mat, frame, wo_l, pos, ns, x2: V3, n2: V3, l2: V3, full=True):
 SKY_DIST = 1.0e4
 
 
-def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix=None, pix0=0, rt=1024, full_target=False):
+def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix=None, pix0=0, rt=1024, full_target=False, textures=None, spread_angle=0.0):
     """Generate one GI sample per pixel.
 
     Samples a BSDF direction at the primary hit, finds x2/n2 with one
@@ -140,7 +140,10 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
         min_emissive_bounce=max(pt_cfg.min_emissive_bounce - 1, 1),
         min_nee_bounce=0,
     )
-    l2_rgb = trace(scene, o2, d2, key, l2_cfg, pix0=pix0, rt=rt)
+    l2_rgb = trace(
+        scene, o2, d2, key, l2_cfg, pix0=pix0, rt=rt, textures=textures,
+        spread_angle=spread_angle,
+    )
     l2 = V3(*l2_rgb.T)
 
     if pt_cfg.sky is not None:
@@ -200,51 +203,33 @@ def _merge(res_a, res_b, surf, u, m_cap=None, full=True):
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
     trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
-    pos_prev=None, band=None,
+    pos_prev=None, band=None, prefetch=None,
 ):
     from ..core.rng import uniform4
 
     n = res.shape[1]
     surf = _surf(gbuf, trans, coat)
-    pos = surf[0]
     ns = surf[1]
-    # pos_prev: previous-frame hit position (animated geometry), see
-    # restir_di.temporal_reuse
-    p_world = (
-        pos_prev if pos_prev is not None
-        else jnp.stack([pos.x, pos.y, pos.z], -1)
-    )
-    px, py, w_fwd = prev_cam.project(p_world, width, height)
-    # compare Euclidean distance to the previous eye against the stored
-    # ray-parameter depth (see restir_di.temporal_reuse)
-    rel = p_world - jnp.asarray(prev_cam.eye)
-    depth_est = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-12))
-    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
-    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
-    inside = (
-        (px >= -0.5) & (px <= width - 0.5) & (py >= -0.5) & (py <= height - 0.5)
-        & (w_fwd > 0.0)
-    )
-    if prev_rows is None:
-        prev_rows = height
-    ey = iy - prev_row0
-    inside = inside & (ey >= 0) & (ey < prev_rows)
-    ey = jnp.clip(ey, 0, prev_rows - 1)
-    idx = ey * width + ix
-    from .restir_di import _take_multi
+    from .restir_di import _take_multi, reproject_prev
 
-    if cfg.packed_reuse:
-        from .reservoir_pack import DI_PACKED_ROWS, pack_di, unpack_di
-
-        src = prev_res if prev_res.shape[0] == DI_PACKED_ROWS else pack_di(prev_res)
-        (prev_p, prev_g), okb = _take_multi(
-            [src, prev_gbuf], idx, band, width, height, prev_row0
-        )
-        prev_r = unpack_di(prev_p)
+    if prefetch is not None:
+        prev_r, prev_g, inside, depth_est, okb = prefetch
     else:
-        (prev_r, prev_g), okb = _take_multi(
-            [prev_res, prev_gbuf], idx, band, width, height, prev_row0
+        idx, inside, depth_est = reproject_prev(
+            gbuf, prev_cam, width, height, prev_row0, prev_rows, pos_prev
         )
+        if cfg.packed_reuse:
+            from .reservoir_pack import DI_PACKED_ROWS, pack_di, unpack_di
+
+            src = prev_res if prev_res.shape[0] == DI_PACKED_ROWS else pack_di(prev_res)
+            (prev_p, prev_g), okb = _take_multi(
+                [src, prev_gbuf], idx, band, width, height, prev_row0
+            )
+            prev_r = unpack_di(prev_p)
+        else:
+            (prev_r, prev_g), okb = _take_multi(
+                [prev_res, prev_gbuf], idx, band, width, height, prev_row0
+            )
     # prev_gbuf is the PACKED temporal G-buffer (ops.gbuffer_pack)
     from .gbuffer_pack import temporal_geom_ok
 
@@ -264,7 +249,7 @@ def temporal_reuse(
 def spatial_step(
     res, gbuf, width, height, seed, it, cfg,
     trans=False, coat=False, pix=None, res_src=None, gbuf_src=None, src_row0=0,
-    band=None,
+    band=None, prefetch=None,
 ):
     """One GI spatial-reuse iteration (sharding hooks as restir_di.spatial_step)."""
     from ..core.rng import uniform4
@@ -278,31 +263,28 @@ def spatial_step(
         gbuf_src = gbuf
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
-    x = pix % width
-    y = pix // width
     u = uniform4(pix, 103 + it, seed, salt=0x51A7)
-    r = cfg.spatial_radius * jnp.sqrt(u[:, 0])
-    phi = 2.0 * jnp.pi * u[:, 1]
-    nx = jnp.clip(x + jnp.round(r * jnp.cos(phi)).astype(jnp.int32), 0, width - 1)
-    ny = jnp.clip(y + jnp.round(r * jnp.sin(phi)).astype(jnp.int32), 0, height - 1)
-    nidx = (ny - src_row0) * width + nx
-    from .restir_di import _take_multi, geom_ok_slim, geom_table
+    from .restir_di import _disk_neighbor, _take_multi, geom_ok_slim, geom_table
 
-    if band is not None:
-        band = (band[0], max(band[1], cfg.spatial_radius))
-    if cfg.packed_reuse:
-        from .reservoir_pack import pack_di, unpack_di
-
-        (nb_p, nb_geom), okb = _take_multi(
-            [pack_di(res_src), geom_table(gbuf_src)], nidx, band, width,
-            height, src_row0,
-        )
-        nb = unpack_di(nb_p)
+    if prefetch is not None:
+        nb, nb_geom, okb = prefetch
     else:
-        (nb, nb_geom), okb = _take_multi(
-            [res_src, geom_table(gbuf_src)], nidx, band, width, height,
-            src_row0,
-        )
+        nidx = _disk_neighbor(pix, width, height, u, cfg.spatial_radius, src_row0)
+        if band is not None:
+            band = (band[0], max(band[1], cfg.spatial_radius))
+        if cfg.packed_reuse:
+            from .reservoir_pack import pack_di, unpack_di
+
+            (nb_p, nb_geom), okb = _take_multi(
+                [pack_di(res_src), geom_table(gbuf_src)], nidx, band, width,
+                height, src_row0,
+            )
+            nb = unpack_di(nb_p)
+        else:
+            (nb, nb_geom), okb = _take_multi(
+                [res_src, geom_table(gbuf_src)], nidx, band, width, height,
+                src_row0,
+            )
     ok = geom_ok_slim(gbuf, nb_geom, ns, cfg)
     if okb is not None:
         ok = ok & okb

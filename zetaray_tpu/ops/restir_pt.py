@@ -203,6 +203,7 @@ def _sort_perm(keys):
 def initial_samples(
     scene, gbuf, key, pt_cfg, seed, cfg: ReSTIRPTConfig,
     trans=False, coat=False, pix=None, pix0=0, rt=1024,
+    textures=None, spread_angle=0.0,
 ):
     """Generate one path sample per pixel and wrap it in a reservoir.
 
@@ -248,6 +249,24 @@ def initial_samples(
     rc_base = v3.from_rows(at, A.BASE)
     rc_metal = at[A.METAL]
     rc_rough = at[A.ROUGH]
+    if textures:
+        # secondary-vertex texturing (RT.hlsli per-vertex map fetches):
+        # base color at the reconnection vertex with ray-cone mips
+        from ..scene.textures import base_color_at
+
+        w0b = 1.0 - sh.u - sh.v
+        uv_rc = jnp.stack([
+            w0b * at[A.UV0] + sh.u * at[A.UV1] + sh.v * at[A.UV2],
+            w0b * at[A.UV0 + 1] + sh.u * at[A.UV1 + 1] + sh.v * at[A.UV2 + 1],
+        ], -1)
+        cone_rc = (gbuf[G.DEPTH] + sh.t) * spread_angle
+        f_rc_tex = base_color_at(
+            textures, uv_rc, jnp.where(sh.valid, at[A.TEXID], -1.0),
+            cone_rc, at[A.UVDENS],
+        )
+        if f_rc_tex is not None:
+            rc_base = V3(rc_base.x * f_rc_tex[0], rc_base.y * f_rc_tex[1],
+                         rc_base.z * f_rc_tex[2])
 
     # -- suffix: BSDF sample at rc, then the first suffix vertex x3 is
     # resolved EXPLICITLY (closest hit + local shading) so its data can be
@@ -300,6 +319,20 @@ def initial_samples(
     b3 = v3.from_rows(at3, A.BASE)
     m3 = at3[A.METAL]
     r3 = at3[A.ROUGH]
+    if textures:
+        w0c = 1.0 - sh3.u - sh3.v
+        uv_3 = jnp.stack([
+            w0c * at3[A.UV0] + sh3.u * at3[A.UV1] + sh3.v * at3[A.UV2],
+            w0c * at3[A.UV0 + 1] + sh3.u * at3[A.UV1 + 1]
+            + sh3.v * at3[A.UV2 + 1],
+        ], -1)
+        cone_3 = (gbuf[G.DEPTH] + sh.t + sh3.t) * spread_angle
+        f_3_tex = base_color_at(
+            textures, uv_3, jnp.where(sh3.valid, at3[A.TEXID], -1.0),
+            cone_3, at3[A.UVDENS],
+        )
+        if f_3_tex is not None:
+            b3 = V3(b3.x * f_3_tex[0], b3.y * f_3_tex[1], b3.z * f_3_tex[2])
 
     # suffix continuation at x3 (stream 203) + folded radiance beyond
     mat3 = S.MatSoA(base=b3, metallic=m3, roughness=r3,
@@ -321,9 +354,15 @@ def initial_samples(
     )
     if pt_cfg.max_bounces >= 3:
         if perm is not None:
-            l4 = trace(scene, o4[perm], d4[perm], key, l4_cfg, pix0=pix0, rt=rt)[inv_perm]
+            l4 = trace(
+                scene, o4[perm], d4[perm], key, l4_cfg, pix0=pix0, rt=rt,
+                textures=textures, spread_angle=spread_angle,
+            )[inv_perm]
         else:
-            l4 = trace(scene, o4, d4, key, l4_cfg, pix0=pix0, rt=rt)
+            l4 = trace(
+                scene, o4, d4, key, l4_cfg, pix0=pix0, rt=rt,
+                textures=textures, spread_angle=spread_angle,
+            )
     else:
         l4 = jnp.zeros((n, 3))
     cos3 = jnp.maximum(v3.dot(ws3, n3), 0.0)
@@ -599,48 +638,33 @@ def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None, scene=None):
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
     trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
-    pos_prev=None, band=None, scene=None,
+    pos_prev=None, band=None, scene=None, prefetch=None,
 ):
     from ..core.rng import uniform4
 
     n = res.shape[1]
     surf = _surf(gbuf, trans, coat)
-    pos, ns = surf[0], surf[1]
-    # pos_prev: previous-frame hit position (animated geometry), see
-    # restir_di.temporal_reuse
-    p_world = (
-        pos_prev if pos_prev is not None
-        else jnp.stack([pos.x, pos.y, pos.z], -1)
-    )
-    px, py, w_fwd = prev_cam.project(p_world, width, height)
-    rel = p_world - jnp.asarray(prev_cam.eye)
-    depth_est = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, -1), 1e-12))
-    ix = jnp.clip(jnp.round(px).astype(jnp.int32), 0, width - 1)
-    iy = jnp.clip(jnp.round(py).astype(jnp.int32), 0, height - 1)
-    inside = (
-        (px >= -0.5) & (px <= width - 0.5) & (py >= -0.5) & (py <= height - 0.5)
-        & (w_fwd > 0.0)
-    )
-    if prev_rows is None:
-        prev_rows = height
-    ey = iy - prev_row0
-    inside = inside & (ey >= 0) & (ey < prev_rows)
-    ey = jnp.clip(ey, 0, prev_rows - 1)
-    idx = ey * width + ix
-    from .restir_di import _take_multi
+    ns = surf[1]
+    from .restir_di import _take_multi, reproject_prev
 
-    if cfg.packed_reuse:
-        from .reservoir_pack import PT_PACKED_ROWS, pack_pt, unpack_pt
-
-        src = prev_res if prev_res.shape[0] == PT_PACKED_ROWS else pack_pt(prev_res)
-        (prev_p, prev_g), okb = _take_multi(
-            [src, prev_gbuf], idx, band, width, height, prev_row0
-        )
-        prev_r = unpack_pt(prev_p)
+    if prefetch is not None:
+        prev_r, prev_g, inside, depth_est, okb = prefetch
     else:
-        (prev_r, prev_g), okb = _take_multi(
-            [prev_res, prev_gbuf], idx, band, width, height, prev_row0
+        idx, inside, depth_est = reproject_prev(
+            gbuf, prev_cam, width, height, prev_row0, prev_rows, pos_prev
         )
+        if cfg.packed_reuse:
+            from .reservoir_pack import PT_PACKED_ROWS, pack_pt, unpack_pt
+
+            src = prev_res if prev_res.shape[0] == PT_PACKED_ROWS else pack_pt(prev_res)
+            (prev_p, prev_g), okb = _take_multi(
+                [src, prev_gbuf], idx, band, width, height, prev_row0
+            )
+            prev_r = unpack_pt(prev_p)
+        else:
+            (prev_r, prev_g), okb = _take_multi(
+                [prev_res, prev_gbuf], idx, band, width, height, prev_row0
+            )
     # prev_gbuf is the PACKED temporal G-buffer (ops.gbuffer_pack)
     from .gbuffer_pack import temporal_geom_ok
 

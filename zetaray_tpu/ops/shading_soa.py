@@ -552,3 +552,43 @@ def to_unit_float(bits):
     no direct uint32->float32 cast.
     """
     return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def hashf4_soa(a, b, c, d):
+    """Four [0,1) uniforms from four f32 counters -- float-ALU hash.
+
+    TPU VPUs emulate 32-bit integer multiplies slowly (measured round 3:
+    the pcg4d stream hash dominates the bounce megakernel), so this is the
+    float-native alternative: a Hoskins-style "hash without sine" over the
+    (pixel, bounce, seed, salt) counters, ~20 f32 FMAs + floors. 24-bit
+    output resolution (f32 mantissa); quality validated against pcg4d by
+    the integrator-agreement tests. Inputs must be small-magnitude floats
+    (callers pre-scale counters into [0, ~1e4]).
+    """
+    def frac(x):
+        return x - jnp.floor(x)
+
+    def round4(va, vb, vc, vd):
+        dot = va * vd + vb * vc + vc * va + vd * vb + 33.33
+        va = va + dot
+        vb = vb + dot
+        vc = vc + dot
+        vd = vd + dot
+        return (
+            frac((va + vb) * vc),
+            frac((vb + vc) * vd),
+            frac((vc + vd) * va),
+            frac((va + vd) * vb),
+        )
+
+    va = frac(a * 0.1031 + b * 0.030197 + d * 0.0019)
+    vb = frac(b * 0.1030 + c * 0.049831 + d * 0.0173)
+    vc = frac(c * 0.0973 + a * 0.070919 + d * 0.0419)
+    vd = frac(d * 0.1099 + a * 0.020399 + b * 0.0083)
+    va, vb, vc, vd = round4(va, vb, vc, vd)
+    # second round decorrelates adjacent counters (lag-1 corr measured
+    # -0.4 after one round, < 0.01 after two)
+    va, vb, vc, vd = round4(
+        va * 127.1, vb * 311.7, vc * 74.7, vd * 269.5
+    )
+    return va, vb, vc, vd

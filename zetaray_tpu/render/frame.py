@@ -326,6 +326,38 @@ def render_frame_restir(
         )
     pos_prev = _prev_positions(gb, motion) if motion is not None else None
     lsets = build_light_sets(scene, seed)
+
+    # Joint temporal gather: DI + indirect reservoirs + the packed temporal
+    # G-buffer reproject identically, so ONE gather serves all three
+    # temporal passes (gather cost is per index -- see restir_di._take_multi)
+    pf_di_t = pf_ind_t = None
+    joint_t = (
+        shard is None and state is not None and cfg.indirect
+        and cfg.restir.temporal and cfg.restir.packed_reuse
+        and (
+            (cfg.mode == "restir_gi" and cfg.restir_gi.temporal
+             and cfg.restir_gi.packed_reuse)
+            or (cfg.mode == "restir_pt" and cfg.restir_pt.temporal
+                and cfg.restir_pt.packed_reuse)
+        )
+    )
+    if joint_t:
+        from ..ops.reservoir_pack import pack_di, pack_pt, unpack_di, unpack_pt
+
+        idx_t, inside_t, dest_t = RD.reproject_prev(
+            gb, state.camera_prev, w, h, pos_prev=pos_prev
+        )
+        if cfg.mode == "restir_gi":
+            ind_packed = pack_di(state.gi_reservoirs)
+        else:
+            ind_packed = pack_pt(state.gi_reservoirs)
+        (p_di, p_ind, p_g), okb_t = RD._take_multi(
+            [pack_di(state.reservoirs), ind_packed, state.gbuf],
+            idx_t, band, w, h, 0,
+        )
+        pf_di_t = (unpack_di(p_di), p_g, inside_t, dest_t, okb_t)
+        unp = unpack_di if cfg.mode == "restir_gi" else unpack_pt
+        pf_ind_t = (unp(p_ind), p_g, inside_t, dest_t, okb_t)
     res = RD.initial_candidates(
         gb, lsets, seed, cfg.restir, rt=rt, interpret=interp,
         trans=trans, coat=coat, pix0=pix0,
@@ -345,7 +377,7 @@ def render_frame_restir(
             res = RD.temporal_reuse(
                 res, state.reservoirs, state.gbuf, gb, state.camera_prev,
                 w, h, seed, cfg.restir, trans=trans, coat=coat,
-                pos_prev=pos_prev, band=band,
+                pos_prev=pos_prev, band=band, prefetch=pf_di_t,
             )
         else:
             prev_r = _hxf(state.reservoirs, w, halo, axis, n_sh)
@@ -443,6 +475,7 @@ def render_frame_restir(
         gi_res = RG.initial_samples(
             scene, gb, key, pt_cfg, seed, trans=trans, coat=coat, pix=pix,
             pix0=pix0, rt=rt, full_target=cfg.restir_gi.full_target,
+            textures=textures, spread_angle=camera.pixel_spread_angle(h),
         )
         if cfg.restir_gi.temporal and state is not None:
             if shard is None:
@@ -450,6 +483,7 @@ def render_frame_restir(
                     gi_res, state.gi_reservoirs, state.gbuf, gb,
                     state.camera_prev, w, h, seed, cfg.restir_gi, trans=trans,
                     coat=coat, pos_prev=pos_prev, band=band,
+                    prefetch=pf_ind_t,
                 )
             else:
                 prev_gi = _hxf(state.gi_reservoirs, w, halo, axis, n_sh)
@@ -489,7 +523,8 @@ def render_frame_restir(
         pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
         gi_res = RP.initial_samples(
             scene, gb, key, pt_cfg, seed, cfg.restir_pt, trans=trans,
-            coat=coat, pix=pix, pix0=pix0, rt=rt,
+            coat=coat, pix=pix, pix0=pix0, rt=rt, textures=textures,
+            spread_angle=camera.pixel_spread_angle(h),
         )
         if cfg.restir_pt.temporal and state is not None:
             if shard is None:
@@ -497,7 +532,7 @@ def render_frame_restir(
                     gi_res, state.gi_reservoirs, state.gbuf, gb,
                     state.camera_prev, w, h, seed, cfg.restir_pt,
                     trans=trans, coat=coat, pos_prev=pos_prev, band=band,
-                    scene=scene,
+                    scene=scene, prefetch=pf_ind_t,
                 )
             else:
                 prev_pt = _hxf(state.gi_reservoirs, w, halo, axis, n_sh)
@@ -533,7 +568,10 @@ def render_frame_restir(
             direct = direct + _sky_direct(scene, gb, cfg.pt.sky)
     else:
         pt_cfg = replace(cfg.pt, min_emissive_bounce=2, min_nee_bounce=1)
-        indirect = trace(scene, o, d, key, pt_cfg, pix0=pix0, rt=rt, rows_out=True)
+        indirect = trace(
+            scene, o, d, key, pt_cfg, pix0=pix0, rt=rt, rows_out=True,
+            textures=textures, spread_angle=camera.pixel_spread_angle(h),
+        )
     # everything image-space stays PLANAR [3, h, w] from here (channel-last
     # wastes 125/128 VPU lanes; measured ~70 ms/frame at 512x512)
     hdr = (direct + indirect).reshape(3, h_loc, w)

@@ -366,3 +366,42 @@ def apply_texture_maps(gbuf, texmaps: dict, spread_angle: float = 0.0):
         gbuf = gbuf.at[G.NS + 2].set(new_ns.z)
 
     return gbuf
+
+
+def base_color_at(textures: dict, uv, texid, cone_width, uvdens):
+    """Base-color texture factor at arbitrary path vertices: [N, 3].
+
+    The secondary-bounce fetch (VERDICT r2 #5; reference RT.hlsli:13-220
+    fetches maps at EVERY path vertex with ray-cone mips): ``uv`` [N, 2],
+    ``texid`` [N] base-color texture index (-1 = none), ``cone_width`` [N]
+    accumulated world-space ray-cone width at the vertex, ``uvdens`` [N]
+    sqrt(uv area / world area). Returns the multiplicative rgb factor
+    (ones where untextured). Accepts the full bundle or a flat base dict.
+    """
+    import jax.numpy as jnp
+
+    if not textures:
+        return None
+    table = (
+        textures["base"] if isinstance(textures, dict) and "ids" in textures
+        else {
+            i: (t if isinstance(t, (list, tuple)) else [t])
+            for i, t in textures.items()
+        }
+    )
+    if not table:
+        return None
+    n = uv.shape[0]
+    out = jnp.ones((3, n))
+    for idx, mips in sorted(table.items()):
+        mask = texid == float(idx)
+        if len(mips) > 1:
+            footprint = cone_width * uvdens * float(
+                max(mips[0].shape[0], mips[0].shape[1])
+            )
+            lam = jnp.log2(jnp.maximum(footprint, 1e-6))
+        else:
+            lam = jnp.zeros(n)
+        rgba = sample_trilinear(mips, uv, lam)
+        out = jnp.where(mask[None, :], rgba[:, :3].T, out)
+    return out
