@@ -20,7 +20,7 @@ re-evaluates the candidate's target at the destination surface.
 
 Layouts (rows of one uint32 each; f32 values bitcast):
 
-DI / GI (8 rows):            PT (26 rows):
+DI / GI (8 rows):            PT (28 rows):
   0-2  y_pos.xyz f32           0-2  x_rc.xyz f32
   3    oct16(y_ng)             3    oct16(n_rc)
   4    half2(le.xy)            4    half2(le.xy)
@@ -43,6 +43,8 @@ DI / GI (8 rows):            PT (26 rows):
                                23   half2(ls3.xy)
                                24   half(ls3.z)
                                25   pdfs3 f32
+                               26   half2(trans, coat_w)  (rc glass/coat)
+                               27   half2(eta, coat_r)
 
 (DI row 7 carries the sample's own target value for the pairwise-MIS
 spatial pass, which reads the neighbor's p_i(y_i) -- PairwiseMIS.hlsli.
@@ -60,7 +62,7 @@ import jax.numpy as jnp
 from ..core import packing as P
 
 DI_PACKED_ROWS = 8
-PT_PACKED_ROWS = 26
+PT_PACKED_ROWS = 28
 _F16_MAX = 65504.0
 
 
@@ -167,6 +169,8 @@ def pack_pt(res):
         _h2(res[PR.LS3], res[PR.LS3 + 1]),
         _h(res[PR.LS3 + 2]),
         _u32(res[PR.PDFS3]),
+        _h2(res[PR.TRANS], res[PR.COATW]),
+        _h2(res[PR.ETA], res[PR.COATR]),
     ], 0)
 
 
@@ -228,4 +232,8 @@ def unpack_pt(p):
     out = out.at[PR.LS3].set(s3x).at[PR.LS3 + 1].set(s3y)
     out = out.at[PR.LS3 + 2].set(s3z)
     out = out.at[PR.PDFS3].set(_f32(p[25]))
+    t_, cw_ = P.unpack_f16x2(p[26])
+    e_, cr_ = P.unpack_f16x2(p[27])
+    out = out.at[PR.TRANS].set(t_).at[PR.COATW].set(cw_)
+    out = out.at[PR.ETA].set(e_).at[PR.COATR].set(cr_)
     return out

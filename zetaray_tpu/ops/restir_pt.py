@@ -84,7 +84,14 @@ class PR:
     WS3 = 43  # 3: suffix direction at x3
     LS3 = 46  # 3: pdf-folded suffix radiance beyond x3
     PDFS3 = 49  # area pdf of x3 given x2 (folded/area convention bridge)
-    ROWS = 50
+    # rc-side transmission + coat (the reference re-evaluates the FULL
+    # BSDF at the reconnection vertex incl. glass, IndirectLighting's
+    # rc material data; eta is frozen at generation orientation)
+    TRANS = 50
+    ETA = 51
+    COATW = 52
+    COATR = 53
+    ROWS = 54
 
 
 @dataclass(frozen=True)
@@ -121,18 +128,24 @@ def _surf(gbuf, trans=False, coat=False):
     return pos, ns, ng, wo, mat, frame, valid
 
 
-def _rc_mat(res):
-    """Reconnection-vertex material from reservoir rows (opaque GGX+diffuse;
-    rc-side transmission/coat are a planned extension)."""
+def _rc_mat(res, trans=False, coat=False):
+    """Reconnection-vertex material from reservoir rows. ``trans``/``coat``
+    statically include the transmission / coat lobes (glass suffixes can be
+    re-evaluated under shifts, the reference's rc material data); the
+    relative IOR is frozen at the generation orientation."""
     return S.MatSoA(
         base=v3.from_rows(res, PR.BASE),
         metallic=res[PR.METAL],
         roughness=res[PR.ROUGH],
         ior=jnp.full_like(res[PR.METAL], 1.5),
+        transmission=res[PR.TRANS] if trans else None,
+        eta=res[PR.ETA] if trans else None,
+        coat=res[PR.COATW] if coat else None,
+        coat_roughness=res[PR.COATR] if coat else None,
     )
 
 
-def _phat_pt(surf, res, full=False):
+def _phat_pt(surf, res, full=False, trans=False, coat=False):
     """Target + shading factors of a path sample re-anchored at ``surf``.
 
     Returns (phat, f1 [V3], lout [V3], geom, wi [V3], dist2).
@@ -150,7 +163,10 @@ def _phat_pt(surf, res, full=False):
     inv = jax.lax.rsqrt(dist2)
     wi = to * inv
     cos1 = v3.dot(wi, ns)
-    cos_rc = jnp.maximum(-v3.dot(wi, n_rc), 0.0)
+    cos_rc_raw = -v3.dot(wi, n_rc)
+    # transmissive rc: the destination may view the vertex from the
+    # transmission side (glass reconnection re-evaluates through the lobe)
+    cos_rc = jnp.abs(cos_rc_raw) if trans else jnp.maximum(cos_rc_raw, 0.0)
 
     # pixel-side BSDF (approx target unless full; shade always passes full)
     if full:
@@ -167,7 +183,8 @@ def _phat_pt(surf, res, full=False):
     # direction (always the real lobe: it is part of the integrand)
     rc_frame = S.make_frame(n_rc)
     f_rc, _ = S.bsdf_eval(
-        _rc_mat(res), rc_frame.to_local(V3(-wi.x, -wi.y, -wi.z)),
+        _rc_mat(res, trans, coat),
+        rc_frame.to_local(V3(-wi.x, -wi.y, -wi.z)),
         rc_frame.to_local(w_s),
     )
     lout = le + f_rc * l_s
@@ -275,17 +292,32 @@ def initial_samples(
     # (min_nee_bounce shifts one vertex deeper): its contribution depends
     # on the incoming direction, which a shifted prefix changes -- exactly
     # the term that cannot be frozen (the reference's replay re-traces it).
-    rc_mat = S.MatSoA(base=rc_base, metallic=rc_metal, roughness=rc_rough,
-                      ior=jnp.maximum(at[A.IOR], 1.01))
+    rc_ior = jnp.maximum(at[A.IOR], 1.01)
+    rc_trans = at[A.TRANS]
+    rc_eta = jnp.where(front, 1.0 / rc_ior, rc_ior)
+    rc_coatw = at[A.COATW]
+    rc_coatr = at[A.COATR]
+    rc_mat = S.MatSoA(
+        base=rc_base, metallic=rc_metal, roughness=rc_rough, ior=rc_ior,
+        transmission=rc_trans if trans else None,
+        eta=rc_eta if trans else None,
+        coat=rc_coatw if coat else None,
+        coat_roughness=rc_coatr if coat else None,
+    )
     rc_frame = S.make_frame(n_rc)
     wo_rc_l = rc_frame.to_local(V3(-wi.x, -wi.y, -wi.z))
     u2 = uniform4(pix, 202, seed, salt=0x5F17)
     ws_l, _, pdf_s = S.bsdf_sample(rc_mat, wo_rc_l, u2[:, 0], u2[:, 1], u2[:, 2])
     w_s = rc_frame.to_world(ws_l)
-    suffix_ok = hit & (pdf_s > 0.0) & (v3.dot(w_s, n_rc) > 1e-6)
-
-    o3 = jnp.stack([(x_rc + n_rc * _EPS_RAY).x, (x_rc + n_rc * _EPS_RAY).y,
-                    (x_rc + n_rc * _EPS_RAY).z], -1)
+    # transmitted suffixes leave below the surface (glass reconnection)
+    ws_down = ws_l.z < 0.0
+    side_s = v3.dot(w_s, n_rc)
+    suffix_ok = hit & (pdf_s > 0.0) & (
+        (ws_down & (side_s < -1e-6)) | (~ws_down & (side_s > 1e-6))
+    )
+    offs_s = jnp.where(ws_down, -_EPS_RAY, _EPS_RAY)
+    o3_v = x_rc + n_rc * offs_s
+    o3 = jnp.stack([o3_v.x, o3_v.y, o3_v.z], -1)
     d3 = jnp.stack([w_s.x, w_s.y, w_s.z], -1)
     if cfg.sort_suffix:
         # genuine shader-execution reordering (the reference's Sort stage,
@@ -372,7 +404,7 @@ def initial_samples(
     # L_s at the rc vertex: (Le3 + f3 * Ls3) folded by the rc sample pdf
     f3, _ = S.bsdf_eval(mat3, wo3_l, ws3_l)
     lout3 = le3 + f3 * ls3
-    cos_s = jnp.maximum(v3.dot(w_s, n_rc), 0.0)
+    cos_s = jnp.abs(v3.dot(w_s, n_rc))
     gain_s = jnp.where(suffix_ok, cos_s / jnp.maximum(pdf_s, 1e-12), 0.0)
     l_s = V3(lout3.x * gain_s, lout3.y * gain_s, lout3.z * gain_s)
     zero = jnp.zeros(n)
@@ -420,7 +452,7 @@ def initial_samples(
     res = res.at[PR.DIST].set(jnp.sqrt(jnp.maximum(v3.dot(to, to), 1e-12)))
 
     surf = (pos, ns, ng, wo, mat, frame, valid)
-    phat, *_ = _phat_pt(surf, res, full=cfg.full_target)
+    phat, *_ = _phat_pt(surf, res, full=cfg.full_target, trans=trans, coat=coat)
     # source pdf in area measure (prefix BSDF pdf projected onto rc)
     dist2 = jnp.maximum(v3.dot(to, to), 1e-12)
     cos_rc = jnp.maximum(-v3.dot(to * jax.lax.rsqrt(dist2), n_rc), 1e-6)
@@ -454,9 +486,11 @@ def initial_samples(
     # the area convention the replay shift evaluates in (see _merge)
     to23 = x3 - x_rc
     d23_2 = jnp.maximum(v3.dot(to23, to23), 1e-12)
-    cos3_to2 = jnp.maximum(-v3.dot(to23 * jax.lax.rsqrt(d23_2), n3), 1e-6)
+    cos3_to2 = jnp.maximum(jnp.abs(v3.dot(to23 * jax.lax.rsqrt(d23_2), n3)), 1e-6)
     pdfs3 = pdf_s * cos3_to2 / d23_2
     res = res.at[PR.PDFS3].set(jnp.where(has3, pdfs3, 0.0))
+    res = res.at[PR.TRANS].set(rc_trans).at[PR.ETA].set(rc_eta)
+    res = res.at[PR.COATW].set(rc_coatw).at[PR.COATR].set(rc_coatr)
     return res
 
 
@@ -590,7 +624,8 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig):
     return phat_b, w_factor, rows, ok
 
 
-def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None, scene=None):
+def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None, scene=None,
+           trans=False, coat=False):
     """GRIS combine with the hybrid shift: reconnection at the stored rc
     vertex when the conditions hold at this pixel, else (cfg.replay, with
     ``scene`` provided) replay-and-reconnect-at-x3; invalid shifts
@@ -599,7 +634,7 @@ def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None, scene=None):
     m_b = res_b[PR.M]
     if m_cap is not None:
         m_b = jnp.minimum(m_b, m_cap)
-    phat_b, *_ = _phat_pt(surf, res_b, full=cfg.full_target)
+    phat_b, *_ = _phat_pt(surf, res_b, full=cfg.full_target, trans=trans, coat=coat)
     shift_a = _shift_valid(surf, res_b, cfg)
     if cfg.force_replay:
         shift_a = shift_a & jnp.zeros_like(shift_a)
@@ -678,7 +713,8 @@ def temporal_reuse(
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 203, seed, salt=0x4A31)[:, 0]
-    return _merge(res, prev_r, surf, u, cfg, m_cap=cfg.m_max, scene=scene)
+    return _merge(res, prev_r, surf, u, cfg, m_cap=cfg.m_max, scene=scene,
+                  trans=trans, coat=coat)
 
 
 def spatial_step(
@@ -727,7 +763,8 @@ def spatial_step(
         ok = ok & okb
     nb = nb.at[PR.M].set(jnp.where(ok, nb[PR.M], 0.0))
     nb = nb.at[PR.W].set(jnp.where(ok, nb[PR.W], 0.0))
-    return _merge(res, nb, surf, u[:, 2], cfg, scene=scene)
+    return _merge(res, nb, surf, u[:, 2], cfg, scene=scene, trans=trans,
+                  coat=coat)
 
 
 def spatial_reuse(res, gbuf, width, height, seed, cfg, trans=False, coat=False, pix=None, band=None, scene=None):
@@ -746,7 +783,9 @@ def shade(scene, res, gbuf, cfg: ReSTIRPTConfig, trans=False, coat=False, rows_o
 
     surf = _surf(gbuf, trans, coat)
     pos, ns, ng, wo, mat, frame, valid = surf
-    phat, f1, lout, geom, wi, dist2 = _phat_pt(surf, res, full=True)
+    phat, f1, lout, geom, wi, dist2 = _phat_pt(
+        surf, res, full=True, trans=trans, coat=coat
+    )
     big_w = res[PR.W]
     lit = valid & (phat > 0.0) & (big_w > 0.0)
     x_rc = v3.from_rows(res, PR.X)
