@@ -80,3 +80,37 @@ def test_golden_pt_sky_volumetrics(cornell_dev):
         np.asarray(out["ldr"]).astype(np.int32) - z["ldr"].astype(np.int32)
     )
     assert (diff > 1).mean() < 0.005, (diff > 1).mean()
+
+
+def test_golden_tpu_device_path():
+    """TPU-captured golden (VERDICT r2 #6): pinned-seed device-path frame
+    vs the stored capture -- catches drift in the Pallas/Mosaic kernels
+    that CPU goldens (interpret mode) cannot see. Skips off-TPU (the CI
+    mesh is CPU; run on the real chip)."""
+    gp = Path(__file__).parent / "golden" / "cornell_restir_gi_128_tpu.npz"
+    if not gp.exists():
+        pytest.skip("TPU golden missing")
+    if jax.default_backend() == "cpu":
+        pytest.skip("device-path golden needs the TPU backend")
+    from conftest import CORNELL_EMISSIVE
+    from zetaray_tpu.ops.pathtracer import PTConfig
+    from zetaray_tpu.render import RenderConfig
+    from zetaray_tpu.render.frame import render_frame_restir_jit
+    from zetaray_tpu.scene import Camera, load_scene, upload_scene
+
+    scene = upload_scene(load_scene(CORNELL_EMISSIVE))
+    cam = Camera.look_at((0, 1, 3.5), (0, 1, 0), vfov_deg=45, aspect=1.0)
+    cfg = RenderConfig(width=128, height=128, mode="restir_gi",
+                       pt=PTConfig(max_bounces=2), denoise=True, taa=True)
+    st = None
+    for i in range(3):
+        out, st = render_frame_restir_jit(
+            scene, cam.with_jitter(i), jax.random.PRNGKey(i), cfg, st
+        )
+    z = np.load(gp)
+    hdr = np.asarray(out["hdr"]).astype(np.float32)
+    np.testing.assert_allclose(hdr, z["hdr"], atol=5e-3, rtol=1e-3)
+    diff = np.abs(
+        np.asarray(out["ldr"]).astype(np.int32) - z["ldr"].astype(np.int32)
+    )
+    assert (diff > 1).mean() < 0.005, (diff > 1).mean()

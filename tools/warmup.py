@@ -57,6 +57,26 @@ def main(argv=None):
     variants.append(RenderConfig(width=s, height=s, mode="restir_gi",
                                  pt=PTConfig(max_bounces=3), denoise=True,
                                  taa=True))
+    # round-2 lighting machinery (bench extras): SkyDI + LVG + pairwise
+    # MIS + froxel volumetrics in one frame
+    from zetaray_tpu.ops.restir_di import ReSTIRConfig
+    from zetaray_tpu.ops.volumetrics import VolumetricsConfig
+
+    variants.append(RenderConfig(
+        width=s, height=s, mode="restir_gi",
+        pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.8, 0.2))),
+        restir=ReSTIRConfig(lvg_samples=2, spatial_mis="pairwise"),
+        skydi=True, volumetrics=VolumetricsConfig(), denoise=True, taa=True,
+    ))
+    # temporal upscaling (FSR2 slot)
+    variants.append(RenderConfig(width=2 * s, height=2 * s, mode="restir_gi",
+                                 pt=PTConfig(max_bounces=2),
+                                 render_scale=0.5, taa=True))
+    # banded gathers (the single-chip large-res path)
+    variants.append(RenderConfig(width=s, height=s, mode="restir_gi",
+                                 pt=PTConfig(max_bounces=2),
+                                 band_rows=max(8, s // 4), band_halo=8,
+                                 denoise=True, taa=True))
 
     state_cache = {}
     for i, cfg in enumerate(variants):

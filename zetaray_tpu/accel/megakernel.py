@@ -734,12 +734,10 @@ def gbuffer(scene, o, d, t_min=1e-4, rt=1024, interpret=False):
 # --------------------------------------------------------------------------
 # Split bounce: trace kernel + shade kernel (two pallas_calls per bounce).
 #
-# Measured round 3 (512^2, 3 bounces, Cornell): the FUSED bounce kernel runs
-# ~9 ms/bounce while every component isolated is <1 ms -- Mosaic hits a
-# register/VMEM-pressure cliff once closest-hit + NEE + BSDF sampling share
-# one kernel (halving the RNG hashes changed nothing; deleting the sampling
-# subgraph recovered ~6 ms/bounce). Splitting keeps each kernel under the
-# cliff at the cost of one [SURF_ROWS, N] HBM round trip (~0.1 ms).
+# A/B on the chip (512^2, 3 bounces, Cornell): fused 21.9 ms vs split
+# ~24 ms -- the fused form wins, so the split stays OPT-IN
+# (ZETARAY_MK_SPLIT=1) except when secondary-bounce texturing needs the
+# between-kernel XLA texture fetch (trace_megakernel forces it then).
 # --------------------------------------------------------------------------
 
 SURF_ROWS = 24  # 0-2 pos | 3-5 ns | 6-8 ng | 9-11 base | 12 metal
