@@ -37,6 +37,15 @@ ASSET = REPO.parent / "reference" / "Assets" / "CornellBox" / "cornell_emissive.
 NORTH_STAR_MS = 33.0  # BASELINE.md: < 33 ms/frame north star
 
 
+BUDGET_S = 480.0  # skip remaining extras past this (first run compiles
+# everything into the persistent cache; reruns are fast)
+_T0 = time.time()
+
+
+def _over_budget():
+    return time.time() - _T0 > BUDGET_S
+
+
 def main():
     from zetaray_tpu.scene import load_scene, upload_scene, Camera
     from zetaray_tpu.render import render_frame_jit, RenderConfig
@@ -92,6 +101,8 @@ def main():
     # -- full-surface feature frame (VERDICT r2 #7: skydi + LVG + pairwise
     #    MIS + volumetrics at 256^2 so the round-2 machinery has numbers)
     try:
+        if _over_budget():
+            raise TimeoutError("bench budget")
         from zetaray_tpu.ops.restir_di import ReSTIRConfig
         from zetaray_tpu.ops.sky import SkyParams
         from zetaray_tpu.ops.volumetrics import VolumetricsConfig
@@ -121,6 +132,8 @@ def main():
 
     # -- temporal upscaling (FSR2-slot): 256 -> 512 reconstruction
     try:
+        if _over_budget():
+            raise TimeoutError("bench budget")
         cfg_up = RenderConfig(
             width=512, height=512, mode="restir_gi",
             pt=PTConfig(max_bounces=2), render_scale=0.5, taa=True,
@@ -144,6 +157,8 @@ def main():
     # -- clustered scene end-to-end (VERDICT r2 #3: the Sponza-config proxy):
     #    Cornell subdivided past the VMEM wall -> BVH-cluster streaming
     try:
+        if _over_budget():
+            raise TimeoutError("bench budget")
         from zetaray_tpu.scene.subdivide import subdivide_scene
 
         cpu_big = subdivide_scene(load_scene(ASSET), 100_000)
@@ -182,6 +197,8 @@ def main():
     # -- single-chip 1080p banded frame (VERDICT r2 #2: gather-cliff fix;
     #    round-2 measured 941 ms unbanded)
     try:
+        if _over_budget():
+            raise TimeoutError("bench budget")
         cfg_hd = RenderConfig(
             width=1920, height=1080, mode="restir_gi",
             pt=PTConfig(max_bounces=2), denoise=True, taa=True,

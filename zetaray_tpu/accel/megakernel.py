@@ -1195,3 +1195,120 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, r
     if rows_out:  # radiance rows are the kernel-native layout
         return state[9:12, :n]
     return state[9:12, :n].T
+
+
+def trace_with_first_hit(
+    scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0,
+    textures=None, spread_angle=0.0,
+):
+    """Path trace that ALSO returns the first-hit surface.
+
+    restir_gi/pt generation needs the first suffix vertex's geometry AND
+    the traced radiance; doing both with intersect_closest_shaded + a full
+    trace repeats the first closest-hit sweep. Here bounce 0 runs as the
+    SPLIT trace kernel (whose surface output is exactly the first hit) and
+    the remaining bounces run fused. Returns (radiance_rows [3, N],
+    surf [SURF_ROWS, N], alive_after_b0 [N] f32).
+    """
+    n = o.shape[0]
+    n_pad = ((n + rt - 1) // rt) * rt
+    has_lights = scene.num_emissives > 0
+
+    def pad(x):
+        return jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
+
+    o_p, d_p = pad(o), pad(d)
+    state = jnp.zeros((STATE_ROWS, n_pad))
+    state = state.at[0:3].set(o_p.T)
+    state = state.at[3:6].set(d_p.T)
+    state = state.at[6:9].set(1.0)
+    state = state.at[13].set(1.0)
+    state = state.at[14].set(1.0)
+
+    woop3 = scene.woop.reshape(4, 3, -1)
+    attrsT = scene.tri_attrs.T
+    if has_lights and cfg.nee:
+        lsets = build_light_sets(scene, seed)
+    else:
+        lsets = jnp.zeros((NS, LSET_ROWS, PS))
+
+    # bounce 0 split: trace kernel emits the surface
+    tp = woop3.shape[2]
+    tc = min(128, tp)
+    scal = jnp.stack(
+        [
+            jnp.full((), 0, jnp.int32),
+            jnp.asarray(seed).astype(jnp.int32).reshape(()),
+            (jnp.asarray(pix0) // rt).astype(jnp.int32).reshape(()),
+            (jnp.asarray(spread_angle, jnp.float32) * 1e6)
+            .astype(jnp.int32).reshape(()),
+        ]
+    ).reshape(4, 1)
+    tr = functools.partial(
+        _bounce_trace_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg,
+        last=(cfg.max_bounces == 0), has_lights=has_lights,
+    )
+    state, surf = pl.pallas_call(
+        tr,
+        grid=(n_pad // rt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SURF_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(state.shape, jnp.float32),
+            jax.ShapeDtypeStruct((SURF_ROWS, n_pad), jnp.float32),
+        ),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(scal, state, woop3, attrsT)
+    alive0 = state[13]
+    if cfg.max_bounces > 0:
+        if textures:
+            from ..scene.textures import base_color_at
+
+            factor = base_color_at(
+                textures, surf[19:21].T, surf[21], state[15], surf[22]
+            )
+            if factor is not None:
+                surf = surf.at[9:12].set(surf[9:12] * factor)
+        sh = functools.partial(
+            _bounce_shade_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg,
+            has_lights=has_lights,
+            has_transmission=scene.has_transmission,
+            has_coat=scene.has_coat,
+        )
+        u = bounce_uniforms(n_pad, 0, seed, pix0=pix0)
+        state = pl.pallas_call(
+            sh,
+            grid=(n_pad // rt,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SURF_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((5, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct(state.shape, jnp.float32),
+            input_output_aliases={1: 0},
+            interpret=interpret,
+        )(scal, state, surf, woop3, lsets, u)
+        for bounce in range(1, cfg.max_bounces + 1):
+            state = bounce_step(
+                state, woop3, attrsT, lsets, bounce, seed, cfg,
+                last=(bounce == cfg.max_bounces), has_lights=has_lights,
+                has_transmission=scene.has_transmission,
+                has_coat=scene.has_coat,
+                rt=rt, interpret=interpret, pix0=pix0,
+            )
+    return state[9:12, :n], surf[:, :n], alive0[:n]

@@ -99,6 +99,16 @@ def _surface_from(o, d, sh, has_coat=False):
     return pos, ng, ns, uv, front, mat, ng_raw
 
 
+def megakernel_eligible(scene) -> bool:
+    """True when the dense VMEM-resident bounce megakernel applies."""
+    return (
+        jax.default_backend() != "cpu"
+        and scene.cluster_aabb is None
+        and not scene.has_cutout
+        and scene.woop.shape[1] // 3 <= 8192
+    )
+
+
 def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_out=False, textures=None, spread_angle=0.0):
     """Path-trace radiance for rays (o, d) [N,3]. Returns [N,3] linear HDR.
 
@@ -111,12 +121,7 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_ou
     # the fused bounce megakernel; clustered scenes (scene.cluster_aabb set)
     # use the XLA wavefront whose intersection queries stream BVH clusters
     # from HBM with tile culling (accel.stream).
-    if (
-        jax.default_backend() != "cpu"
-        and scene.cluster_aabb is None
-        and not scene.has_cutout
-        and scene.woop.shape[1] // 3 <= 8192
-    ):
+    if megakernel_eligible(scene):
         from ..accel.megakernel import trace_megakernel
 
         return trace_megakernel(

@@ -124,13 +124,6 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
     o2 = jnp.stack([(pos + ng * _EPS_RAY).x, (pos + ng * _EPS_RAY).y,
                     (pos + ng * _EPS_RAY).z], -1)
     d2 = jnp.stack([wi.x, wi.y, wi.z], -1)
-    sh = intersect_closest_shaded(scene, o2, d2)
-    hit = sh.valid & live
-    x2 = V3(*(o2 + sh.t[:, None] * d2).T)
-    n2_raw = V3(*sh.attrs[:, A.NG : A.NG + 3].T)
-    # face n2 toward x1
-    flip = v3.dot(n2_raw, V3(*d2.T)) > 0.0
-    n2 = v3.where(flip, -n2_raw, n2_raw)
 
     # L2: radiance arriving from direction d2 (excludes x2's own emission,
     # which the DI pass owns as "emissive at bounce 1")
@@ -140,18 +133,45 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
         min_emissive_bounce=max(pt_cfg.min_emissive_bounce - 1, 1),
         min_nee_bounce=0,
     )
-    l2_rgb = trace(
-        scene, o2, d2, key, l2_cfg, pix0=pix0, rt=rt, textures=textures,
-        spread_angle=spread_angle,
-    )
-    l2 = V3(*l2_rgb.T)
+    from .pathtracer import megakernel_eligible
+
+    if megakernel_eligible(scene):
+        # fused path: the trace's bounce-0 closest hit IS the x2 query, so
+        # the split trace kernel's surface output replaces the separate
+        # intersect_closest_shaded sweep (one full sweep saved per frame)
+        from ..accel.megakernel import trace_with_first_hit
+        from ..core.rng import seed_from_key
+
+        l2_rows, surf2, alive2 = trace_with_first_hit(
+            scene, o2, d2, seed_from_key(key), l2_cfg, pix0=pix0, rt=rt,
+            textures=textures, spread_angle=spread_angle,
+        )
+        l2 = V3(l2_rows[0], l2_rows[1], l2_rows[2])
+        x2_hit = alive2 > 0.5
+        hit = x2_hit & live
+        x2 = V3(surf2[0], surf2[1], surf2[2])
+        n2 = V3(surf2[6], surf2[7], surf2[8])
+    else:
+        sh = intersect_closest_shaded(scene, o2, d2)
+        x2_hit = sh.valid
+        hit = sh.valid & live
+        x2 = V3(*(o2 + sh.t[:, None] * d2).T)
+        n2_raw = V3(*sh.attrs[:, A.NG : A.NG + 3].T)
+        # face n2 toward x1
+        flip = v3.dot(n2_raw, V3(*d2.T)) > 0.0
+        n2 = v3.where(flip, -n2_raw, n2_raw)
+        l2_rgb = trace(
+            scene, o2, d2, key, l2_cfg, pix0=pix0, rt=rt, textures=textures,
+            spread_angle=spread_angle,
+        )
+        l2 = V3(*l2_rgb.T)
 
     if pt_cfg.sky is not None:
         # escaped rays: reconnection vertex on the far sphere, L2 = sky
         # radiance (sun disk excluded -- the primary sun-NEE term owns it)
         from . import sky as SK
 
-        sky_miss = live & ~sh.valid
+        sky_miss = live & ~x2_hit
         env = SK.sky_radiance(V3(*d2.T), pt_cfg.sky, with_disk=False)
         wi_v = V3(*d2.T)
         x2 = v3.where(sky_miss, V3(*(o2.T)) + wi_v * SKY_DIST, x2)

@@ -22,9 +22,13 @@ GRIS reconnection shifts. In AREA measure the reconnection Jacobian is 1
 
 Hybrid-shift validity (IndirectLighting's reconnection conditions): a shift
 is valid only when the reconnection vertex is far enough (relative distance
-threshold) and the rc BSDF is rough enough -- otherwise the shifted target
-is 0 and the candidate simply does not transfer (unbiased; the reference
-falls back to random replay for those paths, which is a planned extension).
+threshold) and the rc BSDF is rough enough. When the conditions FAIL, the
+replay fallback (cfg.replay; reference ReSTIR_PT_Replay) re-samples the
+first path segment at the destination with the source's RNG stream and
+reconnects at the stored second vertex x3 -- see _replay_shift for the
+Jacobian/convention bookkeeping. Fresh paths only (a taken candidate is
+re-anchored and reverts to reconnection shifts; documented difference from
+the reference, which replays arbitrary reservoir paths).
 
 The reference's Sort kernels emulate shader-execution reordering with
 thread maps; on TPU the sort is GENUINE ray reordering: suffix rays are
