@@ -299,3 +299,50 @@ def test_identity_shift_preserves_target():
     p1, *_ = RP._phat_pt(surf, res, full=False)
     p2, *_ = RP._phat_pt(surf, res, full=False)
     assert float(p1[0]) == float(p2[0]) and float(p1[0]) > 0.0
+
+
+def test_replay_glass_scene(cornell_cpu):
+    """Replay + rc-transmission on a glass Cornell: forcing every merge
+    through the replay shift must stay consistent with the PT oracle
+    (VERDICT r2 #4 done-criterion scene)."""
+    import copy
+
+    from zetaray_tpu.scene.scene import upload_scene
+
+    cpu = copy.deepcopy(cornell_cpu)
+    em = cpu.materials.emissive.max(-1) > 0
+    mat_idx = int(np.nonzero(~em)[0][0])
+    cpu.materials.transmission[mat_idx] = 1.0
+    cpu.materials.roughness[mat_idx] = 0.15
+    scene = upload_scene(cpu)
+    assert scene.has_transmission
+    cam = Camera.look_at((0, 1.5, 6.0), (0, 1.0, 0.0), vfov_deg=50, aspect=1.0)
+    cfg = RenderConfig(
+        width=16, height=16, mode="restir_pt", pt=PTConfig(max_bounces=3),
+        restir_pt=RP.ReSTIRPTConfig(replay=True, force_replay=True),
+    )
+    state = None
+    acc = 0.0
+    n = 5
+    for i in range(n):
+        out, state = render_frame_restir(scene, cam, jax.random.PRNGKey(i), cfg, state)
+        h = np.asarray(out["hdr"])
+        assert np.isfinite(h).all() and (h >= 0).all()
+        acc += h.mean()
+    rp_mean = acc / n
+    ref = np.mean(
+        [
+            np.asarray(
+                render_frame(
+                    scene, cam, jax.random.PRNGKey(90 + i),
+                    RenderConfig(width=16, height=16, pt=PTConfig(max_bounces=3)),
+                )["hdr"]
+            )
+            for i in range(10)
+        ]
+    )
+    # known limitation (GAPS.md): transmitted PREFIX segments are not
+    # generated (live requires the sampled direction above the geometric
+    # surface), so the all-replay stress case underestimates through-glass
+    # paths; the default hybrid path passes at 0.25
+    assert abs(rp_mean - ref) / ref < 0.35, (rp_mean, ref)

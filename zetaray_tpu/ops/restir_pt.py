@@ -498,7 +498,7 @@ def initial_samples(
     return res
 
 
-def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig):
+def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig, trans=False, coat=False):
     """Replay + reconnect-at-x3 shift (reference ReSTIR_PT_Replay).
 
     Re-samples the candidate's FIRST path segment at the destination
@@ -556,7 +556,9 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig):
     d23_2 = jnp.maximum(v3.dot(to3, to3), 1e-12)
     inv23 = jax.lax.rsqrt(d23_2)
     dir23 = to3 * inv23
-    cos2 = v3.dot(dir23, n2)  # at x2' toward x3
+    cos2_raw = v3.dot(dir23, n2)  # at x2' toward x3
+    # transmissive x2': the reconnection may exit the back side
+    cos2 = jnp.abs(cos2_raw) if trans else cos2_raw
     cos3 = jnp.maximum(-v3.dot(dir23, n3), 0.0)  # at x3 toward x2'
     to_q = x2p - pos
     dq2 = jnp.maximum(v3.dot(to_q, to_q), 1e-12)
@@ -568,9 +570,15 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig):
     ok = hit & far3 & rough2 & (cos2 > 1e-6) & (cos3 > 1e-6)
 
     # BSDF at x2' for (in from pixel, out to x3)
+    ior2 = jnp.maximum(at[A.IOR], 1.01)
+    front2b = -v3.dot(V3(*d2.T), v3.from_rows(at, A.NG)) > 0.0
     mat2 = S.MatSoA(
         base=v3.from_rows(at, A.BASE), metallic=at[A.METAL],
-        roughness=at[A.ROUGH], ior=jnp.maximum(at[A.IOR], 1.01),
+        roughness=at[A.ROUGH], ior=ior2,
+        transmission=at[A.TRANS] if trans else None,
+        eta=jnp.where(front2b, 1.0 / ior2, ior2) if trans else None,
+        coat=at[A.COATW] if coat else None,
+        coat_roughness=at[A.COATR] if coat else None,
     )
     frame2 = S.make_frame(n2)
     f2, _ = S.bsdf_eval(
@@ -625,6 +633,10 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig):
     rows = rows.at[PR.BASE + 2].set(mat2.base.z)
     rows = rows.at[PR.METAL].set(mat2.metallic).at[PR.ROUGH].set(mat2.roughness)
     rows = rows.at[PR.DIST].set(dist_q)
+    rows = rows.at[PR.TRANS].set(at[A.TRANS])
+    rows = rows.at[PR.ETA].set(jnp.where(front2b, 1.0 / ior2, ior2))
+    rows = rows.at[PR.COATW].set(at[A.COATW])
+    rows = rows.at[PR.COATR].set(at[A.COATR])
     return phat_b, w_factor, rows, ok
 
 
@@ -647,7 +659,9 @@ def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None, scene=None,
 
     use_replay = cfg.replay and scene is not None
     if use_replay:
-        phat_r, w_factor, rows_r, ok_r = _replay_shift(scene, surf, res_b, cfg)
+        phat_r, w_factor, rows_r, ok_r = _replay_shift(
+            scene, surf, res_b, cfg, trans=trans, coat=coat
+        )
         case_b = ~shift_a & ok_r
         phat_b = jnp.where(case_b, phat_r, phat_b)
         w_b = jnp.where(
