@@ -9,7 +9,8 @@ from zetaray_tpu.ops import lights as L
 
 def test_sample_emissive_on_light(cornell_dev, cornell_cpu, rng):
     n = 5000
-    u = jnp.asarray(rng.random((n, 4)).astype(np.float32))
+    u4 = rng.random((n, 4)).astype(np.float32)
+    u = tuple(jnp.asarray(u4[:, i]) for i in range(4))
     ls = L.sample_emissive(cornell_dev, u)
     tri = np.asarray(ls.tri)
     # all samples land on the two emissive triangles

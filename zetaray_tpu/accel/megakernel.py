@@ -668,36 +668,36 @@ def gbuffer_xla(scene, o, d, t_min=1e-4):
     two_sided = at[A.DOUBLE] > 0.5
     le_gain = jnp.where(hit & (two_sided | front), 1.0, 0.0)
     ior = jnp.maximum(at[A.IOR], 1.01)
-    gb = jnp.zeros((G.ROWS, n))
-    gb = gb.at[G.POS].set(pos.x).at[G.POS + 1].set(pos.y).at[G.POS + 2].set(pos.z)
-    gb = gb.at[G.NS].set(ns.x).at[G.NS + 1].set(ns.y).at[G.NS + 2].set(ns.z)
-    gb = gb.at[G.NG].set(ng.x).at[G.NG + 1].set(ng.y).at[G.NG + 2].set(ng.z)
-    gb = gb.at[G.BASE].set(at[A.BASE]).at[G.BASE + 1].set(at[A.BASE + 1])
-    gb = gb.at[G.BASE + 2].set(at[A.BASE + 2])
-    gb = gb.at[G.METAL].set(at[A.METAL]).at[G.ROUGH].set(at[A.ROUGH])
-    gb = gb.at[G.IOR].set(ior)
-    gb = gb.at[G.VALID].set(hit.astype(jnp.float32))
-    gb = gb.at[G.DEPTH].set(jnp.where(hit, sh.t, 0.0))
-    gb = gb.at[G.WO].set(-dv.x).at[G.WO + 1].set(-dv.y).at[G.WO + 2].set(-dv.z)
-    gb = gb.at[G.EMISS].set(at[A.EMISS] * le_gain)
-    gb = gb.at[G.EMISS + 1].set(at[A.EMISS + 1] * le_gain)
-    gb = gb.at[G.EMISS + 2].set(at[A.EMISS + 2] * le_gain)
-    gb = gb.at[G.EM_PDF_AREA].set(at[A.EM_PDF_AREA])
-    gb = gb.at[G.UV].set(w0 * at[A.UV0] + bu * at[A.UV1] + bv * at[A.UV2])
-    gb = gb.at[G.UV + 1].set(
-        w0 * at[A.UV0 + 1] + bu * at[A.UV1 + 1] + bv * at[A.UV2 + 1]
-    )
-    gb = gb.at[G.TEXID].set(jnp.where(hit, at[A.TEXID], -1.0))
-    gb = gb.at[G.TRANS].set(at[A.TRANS])
-    gb = gb.at[G.ETA].set(jnp.where(front, 1.0 / ior, ior))
-    gb = gb.at[G.COATW].set(at[A.COATW])
-    gb = gb.at[G.COATR].set(at[A.COATR])
-    gb = gb.at[G.MATID].set(jnp.where(hit, at[A.MATID], -1.0))
-    gb = gb.at[G.TANG].set(at[A.TANG]).at[G.TANG + 1].set(at[A.TANG + 1])
-    gb = gb.at[G.TANG + 2].set(at[A.TANG + 2])
-    gb = gb.at[G.UVDENS].set(at[A.UVDENS])
-    gb = gb.at[G.INST].set(jnp.where(hit, at[A.INSTID], -1.0))
-    return gb
+    from ..core.rows import stack_rows
+
+    return stack_rows(G.ROWS, {
+        G.POS: pos.x, G.POS + 1: pos.y, G.POS + 2: pos.z,
+        G.NS: ns.x, G.NS + 1: ns.y, G.NS + 2: ns.z,
+        G.NG: ng.x, G.NG + 1: ng.y, G.NG + 2: ng.z,
+        G.BASE: at[A.BASE], G.BASE + 1: at[A.BASE + 1],
+        G.BASE + 2: at[A.BASE + 2],
+        G.METAL: at[A.METAL], G.ROUGH: at[A.ROUGH],
+        G.IOR: ior,
+        G.VALID: hit.astype(jnp.float32),
+        G.DEPTH: jnp.where(hit, sh.t, 0.0),
+        G.WO: -dv.x, G.WO + 1: -dv.y, G.WO + 2: -dv.z,
+        G.EMISS: at[A.EMISS] * le_gain,
+        G.EMISS + 1: at[A.EMISS + 1] * le_gain,
+        G.EMISS + 2: at[A.EMISS + 2] * le_gain,
+        G.EM_PDF_AREA: at[A.EM_PDF_AREA],
+        G.UV: w0 * at[A.UV0] + bu * at[A.UV1] + bv * at[A.UV2],
+        G.UV + 1: w0 * at[A.UV0 + 1] + bu * at[A.UV1 + 1] + bv * at[A.UV2 + 1],
+        G.TEXID: jnp.where(hit, at[A.TEXID], -1.0),
+        G.TRANS: at[A.TRANS],
+        G.ETA: jnp.where(front, 1.0 / ior, ior),
+        G.COATW: at[A.COATW],
+        G.COATR: at[A.COATR],
+        G.MATID: jnp.where(hit, at[A.MATID], -1.0),
+        G.TANG: at[A.TANG], G.TANG + 1: at[A.TANG + 1],
+        G.TANG + 2: at[A.TANG + 2],
+        G.UVDENS: at[A.UVDENS],
+        G.INST: jnp.where(hit, at[A.INSTID], -1.0),
+    }, n=n)
 
 
 def gbuffer(scene, o, d, t_min=1e-4, rt=1024, interpret=False):

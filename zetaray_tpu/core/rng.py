@@ -17,14 +17,23 @@ import jax.numpy as jnp
 _U32 = jnp.uint32
 
 
-def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
-    """pcg4d hash: [..., 4] uint32 -> [..., 4] uint32."""
-    v = v.astype(_U32)
-    v = v * _U32(1664525) + _U32(1013904223)
-    x = v[..., 0] + v[..., 1] * v[..., 3]
-    y = v[..., 1] + v[..., 2] * x
-    z = v[..., 2] + x * y
-    w = v[..., 3] + y * z
+def pcg4d_lanes(a, b, c, d):
+    """pcg4d hash on four same-shaped uint32 arrays -> four uint32 arrays.
+
+    SoA form: operating on four 1-D lanes keeps the ~20-op chain in the
+    natural (N,) layout. The former [N, 4] stacked form made XLA compute
+    the hash in [N, 1] column shapes when fused into its consumers --
+    one of 128 lanes live on the VPU (see core/rows.py for the same
+    pathology on row stacking).
+    """
+    a = a * _U32(1664525) + _U32(1013904223)
+    b = b * _U32(1664525) + _U32(1013904223)
+    c = c * _U32(1664525) + _U32(1013904223)
+    d = d * _U32(1664525) + _U32(1013904223)
+    x = a + b * d
+    y = b + c * x
+    z = c + x * y
+    w = d + y * z
     x = x ^ (x >> 16)
     y = y ^ (y >> 16)
     z = z ^ (z >> 16)
@@ -33,25 +42,35 @@ def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
     y = y + z * x
     z = z + x * y
     w = w + y * z
+    return x, y, z, w
+
+
+def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
+    """pcg4d hash: [..., 4] uint32 -> [..., 4] uint32 (AoS adapter)."""
+    v = v.astype(_U32)
+    x, y, z, w = pcg4d_lanes(v[..., 0], v[..., 1], v[..., 2], v[..., 3])
     return jnp.stack([x, y, z, w], axis=-1)
 
 
-def uniform4(pixel: jnp.ndarray, bounce, frame_seed, salt=0) -> jnp.ndarray:
-    """4 uniforms in [0, 1) per pixel: [N] int32 pixel ids -> [N, 4] f32."""
+def uniform4(pixel: jnp.ndarray, bounce, frame_seed, salt=0):
+    """4 uniforms in [0, 1) per pixel: [N] int32 pixel ids -> 4x [N] f32.
+
+    Returns a TUPLE of four (N,) arrays (not an [N, 4] matrix): tuple
+    lanes stay in the efficient 1-D layout and avoid both the 32x
+    lane-padded [N, 4] materialization and the column-shaped fusion of
+    the hash chain. Bit-identical streams to the stacked form.
+    """
     n = pixel.shape[0]
-    v = jnp.stack(
-        [
-            pixel.astype(_U32),
-            jnp.full((n,), bounce, _U32),
-            jnp.full((n,), frame_seed, _U32) if jnp.ndim(frame_seed) == 0
-            else frame_seed.astype(_U32),
-            jnp.full((n,), salt, _U32),
-        ],
-        axis=-1,
+    x, y, z, w = pcg4d_lanes(
+        pixel.astype(_U32),
+        jnp.full((n,), bounce, _U32),
+        jnp.full((n,), frame_seed, _U32) if jnp.ndim(frame_seed) == 0
+        else frame_seed.astype(_U32),
+        jnp.full((n,), salt, _U32),
     )
-    bits = pcg4d(v)
     # top 24 bits -> [0, 1): exact in f32
-    return (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    to01 = lambda t: (t >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    return to01(x), to01(y), to01(z), to01(w)
 
 
 def seed_from_key(key) -> jnp.ndarray:

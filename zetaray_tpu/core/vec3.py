@@ -87,3 +87,18 @@ def luminance(a: V3):
 def from_rows(m: jnp.ndarray, r0: int) -> V3:
     """Rows r0..r0+2 of a [K, N] SoA matrix as a V3."""
     return V3(m[r0], m[r0 + 1], m[r0 + 2])
+
+
+def aos3(a: V3, axis: int = -1) -> jnp.ndarray:
+    """V3 of (N,) lanes -> [N, 3] (or [3, N]) AoS array, layout-safely.
+
+    The components pass an optimization_barrier before the stack: fusing
+    producer math into a small-minor-dim stack makes XLA compute it in
+    [N, 1] / [1, N] shapes at 1/128 (resp. 1/8) VPU lane efficiency --
+    see core/rows.py. Use this for every V3 -> AoS boundary (trace-kernel
+    operands, image assembly), never a bare jnp.stack.
+    """
+    import jax
+
+    x, y, z = jax.lax.optimization_barrier((a.x, a.y, a.z))
+    return jnp.stack([x, y, z], axis)

@@ -30,10 +30,11 @@ class LightSample(NamedTuple):
     two_sided: jnp.ndarray  # [N] bool
 
 
-def sample_emissive(scene, u: jnp.ndarray) -> LightSample:
+def sample_emissive(scene, u) -> LightSample:
     """Pick an emissive triangle (power-weighted alias table) + point on it.
 
-    ``u``: [N, 4] uniforms (2 for the alias pick, 2 for the barycentrics).
+    ``u``: 4-tuple of [N] uniforms (2 for the alias pick, 2 for the
+    barycentrics) -- see core.rng.uniform4.
 
     Attribute fetch is a one-hot matmul against the denormalized em_attrs
     table (scene.EA layout) instead of a chain of dynamic gathers -- the same
@@ -44,7 +45,7 @@ def sample_emissive(scene, u: jnp.ndarray) -> LightSample:
 
     # The em_* arrays are lane-padded; sample over the true (static) count.
     e = scene.num_emissives
-    k = sample_alias(scene.em_prob[:e], scene.em_alias[:e], u[..., 0], u[..., 1])
+    k = sample_alias(scene.em_prob[:e], scene.em_alias[:e], u[0], u[1])
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (k.shape[0], e), 1) == k[:, None]
     ).astype(jnp.float32)
@@ -54,7 +55,7 @@ def sample_emissive(scene, u: jnp.ndarray) -> LightSample:
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    b = square_to_triangle(u[..., 2:4])
+    b = square_to_triangle(jnp.stack([u[2], u[3]], -1))
     pos = (
         row[:, EA.V0 : EA.V0 + 3]
         + b[..., 0:1] * row[:, EA.E1 : EA.E1 + 3]

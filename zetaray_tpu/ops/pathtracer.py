@@ -270,7 +270,7 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
 
         # -- BSDF sample for the next bounce
         u_b = R.uniform4(pixel, bounce, seed, salt=2)
-        wi_l, weight, pdf = B.bsdf_sample(mat, wo_l, u_b[:, :3], eta=eta)
+        wi_l, weight, pdf = B.bsdf_sample(mat, wo_l, jnp.stack(u_b[:3], -1), eta=eta)
         wi_w = B.to_world(ns, t_ax, b_ax, wi_l)
         # geometric-side consistency: reflected rays leave above the
         # geometric surface, transmitted rays below it
@@ -288,7 +288,7 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
         # -- Russian roulette (reference: RussianRoulette default on)
         if bounce >= cfg.rr_start:
             q = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
-            u_rr = R.uniform4(pixel, bounce, seed, salt=3)[:, 0]
+            u_rr = R.uniform4(pixel, bounce, seed, salt=3)[0]
             survive = u_rr < q
             alive = alive & survive
             throughput = throughput / q[..., None]

@@ -277,7 +277,7 @@ def build_light_voxel_grid(scene, camera, seed, cfg: LVGConfig = LVGConfig()):
     for c in range(cfg.candidates):
         u = uniform4(ids, c, seed, salt=0x17C0)
         u2 = uniform4(ids, c, seed, salt=0x17C1)
-        idx = sample_alias(prob, alias, u[:, 0], u[:, 1])  # [N] in [0, E)
+        idx = sample_alias(prob, alias, u[0], u[1])  # [N] in [0, E)
         row = scene.em_attrs[idx]  # [N, EA.WIDTH]
         v0 = row[:, EA.V0 : EA.V0 + 3]
         e1_ = row[:, EA.E1 : EA.E1 + 3]
@@ -285,7 +285,7 @@ def build_light_voxel_grid(scene, camera, seed, cfg: LVGConfig = LVGConfig()):
         ng = row[:, EA.NG : EA.NG + 3]
         le = row[:, EA.LE : EA.LE + 3]
         two = row[:, EA.TWO_SIDED]
-        bary = square_to_triangle(u[:, 2:4])
+        bary = square_to_triangle(jnp.stack([u[2], u[3]], -1))
         lp = v0 + bary[:, :1] * e1_ + bary[:, 1:2] * e2_
         area = 0.5 * jnp.linalg.norm(jnp.cross(e1_, e2_), axis=-1)
         pdf_a = pdf_sel[idx] / jnp.maximum(area, 1e-12)
@@ -311,7 +311,7 @@ def build_light_voxel_grid(scene, camera, seed, cfg: LVGConfig = LVGConfig()):
         w_sum = w_sum + w
         count = count + ok.astype(jnp.float32)
 
-        take = u2[:, 0] * jnp.maximum(w_sum, 1e-12) < w
+        take = u2[0] * jnp.maximum(w_sum, 1e-12) < w
         cand = jnp.concatenate(
             [lp, ng, le, pdf_a[:, None], two[:, None],
              jnp.zeros((n, LVG_ROWS - 11))], axis=1,
@@ -344,13 +344,13 @@ def sample_lvg(lvg, gbuf, camera, seed, cfg: LVGConfig, salt=0x51AB):
     pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 0, seed, salt=salt)
     ex = jnp.asarray(cfg.extents)
-    jit = (u[:, 0:3] * 2.0 - 1.0) * ex[None, :]
+    jit = (jnp.stack(u[0:3], -1) * 2.0 - 1.0) * ex[None, :]
     r = jnp.asarray(camera.right)
     up = jnp.asarray(camera.up)
     f = jnp.asarray(camera.forward)
     pj = p + jit[:, 0:1] * r + jit[:, 1:2] * up + jit[:, 2:3] * f
     vox, inside = voxel_of_position(pj, camera, cfg)
-    slot = jnp.minimum((u[:, 3] * cfg.slots).astype(jnp.int32), cfg.slots - 1)
+    slot = jnp.minimum((u[3] * cfg.slots).astype(jnp.int32), cfg.slots - 1)
     rows = lvg[vox * cfg.slots + slot]  # [N, LVG_ROWS]
     valid = inside & (rows[:, 9] > 0.0) & (gbuf[G.VALID] > 0.5)
     return rows.T, valid

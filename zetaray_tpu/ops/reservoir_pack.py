@@ -60,6 +60,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import packing as P
+from ..core.rows import stack_rows
 
 DI_PACKED_ROWS = 8
 PT_PACKED_ROWS = 28
@@ -120,17 +121,17 @@ def unpack_di(p, rows: int = 16):
     le_x, le_y = P.unpack_f16x2(p[4])
     le_z = P.f16_bits_to_f32((p[5] & jnp.uint32(0xFFFF)).astype(jnp.uint16))
     two = ((p[5] >> 16) & jnp.uint32(1)).astype(jnp.float32)
-    out = jnp.zeros((rows, n))
-    out = out.at[0].set(_f32(p[0])).at[1].set(_f32(p[1])).at[2].set(_f32(p[2]))
-    out = out.at[3].set(nx).at[4].set(ny).at[5].set(nz)
-    out = out.at[6].set(le_x).at[7].set(le_y).at[8].set(le_z)
-    out = out.at[10].set((p[7] & jnp.uint32(0xFFFF)).astype(jnp.float32))
-    out = out.at[11].set(_f32(p[6]))
-    out = out.at[12].set(two)
-    out = out.at[13].set(
-        P.f16_bits_to_f32(((p[7] >> 16) & jnp.uint32(0xFFFF)).astype(jnp.uint16))
-    )
-    return out
+    return stack_rows(rows, {
+        0: _f32(p[0]), 1: _f32(p[1]), 2: _f32(p[2]),
+        3: nx, 4: ny, 5: nz,
+        6: le_x, 7: le_y, 8: le_z,
+        10: (p[7] & jnp.uint32(0xFFFF)).astype(jnp.float32),
+        11: _f32(p[6]),
+        12: two,
+        13: P.f16_bits_to_f32(
+            ((p[7] >> 16) & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        ),
+    }, n=n)
 
 
 def pack_pt(res):
@@ -187,53 +188,38 @@ def unpack_pt(p):
     ls_z, rough = P.unpack_f16x2(p[8])
     base = P.unpack_rgb8(p[9])
     metal = ((p[9] >> 24) & jnp.uint32(0xFF)).astype(jnp.float32) / 255.0
-    out = jnp.zeros((PR.ROWS, n))
-    out = out.at[PR.X].set(_f32(p[0])).at[PR.X + 1].set(_f32(p[1]))
-    out = out.at[PR.X + 2].set(_f32(p[2]))
-    out = out.at[PR.N].set(nx).at[PR.N + 1].set(ny).at[PR.N + 2].set(nz)
-    out = out.at[PR.LE].set(le_x).at[PR.LE + 1].set(le_y)
-    out = out.at[PR.LE + 2].set(le_z)
-    out = out.at[PR.WS].set(wx).at[PR.WS + 1].set(wy).at[PR.WS + 2].set(wz)
-    out = out.at[PR.LS].set(ls_x).at[PR.LS + 1].set(ls_y)
-    out = out.at[PR.LS + 2].set(ls_z)
-    out = out.at[PR.BASE].set(base[..., 0]).at[PR.BASE + 1].set(base[..., 1])
-    out = out.at[PR.BASE + 2].set(base[..., 2])
-    out = out.at[PR.METAL].set(metal).at[PR.ROUGH].set(rough)
-    out = out.at[PR.DIST].set(dist)
-    out = out.at[PR.W].set(_f32(p[10]))
-    out = out.at[PR.M].set(p[11].astype(jnp.float32))
-    # replay-shift state
-    out = out.at[PR.SRCPIX].set(
-        (p[12] & jnp.uint32(0xFFFFFF)).astype(jnp.float32)
-    )
-    out = out.at[PR.HAS3].set(
-        ((p[12] >> 24) & jnp.uint32(1)).astype(jnp.float32)
-    )
-    out = out.at[PR.SRCSEED].set(jax.lax.bitcast_convert_type(p[13], jnp.float32))
-    out = out.at[PR.PDFA].set(_f32(p[14]))
-    out = out.at[PR.X3].set(_f32(p[15])).at[PR.X3 + 1].set(_f32(p[16]))
-    out = out.at[PR.X3 + 2].set(_f32(p[17]))
     n3x, n3y, n3z = _unoct_rows(p[18])
-    out = out.at[PR.N3].set(n3x).at[PR.N3 + 1].set(n3y).at[PR.N3 + 2].set(n3z)
     l3x, l3y = P.unpack_f16x2(p[19])
     l3z, r3 = P.unpack_f16x2(p[20])
-    out = out.at[PR.LE3].set(l3x).at[PR.LE3 + 1].set(l3y)
-    out = out.at[PR.LE3 + 2].set(l3z)
     b3 = P.unpack_rgb8(p[21])
     m3 = ((p[21] >> 24) & jnp.uint32(0xFF)).astype(jnp.float32) / 255.0
-    out = out.at[PR.B3].set(b3[..., 0]).at[PR.B3 + 1].set(b3[..., 1])
-    out = out.at[PR.B3 + 2].set(b3[..., 2])
-    out = out.at[PR.M3].set(m3).at[PR.R3].set(r3)
     w3x, w3y, w3z = _unoct_rows(p[22])
-    out = out.at[PR.WS3].set(w3x).at[PR.WS3 + 1].set(w3y)
-    out = out.at[PR.WS3 + 2].set(w3z)
     s3x, s3y = P.unpack_f16x2(p[23])
     s3z = P.f16_bits_to_f32((p[24] & jnp.uint32(0xFFFF)).astype(jnp.uint16))
-    out = out.at[PR.LS3].set(s3x).at[PR.LS3 + 1].set(s3y)
-    out = out.at[PR.LS3 + 2].set(s3z)
-    out = out.at[PR.PDFS3].set(_f32(p[25]))
     t_, cw_ = P.unpack_f16x2(p[26])
     e_, cr_ = P.unpack_f16x2(p[27])
-    out = out.at[PR.TRANS].set(t_).at[PR.COATW].set(cw_)
-    out = out.at[PR.ETA].set(e_).at[PR.COATR].set(cr_)
-    return out
+    return stack_rows(PR.ROWS, {
+        PR.X: _f32(p[0]), PR.X + 1: _f32(p[1]), PR.X + 2: _f32(p[2]),
+        PR.N: nx, PR.N + 1: ny, PR.N + 2: nz,
+        PR.LE: le_x, PR.LE + 1: le_y, PR.LE + 2: le_z,
+        PR.WS: wx, PR.WS + 1: wy, PR.WS + 2: wz,
+        PR.LS: ls_x, PR.LS + 1: ls_y, PR.LS + 2: ls_z,
+        PR.BASE: base[..., 0], PR.BASE + 1: base[..., 1],
+        PR.BASE + 2: base[..., 2],
+        PR.METAL: metal, PR.ROUGH: rough, PR.DIST: dist,
+        PR.W: _f32(p[10]), PR.M: p[11].astype(jnp.float32),
+        # replay-shift state
+        PR.SRCPIX: (p[12] & jnp.uint32(0xFFFFFF)).astype(jnp.float32),
+        PR.HAS3: ((p[12] >> 24) & jnp.uint32(1)).astype(jnp.float32),
+        PR.SRCSEED: jax.lax.bitcast_convert_type(p[13], jnp.float32),
+        PR.PDFA: _f32(p[14]),
+        PR.X3: _f32(p[15]), PR.X3 + 1: _f32(p[16]), PR.X3 + 2: _f32(p[17]),
+        PR.N3: n3x, PR.N3 + 1: n3y, PR.N3 + 2: n3z,
+        PR.LE3: l3x, PR.LE3 + 1: l3y, PR.LE3 + 2: l3z,
+        PR.B3: b3[..., 0], PR.B3 + 1: b3[..., 1], PR.B3 + 2: b3[..., 2],
+        PR.M3: m3, PR.R3: r3,
+        PR.WS3: w3x, PR.WS3 + 1: w3y, PR.WS3 + 2: w3z,
+        PR.LS3: s3x, PR.LS3 + 1: s3y, PR.LS3 + 2: s3z,
+        PR.PDFS3: _f32(p[25]),
+        PR.TRANS: t_, PR.COATW: cw_, PR.ETA: e_, PR.COATR: cr_,
+    }, n=n)

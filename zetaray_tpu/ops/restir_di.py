@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import vec3 as v3
 from ..core.vec3 import V3
+from ..core.rows import stack_rows
 from ..accel.megakernel import G, LSET_ROWS, NS, PS, _occluded_soa
 from . import shading_soa as S
 
@@ -272,7 +273,7 @@ def initial_candidates(
     from ..core.rng import uniform4
 
     pix_ids = jnp.arange(n_pad, dtype=jnp.int32) + jnp.asarray(pix0)
-    u_sel = uniform4(pix_ids, 0, seed, salt=0x51E5)[:, 0][None, :]
+    u_sel = uniform4(pix_ids, 0, seed, salt=0x51E5)[0][None, :]
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // rt,),
@@ -326,11 +327,9 @@ def _merge(res_a, res_b, surf, u, m_cap=None, full=True):
     big_w = jnp.where(
         y_phat > 0.0, w_sum / jnp.maximum(m_new * y_phat, 1e-12), 0.0
     )
-    out = out.at[9].set(w_sum)
-    out = out.at[10].set(m_new)
-    out = out.at[11].set(big_w)
-    out = out.at[13].set(y_phat)
-    return out
+    return stack_rows(res_a.shape[0], {
+        9: w_sum, 10: m_new, 11: big_w, 13: y_phat,
+    }, like=out)
 
 
 def _gather_rows(arr, idx):
@@ -443,12 +442,13 @@ def lvg_merge(
         okf = ok.astype(jnp.float32)
         # wrap the candidate as a 1-sample reservoir: M=1, W=1/pdf_area
         # (so _merge's w = phat * W * M reduces to the RIS weight phat/pdf)
-        res_b = jnp.zeros((R_ROWS, n))
-        res_b = res_b.at[0:9].set(rows[0:9])
-        res_b = res_b.at[10].set(okf)
-        res_b = res_b.at[11].set(okf / jnp.maximum(rows[9], 1e-9))
-        res_b = res_b.at[12].set(rows[10])
-        u = uniform4(ids, s, seed, salt=0x1B7A)[:, 0]
+        res_b = stack_rows(R_ROWS, {
+            **{i: rows[i] for i in range(9)},
+            10: okf,
+            11: okf / jnp.maximum(rows[9], 1e-9),
+            12: rows[10],
+        }, n=n)
+        u = uniform4(ids, s, seed, salt=0x1B7A)[0]
         res = _merge(res, res_b, surf, u, full=cfg.full_target)
     return res
 
@@ -464,7 +464,7 @@ def reproject_prev(
     pos = v3.from_rows(gbuf, G.POS)
     p_world = (
         pos_prev if pos_prev is not None
-        else jnp.stack([pos.x, pos.y, pos.z], axis=-1)
+        else v3.aos3(pos)
     )
     px, py, w_fwd = prev_cam.project(p_world, width, height)
     rel = p_world - jnp.asarray(prev_cam.eye)
@@ -543,14 +543,16 @@ def temporal_reuse(
     ok = inside & depth_ok & normal_ok & prev_valid & valid
     if okb is not None:
         ok = ok & okb
-    prev_r = prev_r.at[10].set(jnp.where(ok, prev_r[10], 0.0))
-    prev_r = prev_r.at[11].set(jnp.where(ok, prev_r[11], 0.0))
+    prev_r = stack_rows(prev_r.shape[0], {
+        10: jnp.where(ok, prev_r[10], 0.0),
+        11: jnp.where(ok, prev_r[11], 0.0),
+    }, like=prev_r)
 
     from ..core.rng import uniform4
 
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
-    u = uniform4(pix, 0, seed, salt=0x7E17)[:, 0]
+    u = uniform4(pix, 0, seed, salt=0x7E17)[0]
     m_cap = cfg.m_max_factor * PS  # initial reservoirs carry M = PS (full-set RIS)
     surf = (pos, ns, mat, frame, wo_l, valid)
     return _merge(res, prev_r, surf, u, m_cap=m_cap, full=cfg.full_target)
@@ -607,17 +609,19 @@ def spatial_step(
     ok = geom_ok_slim(gbuf, nb_geom, ns, cfg)
     if okb is not None:
         ok = ok & okb
-    nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
-    nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
-    return _merge(res, nb, surf, u[:, 2], full=cfg.full_target)
+    nb = stack_rows(nb.shape[0], {
+        10: jnp.where(ok, nb[10], 0.0),
+        11: jnp.where(ok, nb[11], 0.0),
+    }, like=nb)
+    return _merge(res, nb, surf, u[2], full=cfg.full_target)
 
 
 def _disk_neighbor(pix, width, height, u, radius, src_row0=0):
     """Disk-sampled neighbor flat index from a uniform4 row pair."""
     x = pix % width
     y = pix // width
-    r = radius * jnp.sqrt(u[:, 0])
-    phi = 2.0 * jnp.pi * u[:, 1]
+    r = radius * jnp.sqrt(u[0])
+    phi = 2.0 * jnp.pi * u[1]
     dx = jnp.round(r * jnp.cos(phi)).astype(jnp.int32)
     dy = jnp.round(r * jnp.sin(phi)).astype(jnp.int32)
     nx = jnp.clip(x + dx, 0, width - 1)
@@ -632,13 +636,13 @@ def _neighbor_pick(pix, width, height, seed, tag, cfg, src_row0):
     x = pix % width
     y = pix // width
     u = uniform4(pix, tag, seed, salt=0x5A71)
-    r = cfg.spatial_radius * jnp.sqrt(u[:, 0])
-    phi = 2.0 * jnp.pi * u[:, 1]
+    r = cfg.spatial_radius * jnp.sqrt(u[0])
+    phi = 2.0 * jnp.pi * u[1]
     dx = jnp.round(r * jnp.cos(phi)).astype(jnp.int32)
     dy = jnp.round(r * jnp.sin(phi)).astype(jnp.int32)
     nx = jnp.clip(x + dx, 0, width - 1)
     ny = jnp.clip(y + dy, 0, height - 1)
-    return (ny - src_row0) * width + nx, u[:, 2]
+    return (ny - src_row0) * width + nx, u[2]
 
 
 def _geom_ok(gbuf, nb_g, ns, cfg):
@@ -765,7 +769,7 @@ def spatial_step_pairwise(
     # canonical stream (PairwiseMIS::End)
     w_c = m_c * phat_c_yc * w_c_cap
     w_sum_s = w_sum_s + w_c
-    u_end = uniform4(pix, it * 16 + 15, seed, salt=0x5A72)[:, 0]
+    u_end = uniform4(pix, it * 16 + 15, seed, salt=0x5A72)[0]
     take_c = u_end * jnp.maximum(w_sum_s, 1e-30) < w_c
     out = jnp.where(take_c[None, :], res, out)
     phat_sel = jnp.where(take_c, phat_c_yc, phat_sel)
@@ -775,11 +779,9 @@ def spatial_step_pairwise(
         w_sum_s / jnp.maximum(phat_sel * (1.0 + k_eff), 1e-12),
         0.0,
     )
-    out = out.at[9].set(w_sum_s)
-    out = out.at[10].set(m_s)
-    out = out.at[11].set(w_new)
-    out = out.at[13].set(phat_sel)
-    return out
+    return stack_rows(out.shape[0], {
+        9: w_sum_s, 10: m_s, 11: w_new, 13: phat_sel,
+    }, like=out)
 
 
 def spatial_reuse(
@@ -811,8 +813,8 @@ def visibility_reuse(scene, res, gbuf):
     y_pos = v3.from_rows(res, 0)
     to_l = y_pos - pos
     so = pos + ng * _EPS_RAY
-    shadow_o = jnp.stack([so.x, so.y, so.z], axis=-1)
-    seg = jnp.stack([to_l.x, to_l.y, to_l.z], axis=-1)
+    shadow_o = v3.aos3(so)
+    seg = v3.aos3(to_l)
     occ = intersect_occluded(scene, shadow_o, seg, t_min=1e-3, t_max=1.0 - 1e-3)
     live = (gbuf[G.VALID] > 0.5) & (res[11] > 0.0) & ~occ
     keep = live.astype(jnp.float32)
@@ -848,9 +850,8 @@ def shade(scene, res, gbuf, interpret=False, trans=False, coat=False, rows_out=F
     lit = valid & (phat > 0.0) & (big_w > 0.0)
 
     to_l = y_pos - pos
-    shadow_o = jnp.stack([(pos + ng * _EPS_RAY).x, (pos + ng * _EPS_RAY).y,
-                          (pos + ng * _EPS_RAY).z], axis=-1)
-    seg = jnp.stack([to_l.x, to_l.y, to_l.z], axis=-1)
+    shadow_o = v3.aos3((pos + ng * _EPS_RAY))
+    seg = v3.aos3(to_l)
     occ = intersect_occluded(scene, shadow_o, seg, t_min=1e-3, t_max=1.0 - 1e-3)
     vis = lit & ~occ
 
@@ -859,4 +860,4 @@ def shade(scene, res, gbuf, interpret=False, trans=False, coat=False, rows_out=F
     emiss = v3.from_rows(gbuf, G.EMISS)
     out = contrib + emiss
     ax = 0 if rows_out else -1
-    return jnp.stack([out.x, out.y, out.z], axis=ax)
+    return v3.aos3(out, ax)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..core import vec3 as v3
 from ..core.vec3 import V3
+from ..core.rows import stack_rows
 from ..accel.megakernel import G
 from . import shading_soa as S
 
@@ -116,14 +117,13 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 101, seed, salt=0x61AA)
-    wi_l, _, pdf_sa = S.bsdf_sample(mat, wo_l, u[:, 0], u[:, 1], u[:, 2])
+    wi_l, _, pdf_sa = S.bsdf_sample(mat, wo_l, u[0], u[1], u[2])
     wi = frame.to_world(wi_l)
     geo_ok = v3.dot(wi, ng) > 1e-6
     live = valid & (pdf_sa > 0.0) & geo_ok
 
-    o2 = jnp.stack([(pos + ng * _EPS_RAY).x, (pos + ng * _EPS_RAY).y,
-                    (pos + ng * _EPS_RAY).z], -1)
-    d2 = jnp.stack([wi.x, wi.y, wi.z], -1)
+    o2 = v3.aos3((pos + ng * _EPS_RAY))
+    d2 = v3.aos3(wi)
 
     # L2: radiance arriving from direction d2 (excludes x2's own emission,
     # which the DI pass owns as "emissive at bounce 1")
@@ -188,15 +188,12 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
     w = jnp.where(hit & (pdf_area > 0.0), phat / jnp.maximum(pdf_area, 1e-12), 0.0)
 
     big_w = jnp.where(phat > 0.0, w / jnp.maximum(phat, 1e-12), 0.0)
-    res = jnp.zeros((R_ROWS, n))
-    res = res.at[0].set(x2.x).at[1].set(x2.y).at[2].set(x2.z)
-    res = res.at[3].set(n2.x).at[4].set(n2.y).at[5].set(n2.z)
-    res = res.at[6].set(l2.x).at[7].set(l2.y).at[8].set(l2.z)
-    res = res.at[9].set(w)
-    res = res.at[10].set(jnp.where(hit, 1.0, 0.0))
-    res = res.at[11].set(big_w)
-    res = res.at[12].set(phat)
-    return res
+    return stack_rows(R_ROWS, {
+        0: x2.x, 1: x2.y, 2: x2.z,
+        3: n2.x, 4: n2.y, 5: n2.z,
+        6: l2.x, 7: l2.y, 8: l2.z,
+        9: w, 10: jnp.where(hit, 1.0, 0.0), 11: big_w, 12: phat,
+    }, n=n)
 
 
 def _merge(res_a, res_b, surf, u, m_cap=None, full=True):
@@ -216,8 +213,9 @@ def _merge(res_a, res_b, surf, u, m_cap=None, full=True):
     y_phat = jnp.where(take, phat_b, res_a[12])
     m_new = res_a[10] + m_b
     big_w = jnp.where(y_phat > 0.0, w_sum / jnp.maximum(m_new * y_phat, 1e-12), 0.0)
-    out = out.at[9].set(w_sum).at[10].set(m_new).at[11].set(big_w).at[12].set(y_phat)
-    return out
+    return stack_rows(R_ROWS, {
+        9: w_sum, 10: m_new, 11: big_w, 12: y_phat,
+    }, like=out)
 
 
 def temporal_reuse(
@@ -258,11 +256,13 @@ def temporal_reuse(
     )
     if okb is not None:
         ok = ok & okb
-    prev_r = prev_r.at[10].set(jnp.where(ok, prev_r[10], 0.0))
-    prev_r = prev_r.at[11].set(jnp.where(ok, prev_r[11], 0.0))
+    prev_r = stack_rows(R_ROWS, {
+        10: jnp.where(ok, prev_r[10], 0.0),
+        11: jnp.where(ok, prev_r[11], 0.0),
+    }, like=prev_r)
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
-    u = uniform4(pix, 102, seed, salt=0x6E31)[:, 0]
+    u = uniform4(pix, 102, seed, salt=0x6E31)[0]
     return _merge(res, prev_r, surf, u, m_cap=cfg.m_max, full=cfg.full_target)
 
 
@@ -308,9 +308,11 @@ def spatial_step(
     ok = geom_ok_slim(gbuf, nb_geom, ns, cfg)
     if okb is not None:
         ok = ok & okb
-    nb = nb.at[10].set(jnp.where(ok, nb[10], 0.0))
-    nb = nb.at[11].set(jnp.where(ok, nb[11], 0.0))
-    return _merge(res, nb, surf, u[:, 2], full=cfg.full_target)
+    nb = stack_rows(R_ROWS, {
+        10: jnp.where(ok, nb[10], 0.0),
+        11: jnp.where(ok, nb[11], 0.0),
+    }, like=nb)
+    return _merge(res, nb, surf, u[2], full=cfg.full_target)
 
 
 def spatial_reuse(res, gbuf, width, height, seed, cfg, trans=False, coat=False, pix=None, band=None):
@@ -340,11 +342,11 @@ def shade(scene, res, gbuf, trans=False, coat=False, rows_out=False):
     seg = x2 - so
     occ = intersect_occluded(
         scene,
-        jnp.stack([so.x, so.y, so.z], -1),
-        jnp.stack([seg.x, seg.y, seg.z], -1),
+        v3.aos3(so),
+        v3.aos3(seg),
         t_min=1e-3, t_max=1.0 - 1e-3,
     )
     gain = jnp.where(lit & ~occ, geom * big_w, 0.0)
     out = f * l2 * gain
     ax = 0 if rows_out else -1
-    return jnp.stack([out.x, out.y, out.z], ax)
+    return v3.aos3(out, ax)

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 
 from ..accel.megakernel import G
 from ..core import vec3 as v3
+from ..core.rows import set3, stack_rows
 from ..core.vec3 import V3
 from . import shading_soa as S
 
@@ -247,13 +248,12 @@ def initial_samples(
 
     # -- prefix: BSDF direction at the primary hit
     u = uniform4(pix, 201, seed, salt=0x9717)
-    wi_l, _, pdf_sa = S.bsdf_sample(mat, wo_l, u[:, 0], u[:, 1], u[:, 2])
+    wi_l, _, pdf_sa = S.bsdf_sample(mat, wo_l, u[0], u[1], u[2])
     wi = frame.to_world(wi_l)
     live = valid & (pdf_sa > 0.0) & (v3.dot(wi, ng) > 1e-6)
 
-    o2 = jnp.stack([(pos + ng * _EPS_RAY).x, (pos + ng * _EPS_RAY).y,
-                    (pos + ng * _EPS_RAY).z], -1)
-    d2 = jnp.stack([wi.x, wi.y, wi.z], -1)
+    o2 = v3.aos3((pos + ng * _EPS_RAY))
+    d2 = v3.aos3(wi)
     sh = intersect_closest_shaded(scene, o2, d2)
     hit = sh.valid & live
     at = sh.attrs.T
@@ -311,7 +311,7 @@ def initial_samples(
     rc_frame = S.make_frame(n_rc)
     wo_rc_l = rc_frame.to_local(V3(-wi.x, -wi.y, -wi.z))
     u2 = uniform4(pix, 202, seed, salt=0x5F17)
-    ws_l, _, pdf_s = S.bsdf_sample(rc_mat, wo_rc_l, u2[:, 0], u2[:, 1], u2[:, 2])
+    ws_l, _, pdf_s = S.bsdf_sample(rc_mat, wo_rc_l, u2[0], u2[1], u2[2])
     w_s = rc_frame.to_world(ws_l)
     # transmitted suffixes leave below the surface (glass reconnection)
     ws_down = ws_l.z < 0.0
@@ -321,8 +321,8 @@ def initial_samples(
     )
     offs_s = jnp.where(ws_down, -_EPS_RAY, _EPS_RAY)
     o3_v = x_rc + n_rc * offs_s
-    o3 = jnp.stack([o3_v.x, o3_v.y, o3_v.z], -1)
-    d3 = jnp.stack([w_s.x, w_s.y, w_s.z], -1)
+    o3 = v3.aos3(o3_v)
+    d3 = v3.aos3(w_s)
     if cfg.sort_suffix:
         # genuine shader-execution reordering (the reference's Sort stage,
         # IndirectLighting ReSTIR_PT_Sort): group suffix rays by rc material
@@ -376,12 +376,11 @@ def initial_samples(
     frame3 = S.make_frame(n3)
     wo3_l = frame3.to_local(V3(*(-d3).T))
     u3 = uniform4(pix, 203, seed, salt=0x3A19)
-    ws3_l, _, pdf3 = S.bsdf_sample(mat3, wo3_l, u3[:, 0], u3[:, 1], u3[:, 2])
+    ws3_l, _, pdf3 = S.bsdf_sample(mat3, wo3_l, u3[0], u3[1], u3[2])
     ws3 = frame3.to_world(ws3_l)
     suffix3_ok = has3 & (pdf3 > 0.0) & (v3.dot(ws3, n3) > 1e-6)
-    o4 = jnp.stack([(x3 + n3 * _EPS_RAY).x, (x3 + n3 * _EPS_RAY).y,
-                    (x3 + n3 * _EPS_RAY).z], -1)
-    d4 = jnp.stack([ws3.x, ws3.y, ws3.z], -1)
+    o4 = v3.aos3((x3 + n3 * _EPS_RAY))
+    d4 = v3.aos3(ws3)
     l4_cfg = replace(
         pt_cfg,
         max_bounces=max(pt_cfg.max_bounces - 3, 0),
@@ -443,59 +442,62 @@ def initial_samples(
         rc_rough = jnp.where(sky_miss, 1.0, rc_rough)
         hit = hit | sky_miss
 
-    res = jnp.zeros((PR.ROWS, n))
-    res = res.at[PR.X].set(x_rc.x).at[PR.X + 1].set(x_rc.y).at[PR.X + 2].set(x_rc.z)
-    res = res.at[PR.N].set(n_rc.x).at[PR.N + 1].set(n_rc.y).at[PR.N + 2].set(n_rc.z)
-    res = res.at[PR.LE].set(le.x).at[PR.LE + 1].set(le.y).at[PR.LE + 2].set(le.z)
-    res = res.at[PR.WS].set(w_s.x).at[PR.WS + 1].set(w_s.y).at[PR.WS + 2].set(w_s.z)
-    res = res.at[PR.LS].set(l_s.x).at[PR.LS + 1].set(l_s.y).at[PR.LS + 2].set(l_s.z)
-    res = res.at[PR.BASE].set(rc_base.x).at[PR.BASE + 1].set(rc_base.y)
-    res = res.at[PR.BASE + 2].set(rc_base.z)
-    res = res.at[PR.METAL].set(rc_metal).at[PR.ROUGH].set(rc_rough)
+    # Build the reservoir rows with ONE stacked write per stage (see
+    # core/rows.py). phat is evaluated on the geometric/material subset
+    # exactly as the reference's target uses only rc-side state.
     to = x_rc - pos
-    res = res.at[PR.DIST].set(jnp.sqrt(jnp.maximum(v3.dot(to, to), 1e-12)))
+    vals = {}
+    set3(vals, PR.X, x_rc)
+    set3(vals, PR.N, n_rc)
+    set3(vals, PR.LE, le)
+    set3(vals, PR.WS, w_s)
+    set3(vals, PR.LS, l_s)
+    set3(vals, PR.BASE, rc_base)
+    vals[PR.METAL] = rc_metal
+    vals[PR.ROUGH] = rc_rough
+    vals[PR.DIST] = jnp.sqrt(jnp.maximum(v3.dot(to, to), 1e-12))
+    res_phat = stack_rows(PR.ROWS, vals, n=n)
 
     surf = (pos, ns, ng, wo, mat, frame, valid)
-    phat, *_ = _phat_pt(surf, res, full=cfg.full_target, trans=trans, coat=coat)
+    phat, *_ = _phat_pt(surf, res_phat, full=cfg.full_target, trans=trans, coat=coat)
     # source pdf in area measure (prefix BSDF pdf projected onto rc)
     dist2 = jnp.maximum(v3.dot(to, to), 1e-12)
     cos_rc = jnp.maximum(-v3.dot(to * jax.lax.rsqrt(dist2), n_rc), 1e-6)
     pdf_area = pdf_sa * cos_rc / dist2
     w = jnp.where(hit & (pdf_area > 0.0), phat / jnp.maximum(pdf_area, 1e-12), 0.0)
     big_w = jnp.where(phat > 0.0, w / jnp.maximum(phat, 1e-12), 0.0)
-    res = res.at[PR.WSUM].set(w)
-    res = res.at[PR.M].set(jnp.where(hit, 1.0, 0.0))
-    res = res.at[PR.W].set(big_w)
-    res = res.at[PR.PHAT].set(phat)
+    vals[PR.WSUM] = w
+    vals[PR.M] = jnp.where(hit, 1.0, 0.0)
+    vals[PR.W] = big_w
+    vals[PR.PHAT] = phat
 
     # replay-shift identity + the second vertex (reconnect-at-x3 target)
-    res = res.at[PR.SRCPIX].set(pix.astype(jnp.float32))
-    seed_f = jax.lax.bitcast_convert_type(
+    vals[PR.SRCPIX] = pix.astype(jnp.float32)
+    vals[PR.SRCSEED] = jax.lax.bitcast_convert_type(
         jnp.full((n,), jnp.asarray(seed).astype(jnp.uint32)), jnp.float32
     )
-    res = res.at[PR.SRCSEED].set(seed_f)
-    res = res.at[PR.PDFA].set(jnp.where(hit, pdf_area, 0.0))
-    res = res.at[PR.HAS3].set(has3.astype(jnp.float32))
-    res = res.at[PR.X3].set(x3.x).at[PR.X3 + 1].set(x3.y).at[PR.X3 + 2].set(x3.z)
-    res = res.at[PR.N3].set(n3.x).at[PR.N3 + 1].set(n3.y).at[PR.N3 + 2].set(n3.z)
-    res = res.at[PR.LE3].set(le3.x).at[PR.LE3 + 1].set(le3.y)
-    res = res.at[PR.LE3 + 2].set(le3.z)
-    res = res.at[PR.B3].set(b3.x).at[PR.B3 + 1].set(b3.y).at[PR.B3 + 2].set(b3.z)
-    res = res.at[PR.M3].set(m3).at[PR.R3].set(r3)
-    res = res.at[PR.WS3].set(ws3.x).at[PR.WS3 + 1].set(ws3.y)
-    res = res.at[PR.WS3 + 2].set(ws3.z)
-    res = res.at[PR.LS3].set(ls3.x).at[PR.LS3 + 1].set(ls3.y)
-    res = res.at[PR.LS3 + 2].set(ls3.z)
+    vals[PR.PDFA] = jnp.where(hit, pdf_area, 0.0)
+    vals[PR.HAS3] = has3.astype(jnp.float32)
+    set3(vals, PR.X3, x3)
+    set3(vals, PR.N3, n3)
+    set3(vals, PR.LE3, le3)
+    set3(vals, PR.B3, b3)
+    vals[PR.M3] = m3
+    vals[PR.R3] = r3
+    set3(vals, PR.WS3, ws3)
+    set3(vals, PR.LS3, ls3)
     # p_A(x3 | x2): converts this sample's pdf-folded suffix convention to
     # the area convention the replay shift evaluates in (see _merge)
     to23 = x3 - x_rc
     d23_2 = jnp.maximum(v3.dot(to23, to23), 1e-12)
     cos3_to2 = jnp.maximum(jnp.abs(v3.dot(to23 * jax.lax.rsqrt(d23_2), n3)), 1e-6)
     pdfs3 = pdf_s * cos3_to2 / d23_2
-    res = res.at[PR.PDFS3].set(jnp.where(has3, pdfs3, 0.0))
-    res = res.at[PR.TRANS].set(rc_trans).at[PR.ETA].set(rc_eta)
-    res = res.at[PR.COATW].set(rc_coatw).at[PR.COATR].set(rc_coatr)
-    return res
+    vals[PR.PDFS3] = jnp.where(has3, pdfs3, 0.0)
+    vals[PR.TRANS] = rc_trans
+    vals[PR.ETA] = rc_eta
+    vals[PR.COATW] = rc_coatw
+    vals[PR.COATR] = rc_coatr
+    return stack_rows(PR.ROWS, vals, n=n)
 
 
 def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig, trans=False, coat=False):
@@ -529,15 +531,14 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig, trans=False, coat=Fal
     src_seed = jax.lax.bitcast_convert_type(res_b[PR.SRCSEED], jnp.uint32)
     u = uniform4(src_pix, 201, src_seed, salt=0x9717)
     wo_l = frame.to_local(wo)
-    wi_l, _, pdf_sa = S.bsdf_sample(mat, wo_l, u[:, 0], u[:, 1], u[:, 2])
+    wi_l, _, pdf_sa = S.bsdf_sample(mat, wo_l, u[0], u[1], u[2])
     wi = frame.to_world(wi_l)
     live = (
         valid & (res_b[PR.HAS3] > 0.5) & (res_b[PR.PDFA] > 0.0)
         & (pdf_sa > 0.0) & (v3.dot(wi, ng) > 1e-6)
     )
-    o2 = jnp.stack([(pos + ng * _EPS_RAY).x, (pos + ng * _EPS_RAY).y,
-                    (pos + ng * _EPS_RAY).z], -1)
-    d2 = jnp.stack([wi.x, wi.y, wi.z], -1)
+    o2 = v3.aos3((pos + ng * _EPS_RAY))
+    d2 = v3.aos3(wi)
     sh = intersect_closest_shaded(scene, o2, d2)
     hit = sh.valid & live
     at = sh.attrs.T
@@ -618,25 +619,24 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig, trans=False, coat=Fal
         ok, jac / jnp.maximum(res_b[PR.PDFS3], 1e-20), 0.0
     )
 
-    # re-canonicalized rows: rc = x2', area-folded suffix via x3
-    rows = jnp.zeros((PR.ROWS, n))
-    rows = rows.at[PR.X].set(x2p.x).at[PR.X + 1].set(x2p.y)
-    rows = rows.at[PR.X + 2].set(x2p.z)
-    rows = rows.at[PR.N].set(n2.x).at[PR.N + 1].set(n2.y).at[PR.N + 2].set(n2.z)
-    # LE stays 0 (bounce-1 emission belongs to the DI pass)
-    rows = rows.at[PR.WS].set(dir23.x).at[PR.WS + 1].set(dir23.y)
-    rows = rows.at[PR.WS + 2].set(dir23.z)
+    # re-canonicalized rows: rc = x2', area-folded suffix via x3.
+    # LE stays 0 (bounce-1 emission belongs to the DI pass). ONE stacked
+    # write -- see core/rows.py for why chained .at[].set is pathological.
     ls_new = lout3 * g_23  # so _phat_pt's f_rc*LS*G(r,x2') is the area target
-    rows = rows.at[PR.LS].set(ls_new.x).at[PR.LS + 1].set(ls_new.y)
-    rows = rows.at[PR.LS + 2].set(ls_new.z)
-    rows = rows.at[PR.BASE].set(mat2.base.x).at[PR.BASE + 1].set(mat2.base.y)
-    rows = rows.at[PR.BASE + 2].set(mat2.base.z)
-    rows = rows.at[PR.METAL].set(mat2.metallic).at[PR.ROUGH].set(mat2.roughness)
-    rows = rows.at[PR.DIST].set(dist_q)
-    rows = rows.at[PR.TRANS].set(at[A.TRANS])
-    rows = rows.at[PR.ETA].set(jnp.where(front2b, 1.0 / ior2, ior2))
-    rows = rows.at[PR.COATW].set(at[A.COATW])
-    rows = rows.at[PR.COATR].set(at[A.COATR])
+    vals = {}
+    set3(vals, PR.X, x2p)
+    set3(vals, PR.N, n2)
+    set3(vals, PR.WS, dir23)
+    set3(vals, PR.LS, ls_new)
+    set3(vals, PR.BASE, mat2.base)
+    vals[PR.METAL] = mat2.metallic
+    vals[PR.ROUGH] = mat2.roughness
+    vals[PR.DIST] = dist_q
+    vals[PR.TRANS] = at[A.TRANS]
+    vals[PR.ETA] = jnp.where(front2b, 1.0 / ior2, ior2)
+    vals[PR.COATW] = at[A.COATW]
+    vals[PR.COATR] = at[A.COATR]
+    rows = stack_rows(PR.ROWS, vals, n=n)
     return phat_b, w_factor, rows, ok
 
 
@@ -677,15 +677,15 @@ def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None, scene=None,
         out = jnp.where(tb[None, :], rows_r, out)
     # any taken candidate is re-anchored at this pixel: replay eligibility
     # (and its generating-pixel identity) no longer applies
-    out = out.at[PR.HAS3].set(jnp.where(take, 0.0, out[PR.HAS3]))
     y_phat = jnp.where(take, phat_b, res_a[PR.PHAT])
     m_new = res_a[PR.M] + m_b
     big_w = jnp.where(
         y_phat > 0.0, w_sum / jnp.maximum(m_new * y_phat, 1e-12), 0.0
     )
-    out = out.at[PR.WSUM].set(w_sum).at[PR.M].set(m_new)
-    out = out.at[PR.W].set(big_w).at[PR.PHAT].set(y_phat)
-    return out
+    return stack_rows(PR.ROWS, {
+        PR.HAS3: jnp.where(take, 0.0, out[PR.HAS3]),
+        PR.WSUM: w_sum, PR.M: m_new, PR.W: big_w, PR.PHAT: y_phat,
+    }, like=out)
 
 
 def temporal_reuse(
@@ -726,11 +726,13 @@ def temporal_reuse(
     )
     if okb is not None:
         ok = ok & okb
-    prev_r = prev_r.at[PR.M].set(jnp.where(ok, prev_r[PR.M], 0.0))
-    prev_r = prev_r.at[PR.W].set(jnp.where(ok, prev_r[PR.W], 0.0))
+    prev_r = stack_rows(PR.ROWS, {
+        PR.M: jnp.where(ok, prev_r[PR.M], 0.0),
+        PR.W: jnp.where(ok, prev_r[PR.W], 0.0),
+    }, like=prev_r)
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
-    u = uniform4(pix, 203, seed, salt=0x4A31)[:, 0]
+    u = uniform4(pix, 203, seed, salt=0x4A31)[0]
     return _merge(res, prev_r, surf, u, cfg, m_cap=cfg.m_max, scene=scene,
                   trans=trans, coat=coat)
 
@@ -754,8 +756,8 @@ def spatial_step(
     x = pix % width
     y = pix // width
     u = uniform4(pix, 204 + it, seed, salt=0x77A1)
-    r = cfg.spatial_radius * jnp.sqrt(u[:, 0])
-    phi = 2.0 * jnp.pi * u[:, 1]
+    r = cfg.spatial_radius * jnp.sqrt(u[0])
+    phi = 2.0 * jnp.pi * u[1]
     nx = jnp.clip(x + jnp.round(r * jnp.cos(phi)).astype(jnp.int32), 0, width - 1)
     ny = jnp.clip(y + jnp.round(r * jnp.sin(phi)).astype(jnp.int32), 0, height - 1)
     nidx = (ny - src_row0) * width + nx
@@ -779,9 +781,11 @@ def spatial_step(
     ok = geom_ok_slim(gbuf, nb_geom, ns, cfg)
     if okb is not None:
         ok = ok & okb
-    nb = nb.at[PR.M].set(jnp.where(ok, nb[PR.M], 0.0))
-    nb = nb.at[PR.W].set(jnp.where(ok, nb[PR.W], 0.0))
-    return _merge(res, nb, surf, u[:, 2], cfg, scene=scene, trans=trans,
+    nb = stack_rows(PR.ROWS, {
+        PR.M: jnp.where(ok, nb[PR.M], 0.0),
+        PR.W: jnp.where(ok, nb[PR.W], 0.0),
+    }, like=nb)
+    return _merge(res, nb, surf, u[2], cfg, scene=scene, trans=trans,
                   coat=coat)
 
 
@@ -811,11 +815,11 @@ def shade(scene, res, gbuf, cfg: ReSTIRPTConfig, trans=False, coat=False, rows_o
     seg = x_rc - so
     occ = intersect_occluded(
         scene,
-        jnp.stack([so.x, so.y, so.z], -1),
-        jnp.stack([seg.x, seg.y, seg.z], -1),
+        v3.aos3(so),
+        v3.aos3(seg),
         t_min=1e-3, t_max=1.0 - 1e-3,
     )
     gain = jnp.where(lit & ~occ, geom * big_w, 0.0)
     out = f1 * lout * gain
     ax = 0 if rows_out else -1
-    return jnp.stack([out.x, out.y, out.z], ax)
+    return v3.aos3(out, ax)

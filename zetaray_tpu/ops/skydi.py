@@ -29,6 +29,7 @@ from ..accel.megakernel import G
 from ..core import vec3 as v3
 from ..core.rng import uniform4
 from ..core.vec3 import V3
+from ..core.rows import stack_rows
 from . import shading_soa as S
 from . import sky as SK
 from .restir_di import _gather_rows, _geom_ok, _surface_from_gbuf
@@ -62,7 +63,7 @@ def _sun_basis(sky):
 def _le_dir(wi: V3, sky):
     """Sky + sun radiance along directions (V3 of [N])."""
     env = SK.sky_radiance(wi, sky, with_disk=False)
-    d_aos = jnp.stack([wi.x, wi.y, wi.z], -1)
+    d_aos = v3.aos3(wi)
     disk = SK.sun_disk(d_aos, sky).T  # [3, N]
     return V3(env.x + disk[0], env.y + disk[1], env.z + disk[2])
 
@@ -90,14 +91,16 @@ def _phat_dir(wi: V3, le: V3, ns: V3, mat, frame, wo_l):
 def _stream(res, wi: V3, le: V3, w, phat, u):
     w_sum = res[9] + w
     take = u * jnp.maximum(w_sum, 1e-30) < w
-    res = res.at[0].set(jnp.where(take, wi.x, res[0]))
-    res = res.at[1].set(jnp.where(take, wi.y, res[1]))
-    res = res.at[2].set(jnp.where(take, wi.z, res[2]))
-    res = res.at[3].set(jnp.where(take, le.x, res[3]))
-    res = res.at[4].set(jnp.where(take, le.y, res[4]))
-    res = res.at[5].set(jnp.where(take, le.z, res[5]))
-    res = res.at[13].set(jnp.where(take, phat, res[13]))
-    return res.at[9].set(w_sum)
+    return stack_rows(R_ROWS, {
+        0: jnp.where(take, wi.x, res[0]),
+        1: jnp.where(take, wi.y, res[1]),
+        2: jnp.where(take, wi.z, res[2]),
+        3: jnp.where(take, le.x, res[3]),
+        4: jnp.where(take, le.y, res[4]),
+        5: jnp.where(take, le.z, res[5]),
+        9: w_sum,
+        13: jnp.where(take, phat, res[13]),
+    }, like=res)
 
 
 def _finalize(res, m):
@@ -105,7 +108,7 @@ def _finalize(res, m):
     big_w = jnp.where(
         phat > 0.0, res[9] / jnp.maximum(m * phat, 1e-12), 0.0
     )
-    return res.at[10].set(m).at[11].set(big_w)
+    return stack_rows(R_ROWS, {10: m, 11: big_w}, like=res)
 
 
 def initial_candidates(gbuf, sky, seed, cfg: SkyDIConfig,
@@ -129,21 +132,21 @@ def initial_candidates(gbuf, sky, seed, cfg: SkyDIConfig,
         u3 = uniform4(ids, rd, seed, salt=0x50D3)
 
         # -- sun cone (uniform solid angle)
-        cz = 1.0 - u[:, 0] * (1.0 - cos_r)
+        cz = 1.0 - u[0] * (1.0 - cos_r)
         sz = jnp.sqrt(jnp.maximum(1.0 - cz * cz, 0.0))
-        ph = 2.0 * jnp.pi * u[:, 1]
+        ph = 2.0 * jnp.pi * u[1]
         wi_s = V3(
             sun[0] * cz + (t[0] * jnp.cos(ph) + b[0] * jnp.sin(ph)) * sz,
             sun[1] * cz + (t[1] * jnp.cos(ph) + b[1] * jnp.sin(ph)) * sz,
             sun[2] * cz + (t[2] * jnp.cos(ph) + b[2] * jnp.sin(ph)) * sz,
         )
         # -- cosine hemisphere about the shading normal
-        wi_c = frame.to_world(S._cosine_hemisphere(u[:, 2], u[:, 3]))
+        wi_c = frame.to_world(S._cosine_hemisphere(u[2], u[3]))
         # -- BSDF sample
-        wi_b_l, _wgt, _pdf = S.bsdf_sample(mat, wo_l, u2[:, 0], u2[:, 1], u2[:, 2])
+        wi_b_l, _wgt, _pdf = S.bsdf_sample(mat, wo_l, u2[0], u2[1], u2[2])
         wi_b = frame.to_world(wi_b_l)
 
-        for wi, uu in ((wi_s, u3[:, 0]), (wi_c, u3[:, 1]), (wi_b, u3[:, 2])):
+        for wi, uu in ((wi_s, u3[0]), (wi_c, u3[1]), (wi_b, u3[2])):
             le = _le_dir(wi, sky)
             phat = _phat_dir(wi, le, ns, mat, frame, wo_l)
             p_src = _pdfs(wi, ns, mat, frame, wo_l, sky)
@@ -165,7 +168,7 @@ def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height,
     wo_l = frame.to_local(wo)
     p_world = (
         pos_prev if pos_prev is not None
-        else jnp.stack([pos.x, pos.y, pos.z], -1)
+        else v3.aos3(pos)
     )
     px, py, w_fwd = prev_cam.project(p_world, width, height)
     rel = p_world - jnp.asarray(prev_cam.eye)
@@ -201,7 +204,7 @@ def temporal_reuse(res, prev_res, prev_gbuf, gbuf, prev_cam, width, height,
     w_b = jnp.where(ok, phat_b * nb[11] * m_b, 0.0)
 
     ids = pix if pix is not None else jnp.arange(n, dtype=jnp.int32)
-    u = uniform4(ids, 0, seed, salt=0x50D7)[:, 0]
+    u = uniform4(ids, 0, seed, salt=0x50D7)[0]
     out = _stream(res, wi_b, le_b, w_b, phat_b, u)
     return _finalize(out, res[10] + m_b)
 
@@ -267,10 +270,10 @@ def shade(scene, res, gbuf, trans=False, coat=False):
     so = pos + ng * 1e-3
     occ = intersect_occluded(
         scene,
-        jnp.stack([so.x, so.y, so.z], -1),
-        jnp.stack([wi.x, wi.y, wi.z], -1),
+        v3.aos3(so),
+        v3.aos3(wi),
         t_min=1e-3, t_max=1e8,
     )
     gain = jnp.where(valid & ~occ & (res[11] > 0.0), cos_s * res[11], 0.0)
     out = f * le * gain
-    return jnp.stack([out.x, out.y, out.z], 0)
+    return v3.aos3(out, 0)
