@@ -12,13 +12,28 @@ from zetaray_tpu.scene.subdivide import subdivide_scene
 def test_counts_and_area_preserved(cornell_cpu):
     sub = subdivide_scene(cornell_cpu, 500)
     assert sub.num_tris >= 500
-    assert sub.num_tris == cornell_cpu.num_tris * 4 ** int(
-        np.ceil(np.log(500 / cornell_cpu.num_tris) / np.log(4))
-    )
     np.testing.assert_allclose(
         sub.areas().sum(), cornell_cpu.areas().sum(), rtol=1e-5
     )
-    # emissive children cover the same total emissive area
+    # emissive triangles are held out of the split: bit-identical light set
+    np.testing.assert_array_equal(
+        sub.v0[sub.emissive_tris], cornell_cpu.v0[cornell_cpu.emissive_tris]
+    )
+    np.testing.assert_allclose(
+        sub.areas()[sub.emissive_tris].sum(),
+        cornell_cpu.areas()[cornell_cpu.emissive_tris].sum(), rtol=1e-5,
+    )
+
+
+def test_subdivide_split_emissive(cornell_cpu):
+    """keep_emissive=False reproduces the every-triangle-splits behavior."""
+    sub = subdivide_scene(cornell_cpu, 500, keep_emissive=False)
+    assert sub.num_tris == cornell_cpu.num_tris * 4 ** int(
+        np.ceil(np.log(500 / cornell_cpu.num_tris) / np.log(4))
+    )
+    assert sub.emissive_tris.size == cornell_cpu.emissive_tris.size * (
+        sub.num_tris // cornell_cpu.num_tris
+    )
     np.testing.assert_allclose(
         sub.areas()[sub.emissive_tris].sum(),
         cornell_cpu.areas()[cornell_cpu.emissive_tris].sum(), rtol=1e-5,

@@ -29,12 +29,17 @@ def _split4(a0, a1, a2):
     return n0, n1, n2
 
 
-def subdivide_scene(scene: CpuScene, target_tris: int) -> CpuScene:
+def subdivide_scene(
+    scene: CpuScene, target_tris: int, keep_emissive: bool = True
+) -> CpuScene:
     """Subdivide until the triangle count reaches ``target_tris``.
 
-    Whole rounds of 1->4 splits (every triangle splits each round), so the
-    emissive-triangle set stays well-defined: each emissive triangle maps
-    to its 4 children. Returns a new CpuScene (input untouched).
+    Whole rounds of 1->4 splits (every triangle splits each round). With
+    ``keep_emissive`` (default) the emissive triangles are left unsplit and
+    moved to the tail of the triangle list: the light set stays bit-identical
+    to the input scene's, so NEE/alias-table sampling consumes the same RNG
+    stream and a subdivided scene renders the *same* 1-spp image, not merely
+    the same expectation. Returns a new CpuScene (input untouched).
     """
     v0, v1, v2 = scene.v0, scene.v1, scene.v2
     n0, n1, n2 = scene.n0, scene.n1, scene.n2
@@ -43,15 +48,50 @@ def subdivide_scene(scene: CpuScene, target_tris: int) -> CpuScene:
     inst_id = scene.inst_id
     emissive = scene.emissive_tris
 
-    while v0.shape[0] < target_tris:
+    held = None
+    if keep_emissive and emissive.size:
+        is_em = np.zeros(v0.shape[0], bool)
+        is_em[emissive] = True
+        # order within each partition is preserved, so the emissive list keeps
+        # its original relative order (alias-table entries line up 1:1)
+        held = tuple(
+            a[is_em]
+            for a in (v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat_id, inst_id)
+        )
+        keep = ~is_em
+        v0, v1, v2 = v0[keep], v1[keep], v2[keep]
+        n0, n1, n2 = n0[keep], n1[keep], n2[keep]
+        uv0, uv1, uv2 = uv0[keep], uv1[keep], uv2[keep]
+        mat_id, inst_id = mat_id[keep], inst_id[keep]
+        emissive = None  # reattached at the tail below
+
+    n_held = 0 if held is None else held[0].shape[0]
+    while v0.shape[0] + n_held < target_tris and v0.shape[0] > 0:
         t = v0.shape[0]
         v0, v1, v2 = _split4(v0, v1, v2)
         n0, n1, n2 = _split4(n0, n1, n2)
         uv0, uv1, uv2 = _split4(uv0, uv1, uv2)
         mat_id = np.tile(mat_id, 4)
         inst_id = np.tile(inst_id, 4)
-        # child k of triangle i lands at k*t + i
-        emissive = np.concatenate([emissive + k * t for k in range(4)])
+        if emissive is not None:
+            # child k of triangle i lands at k*t + i
+            emissive = np.concatenate([emissive + k * t for k in range(4)])
+
+    if held is not None:
+        hv0, hv1, hv2, hn0, hn1, hn2, huv0, huv1, huv2, hmat, hinst = held
+        n_sub = v0.shape[0]
+        v0 = np.concatenate([v0, hv0])
+        v1 = np.concatenate([v1, hv1])
+        v2 = np.concatenate([v2, hv2])
+        n0 = np.concatenate([n0, hn0])
+        n1 = np.concatenate([n1, hn1])
+        n2 = np.concatenate([n2, hn2])
+        uv0 = np.concatenate([uv0, huv0])
+        uv1 = np.concatenate([uv1, huv1])
+        uv2 = np.concatenate([uv2, huv2])
+        mat_id = np.concatenate([mat_id, hmat])
+        inst_id = np.concatenate([inst_id, hinst])
+        emissive = n_sub + np.arange(n_held, dtype=np.int64)
 
     # renormalize interpolated shading normals
     def _norm(n):
