@@ -151,6 +151,27 @@ def test_spatial_and_temporal_reuse(floor_scene, sky):
     assert abs(out1 - out0) / max(out0, 1e-9) < 0.35
 
 
+def test_spatial_pairwise_unbiased(floor_scene, sky):
+    """Pairwise-MIS spatial reuse keeps E[shade] on the quadrature value
+    (wrong MIS denominators shift the mean even on a uniform scene, since
+    the estimator must self-normalize over neighbor strategies)."""
+    gb, cam = _floor_gbuffer(floor_scene)
+    cfg = SD.SkyDIConfig(
+        temporal=False, spatial_iterations=1, spatial_mis="pairwise",
+        spatial_neighbors=3,
+    )
+    acc = None
+    frames = 20
+    for i in range(frames):
+        res = SD.initial_candidates(gb, sky, 2000 + i, cfg)
+        res = SD.spatial_reuse(res, gb, 16, 16, 3000 + i, cfg)
+        out = np.asarray(SD.shade(floor_scene, res, gb))
+        acc = out if acc is None else acc + out
+    got = (acc / frames).mean(axis=1)
+    exp = _quadrature(sky, np.array([0.6, 0.5, 0.4]))
+    np.testing.assert_allclose(got, exp, rtol=0.12)
+
+
 def test_skydi_frame_end_to_end(cornell_dev):
     """restir_gi + skydi on the (closed) Cornell box: runs, finite, and the
     sky adds only background pixels (the box blocks the dome)."""

@@ -385,10 +385,19 @@ def _bounce_kernel(
         ns = v3.where(v3.dot(ns, ng) < 0.0, -ns, ns)
         pos = o + d * t_hit
         ior = jnp.maximum(at[A.IOR], 1.01)
+        rough = at[A.ROUGH]
+        if cfg.path_regularization:
+            # BSDF.hlsli ShadingData::Regularize at secondary vertices
+            alpha = rough * rough
+            alpha_r = jnp.where(
+                alpha < 0.25, jnp.clip(2.0 * alpha, 0.1, 0.25), alpha
+            )
+            reg_gate = (bounce >= 1).astype(jnp.float32)
+            rough = reg_gate * jnp.sqrt(alpha_r) + (1.0 - reg_gate) * rough
         mat = S.MatSoA(
             base=v3.from_rows(at, A.BASE),
             metallic=at[A.METAL],
-            roughness=at[A.ROUGH],
+            roughness=rough,
             ior=ior,
             # None compiles the transmission/coat lobes out
             transmission=at[A.TRANS] if has_transmission else None,
@@ -410,11 +419,12 @@ def _bounce_kernel(
 
         # -- NEE against the tile's presampled light set
         if cfg.nee and has_lights:
-            set_idx = jax.lax.rem(i + bounce * 13, NS)
-            lset = lset_ref[set_idx]  # [LSET_ROWS, PS]
-            p = jnp.minimum((u1 * PS).astype(jnp.int32), PS - 1)
+            n_sets, _, ps = lset_ref.shape
+            set_idx = jax.lax.rem(i + bounce * 13, n_sets)
+            lset = lset_ref[set_idx]  # [LSET_ROWS, ps]
+            p = jnp.minimum((u1 * ps).astype(jnp.int32), ps - 1)
             onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (PS, rt), 0) == p[None, :]
+                jax.lax.broadcasted_iota(jnp.int32, (ps, rt), 0) == p[None, :]
             ).astype(jnp.float32)
             srow = jax.lax.dot_general(
                 lset, onehot, (((1,), (0,)), ((), ())),
@@ -879,9 +889,17 @@ def _bounce_shade_kernel(
     pos = V3(sf[0], sf[1], sf[2])
     ns = V3(sf[3], sf[4], sf[5])
     ng = V3(sf[6], sf[7], sf[8])
+    rough = sf[13]
+    if cfg.path_regularization:
+        alpha = rough * rough
+        alpha_r = jnp.where(
+            alpha < 0.25, jnp.clip(2.0 * alpha, 0.1, 0.25), alpha
+        )
+        reg_gate = (bounce >= 1).astype(jnp.float32)
+        rough = reg_gate * jnp.sqrt(alpha_r) + (1.0 - reg_gate) * rough
     mat = S.MatSoA(
         base=V3(sf[9], sf[10], sf[11]),
-        metallic=sf[12], roughness=sf[13], ior=sf[14],
+        metallic=sf[12], roughness=rough, ior=sf[14],
         transmission=sf[15] if has_transmission else None,
         eta=sf[16] if has_transmission else None,
         coat=sf[17] if has_coat else None,
@@ -894,11 +912,12 @@ def _bounce_shade_kernel(
     u1, u5, u6, u7, u8 = u[0], u[1], u[2], u[3], u[4]
 
     if cfg.nee and has_lights:
-        set_idx = jax.lax.rem(i + bounce * 13, NS)
+        n_sets, _, ps = lset_ref.shape
+        set_idx = jax.lax.rem(i + bounce * 13, n_sets)
         lset = lset_ref[set_idx]
-        p = jnp.minimum((u1 * PS).astype(jnp.int32), PS - 1)
+        p = jnp.minimum((u1 * ps).astype(jnp.int32), ps - 1)
         onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (PS, rt), 0) == p[None, :]
+            jax.lax.broadcasted_iota(jnp.int32, (ps, rt), 0) == p[None, :]
         ).astype(jnp.float32)
         srow = jax.lax.dot_general(
             lset, onehot, (((1,), (0,)), ((), ())),
@@ -1123,12 +1142,17 @@ def bounce_step(
     )(scal, state, woop3, attrsT, light_sets, u)
 
 
-def build_light_sets(scene, seed: jnp.ndarray):
-    """Presampled emissive sets [NS, LSET_ROWS, PS] (PreLighting analog)."""
+def build_light_sets(scene, seed: jnp.ndarray, ns: int = NS, ps: int = PS):
+    """Presampled emissive sets [ns, LSET_ROWS, ps] (PreLighting analog).
+
+    Defaults are the VMEM-sized 64x128; the reference's scale is 128 sets
+    x 512 samples (DefaultRendererImpl.h:37-38), available via
+    PTConfig.light_ns/light_ps -- consumers derive sizes from the array
+    shape, so any (ns, ps) compiles."""
     from ..ops.lights import sample_emissive
     from ..core.rng import uniform4
 
-    n = NS * PS
+    n = ns * ps
     pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 0, seed, salt=0xBEEF)
     ls = sample_emissive(scene, u)
@@ -1138,14 +1162,17 @@ def build_light_sets(scene, seed: jnp.ndarray):
     rows = rows.at[6:9].set(ls.le.T)
     rows = rows.at[9].set(ls.pdf_area)
     rows = rows.at[10].set(ls.two_sided.astype(jnp.float32))
-    return rows.reshape(LSET_ROWS, NS, PS).transpose(1, 0, 2)
+    return rows.reshape(LSET_ROWS, ns, ps).transpose(1, 0, 2)
 
 
-def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, rows_out=False, textures=None, spread_angle=0.0):
+def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, rows_out=False, textures=None, spread_angle=0.0, smb_kill=None):
     """Full path trace via the bounce megakernel. Returns [N, 3] radiance.
 
     ``textures``: optional scene texture bundle -- base color is fetched at
-    every path vertex with ray-cone mips (forces the split bounce)."""
+    every path vertex with ray-cone mips (forces the split bounce).
+    ``smb_kill``: optional [N] bool -- stochastic multi-bounce: these paths
+    stop extending after the trace's first hit vertex (applied between
+    bounce steps in XLA, so it works for fused and split alike)."""
     n = o.shape[0]
     n_pad = ((n + rt - 1) // rt) * rt
     has_lights = scene.num_emissives > 0
@@ -1164,9 +1191,9 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, r
     woop3 = scene.woop.reshape(4, 3, -1)
     attrsT = scene.tri_attrs.T
     if has_lights and cfg.nee:
-        lsets = build_light_sets(scene, seed)
+        lsets = build_light_sets(scene, seed, cfg.light_ns, cfg.light_ps)
     else:
-        lsets = jnp.zeros((NS, LSET_ROWS, PS))
+        lsets = jnp.zeros((cfg.light_ns, LSET_ROWS, cfg.light_ps))
 
     import os as _os
 
@@ -1192,6 +1219,11 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, r
                 has_coat=scene.has_coat,
                 rt=rt, interpret=interpret, pix0=pix0,
             )
+        if smb_kill is not None and bounce == 0:
+            keep = 1.0 - jnp.pad(
+                smb_kill.astype(jnp.float32), (0, n_pad - n)
+            )
+            state = state.at[13].multiply(keep)
     if rows_out:  # radiance rows are the kernel-native layout
         return state[9:12, :n]
     return state[9:12, :n].T
@@ -1199,7 +1231,7 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, r
 
 def trace_with_first_hit(
     scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0,
-    textures=None, spread_angle=0.0,
+    textures=None, spread_angle=0.0, smb_kill=None,
 ):
     """Path trace that ALSO returns the first-hit surface.
 
@@ -1228,9 +1260,9 @@ def trace_with_first_hit(
     woop3 = scene.woop.reshape(4, 3, -1)
     attrsT = scene.tri_attrs.T
     if has_lights and cfg.nee:
-        lsets = build_light_sets(scene, seed)
+        lsets = build_light_sets(scene, seed, cfg.light_ns, cfg.light_ps)
     else:
-        lsets = jnp.zeros((NS, LSET_ROWS, PS))
+        lsets = jnp.zeros((cfg.light_ns, LSET_ROWS, cfg.light_ps))
 
     # bounce 0 split: trace kernel emits the surface
     tp = woop3.shape[2]
@@ -1303,6 +1335,11 @@ def trace_with_first_hit(
             input_output_aliases={1: 0},
             interpret=interpret,
         )(scal, state, surf, woop3, lsets, u)
+        if smb_kill is not None:
+            keep = 1.0 - jnp.pad(
+                smb_kill.astype(jnp.float32), (0, n_pad - n)
+            )
+            state = state.at[13].multiply(keep)
         for bounce in range(1, cfg.max_bounces + 1):
             state = bounce_step(
                 state, woop3, attrsT, lsets, bounce, seed, cfg,

@@ -62,6 +62,28 @@ class PTConfig:
     # ray toward the sun per bounce (delta-light NEE, the SkyDI-lite path).
     sky: object = None  # ops.sky.SkyParams | None
     sun_nee: bool = True
+    # Presampled-set scale for the fused megakernel's NEE (PreLighting's
+    # PresampleEmissives). Defaults fit VMEM comfortably; the reference's
+    # scale is 128 sets x 512 samples (DefaultRendererImpl.h:37-38).
+    light_ns: int = 64
+    light_ps: int = 128
+    # Path options (reference IndirectLighting.h DefaultParamVals:231-244).
+    # stochastic_multi_bounce: with probability 1/2 a path stops extending
+    # after its first indirect vertex (uncompensated, like the reference's
+    # globals.maxNumBounces override -- inside ReSTIR the trace only defines
+    # the resampling target p-hat, so this trades target quality for speed,
+    # not unbiasedness of the outer estimator). Applied only where the
+    # primary surface has roughness >= 0.1 (the reference also escapes via
+    # CameraStatic; that toggle would force a re-jit per camera state here).
+    stochastic_multi_bounce: bool = False
+    # path_regularization: clamp GGX alpha at every vertex past the first
+    # (BSDF.hlsli ShadingData::Regularize, alpha < 0.25 ->
+    # clamp(2*alpha, 0.1, 0.25)); kills long-tail fireflies from
+    # near-specular chains at the cost of slight over-blur. The reference's
+    # anyGlossyBounces gate is commented out at every call site
+    # (ReSTIR_PT_PathTrace.hlsl:258, Shift.hlsli:427), so the plain
+    # bounce>=1 gate here is the live behavior, not a simplification.
+    path_regularization: bool = False
 
 
 def _surface_from(o, d, sh, has_coat=False):
@@ -109,7 +131,7 @@ def megakernel_eligible(scene) -> bool:
     )
 
 
-def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_out=False, textures=None, spread_angle=0.0):
+def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_out=False, textures=None, spread_angle=0.0, smb_kill=None):
     """Path-trace radiance for rays (o, d) [N,3]. Returns [N,3] linear HDR.
 
     On TPU this dispatches to the fused bounce megakernel
@@ -127,17 +149,23 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_ou
         return trace_megakernel(
             scene, o, d, R.seed_from_key(key), cfg, rt=rt, pix0=pix0,
             rows_out=rows_out, textures=textures, spread_angle=spread_angle,
+            smb_kill=smb_kill,
         )
     out = trace_reference(
-        scene, o, d, key, cfg, pix0=pix0, textures=textures,
+        scene, o, d, key, cfg, pix0=pix0, textures=textures, smb_kill=smb_kill,
         spread_angle=spread_angle,
     )
     return out.T if rows_out else out
 
 
 def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
-                    textures=None, spread_angle=0.0):
-    """XLA-staged wavefront path tracer (oracle / large-scene fallback)."""
+                    textures=None, spread_angle=0.0, smb_kill=None):
+    """XLA-staged wavefront path tracer (oracle / large-scene fallback).
+
+    ``smb_kill``: optional [N] bool -- paths to stop extending after the
+    trace's first hit vertex (stochastic multi-bounce, decided by the
+    caller from the primary surface; see PTConfig.stochastic_multi_bounce).
+    """
     n = o.shape[0]
     seed = R.seed_from_key(key)
     cone_w = jnp.zeros((n,))  # accumulated ray-cone width (texturing)
@@ -147,13 +175,19 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
     alive = jnp.ones((n,), bool)
     prev_pdf = jnp.zeros((n,))  # BSDF pdf of the ray that got us here (SA)
     spec_bounce = jnp.ones((n,), bool)  # primary rays count as "specular"
-
     has_lights = scene.num_emissives > 0
 
     for bounce in range(cfg.max_bounces + 1):
         sh = intersect_closest_shaded(scene, o, d, t_min=cfg.t_min)
         found = sh.valid & alive
         pos, ng, ns, uv, front, mat, ng_raw = _surface_from(o, d, sh, scene.has_coat)
+        if cfg.path_regularization and bounce > 0:
+            # BSDF.hlsli ShadingData::Regularize at secondary vertices
+            alpha = mat.roughness * mat.roughness
+            alpha_r = jnp.where(
+                alpha < 0.25, jnp.clip(2.0 * alpha, 0.1, 0.25), alpha
+            )
+            mat = mat._replace(roughness=jnp.sqrt(alpha_r))
         if textures:
             # secondary-bounce texturing (RT.hlsli per-vertex fetches)
             from ..scene.textures import base_color_at
@@ -284,6 +318,12 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
         throughput = throughput * weight
         prev_pdf = pdf
         spec_bounce = jnp.zeros((n,), bool)  # no perfectly-specular lobes yet
+        if smb_kill is not None and bounce == 0:
+            # stochastic multi-bounce: full shading at the trace's first
+            # vertex, no extension past it (the reference breaks after li
+            # accumulation, PathTracing.hlsli:51 "remaining code won't
+            # affect li"; decision made by the GI pass, Resampling.hlsli:545)
+            alive = alive & ~smb_kill
 
         # -- Russian roulette (reference: RussianRoulette default on)
         if bounce >= cfg.rr_start:

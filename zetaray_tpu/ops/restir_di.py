@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import vec3 as v3
 from ..core.vec3 import V3
 from ..core.rows import stack_rows
-from ..accel.megakernel import G, LSET_ROWS, NS, PS, _occluded_soa
+from ..accel.megakernel import G, LSET_ROWS, _occluded_soa
 from . import shading_soa as S
 
 R_ROWS = 16
@@ -158,7 +158,8 @@ def _ris_kernel(scal_ref, gb_ref, lset_ref, u_ref, out_ref, srow_scr, *, rt, m0,
     # per-candidate fori whose 16 tiny HIGHEST-precision matmuls were
     # MXU-latency-bound (~2.8 ms per candidate).
     del m0  # the whole set is the candidate pool
-    set_idx = jax.lax.rem(gi * 31, NS)
+    n_sets, _, ps = lset_ref.shape
+    set_idx = jax.lax.rem(gi * 31, n_sets)
     srow_scr[:] = lset_ref[set_idx]
     lset = srow_scr[:]
 
@@ -198,22 +199,22 @@ def _ris_kernel(scal_ref, gb_ref, lset_ref, u_ref, out_ref, srow_scr, *, rt, m0,
 
     # prefix sum over the entry axis as one lower-triangular-ones matmul
     # (cumsum has no Pallas TPU lowering)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (PS, PS), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (PS, PS), 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (ps, ps), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (ps, ps), 1)
     tril = (iota_r >= iota_c).astype(jnp.float32)
     cum = jax.lax.dot_general(
         tril, w_all, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [PS, rt]
-    w_sum = cum[PS - 1]
+    )  # [ps, rt]
+    w_sum = cum[ps - 1]
     # selection uniform precomputed in XLA (see megakernel.bounce_uniforms:
     # in-kernel u32 hashing is the slow path on Mosaic)
     u = u_ref[0]
     target = u * w_sum
-    iota_ps = jax.lax.broadcasted_iota(jnp.int32, (PS, rt), 0)
+    iota_ps = jax.lax.broadcasted_iota(jnp.int32, (ps, rt), 0)
     sel = cum > target[None, :]
-    idx = jnp.min(jnp.where(sel, iota_ps, PS - 1), axis=0)
+    idx = jnp.min(jnp.where(sel, iota_ps, ps - 1), axis=0)
     onehot = (iota_ps == idx[None, :]).astype(jnp.float32)
     # one-hot fetch of the winner (HIGH = bf16x3: exact enough for a
     # single-term selection sum, 2x fewer MXU passes than HIGHEST)
@@ -228,7 +229,7 @@ def _ris_kernel(scal_ref, gb_ref, lset_ref, u_ref, out_ref, srow_scr, *, rt, m0,
     y_two_f = srow[10]
     y_phat = jnp.sum(jnp.where(onehot > 0.0, phat_all, 0.0), axis=0)
 
-    m_count = jnp.full((rt,), float(PS))
+    m_count = jnp.full((rt,), float(ps))
     big_w = w_sum / jnp.maximum(m_count * y_phat, 1e-12)
     big_w = jnp.where(y_phat > 0.0, big_w, 0.0)
 
@@ -285,7 +286,9 @@ def initial_candidates(
         ],
         out_specs=pl.BlockSpec((R_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R_ROWS, n_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((LSET_ROWS, PS), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((LSET_ROWS, light_sets.shape[2]), jnp.float32)
+        ],
         # the batched candidate matmul needs > the default 16M scoped VMEM;
         # v5e has 128M physical
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -553,7 +556,9 @@ def temporal_reuse(
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 0, seed, salt=0x7E17)[0]
-    m_cap = cfg.m_max_factor * PS  # initial reservoirs carry M = PS (full-set RIS)
+    # initial reservoirs carry M = set size (full-set RIS), so the clamp
+    # scale comes from the reservoir's own M row (set size is a config axis)
+    m_cap = cfg.m_max_factor * jnp.maximum(res[10], 1.0)
     surf = (pos, ns, mat, frame, wo_l, valid)
     return _merge(res, prev_r, surf, u, m_cap=m_cap, full=cfg.full_target)
 

@@ -45,6 +45,12 @@ class ReSTIRGIConfig:
     depth_tolerance: float = 0.1
     normal_tolerance: float = 0.9
     packed_reuse: bool = True  # see restir_di.ReSTIRConfig.packed_reuse
+    # Boiling suppression (Resampling.hlsli:530-536, BOILING_SUPPRESSION):
+    # after temporal reuse, a reservoir whose w_sum dwarfs its
+    # neighborhood's gets M reset to 1 so later merges dilute it. The
+    # reference defaults this ON; here it defaults OFF to keep pinned
+    # goldens stable -- flip per-config.
+    boiling_suppression: bool = False
 
 
 def _surf(gbuf, trans: bool = False, coat: bool = False):
@@ -125,6 +131,13 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
     o2 = v3.aos3((pos + ng * _EPS_RAY))
     d2 = v3.aos3(wi)
 
+    smb_kill = None
+    if pt_cfg.stochastic_multi_bounce and pt_cfg.max_bounces > 1:
+        # Resampling.hlsli:545-550: half the paths stop at x2 (rough
+        # primaries only; specular surfaces keep the full bounce budget)
+        u_smb = uniform4(pix, 97, seed, salt=0x53B0)[0]
+        smb_kill = (u_smb < 0.5) & (mat.roughness >= 0.1)
+
     # L2: radiance arriving from direction d2 (excludes x2's own emission,
     # which the DI pass owns as "emissive at bounce 1")
     l2_cfg = replace(
@@ -144,7 +157,7 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
 
         l2_rows, surf2, alive2 = trace_with_first_hit(
             scene, o2, d2, seed_from_key(key), l2_cfg, pix0=pix0, rt=rt,
-            textures=textures, spread_angle=spread_angle,
+            textures=textures, spread_angle=spread_angle, smb_kill=smb_kill,
         )
         l2 = V3(l2_rows[0], l2_rows[1], l2_rows[2])
         x2_hit = alive2 > 0.5
@@ -162,7 +175,7 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
         n2 = v3.where(flip, -n2_raw, n2_raw)
         l2_rgb = trace(
             scene, o2, d2, key, l2_cfg, pix0=pix0, rt=rt, textures=textures,
-            spread_angle=spread_angle,
+            spread_angle=spread_angle, smb_kill=smb_kill,
         )
         l2 = V3(*l2_rgb.T)
 
@@ -218,6 +231,24 @@ def _merge(res_a, res_b, surf, u, m_cap=None, full=True):
     }, like=out)
 
 
+def suppress_outlier_reservoirs(res, group: int = 32, w_sum_row: int = 9,
+                                m_row: int = 10):
+    """Boiling suppression (Resampling.hlsli SuppressOutlierReservoirs):
+    reservoirs whose w_sum exceeds 25x the mean of the rest of their
+    neighborhood get M reset to 1 (W and w_sum untouched -- this frame's
+    shade is unchanged; the outlier just loses its mass in later merges).
+    The reference's neighborhood is the 32-lane wave; here it is ``group``
+    consecutive pixels of the row-major image."""
+    n = res.shape[1]
+    w = res[w_sum_row]
+    pad = (-n) % group
+    g = jnp.pad(w, (0, pad)).reshape(-1, group)
+    avg_others = (g.sum(axis=1, keepdims=True) - g) / (group - 1)
+    outlier = (g > 25.0 * avg_others).reshape(-1)[:n]
+    m_new = jnp.where(outlier, jnp.minimum(res[m_row], 1.0), res[m_row])
+    return stack_rows(res.shape[0], {m_row: m_new}, like=res)
+
+
 def temporal_reuse(
     res, prev_res, prev_gbuf, gbuf, prev_cam, width, height, seed, cfg,
     trans=False, coat=False, pix=None, prev_row0=0, prev_rows=None,
@@ -263,7 +294,10 @@ def temporal_reuse(
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 102, seed, salt=0x6E31)[0]
-    return _merge(res, prev_r, surf, u, m_cap=cfg.m_max, full=cfg.full_target)
+    out = _merge(res, prev_r, surf, u, m_cap=cfg.m_max, full=cfg.full_target)
+    if cfg.boiling_suppression:
+        out = suppress_outlier_reservoirs(out)
+    return out
 
 
 def spatial_step(

@@ -123,6 +123,9 @@ class ReSTIRPTConfig:
     full_target: bool = False  # see restir_di.ReSTIRConfig.full_target
     sort_suffix: bool = True  # reorder suffix rays by (material, octant)
     packed_reuse: bool = True  # see restir_di.ReSTIRConfig.packed_reuse
+    # see restir_gi.ReSTIRGIConfig.boiling_suppression (the reference also
+    # applies it in the ReSTIR PT temporal chain, ReSTIR_PT_Reconnect_StC)
+    boiling_suppression: bool = False
 
 
 def _surf(gbuf, trans=False, coat=False):
@@ -733,8 +736,15 @@ def temporal_reuse(
     if pix is None:
         pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 203, seed, salt=0x4A31)[0]
-    return _merge(res, prev_r, surf, u, cfg, m_cap=cfg.m_max, scene=scene,
-                  trans=trans, coat=coat)
+    out = _merge(res, prev_r, surf, u, cfg, m_cap=cfg.m_max, scene=scene,
+                 trans=trans, coat=coat)
+    if cfg.boiling_suppression:
+        from .restir_gi import suppress_outlier_reservoirs
+
+        out = suppress_outlier_reservoirs(
+            out, w_sum_row=PR.WSUM, m_row=PR.M
+        )
+    return out
 
 
 def spatial_step(

@@ -47,7 +47,10 @@ class SkyDIConfig:
     normal_tolerance: float = 0.9
     # number of (sun, cosine, bsdf) candidate triplets per pixel
     rounds: int = 1
-    spatial_neighbors = 3  # compat with _geom_ok-style helpers
+    # "biased" = M-capped naive combine; "pairwise" = pairwise MIS
+    # (the reference applies PairwiseMIS.hlsli in SkyDI_Spatial.hlsl too)
+    spatial_mis: str = "biased"
+    spatial_neighbors: int = 3  # per pairwise pass (reference default)
 
 
 def _sun_basis(sky):
@@ -246,12 +249,127 @@ def spatial_step(res, gbuf, width, height, seed, it, cfg: SkyDIConfig,
     return _finalize(out, res[10] + m_b)
 
 
+def spatial_step_pairwise(res, gbuf, width, height, seed, it,
+                          cfg: SkyDIConfig, trans=False, coat=False,
+                          pix=None, res_src=None, gbuf_src=None,
+                          src_row0=0, band=None):
+    """Pairwise-MIS spatial pass for directional reservoirs (reference
+    SkyDI_Spatial.hlsl via the shared PairwiseMIS.hlsli).
+
+    Directions are translation-invariant, so the shift between pixels is
+    the identity with Jacobian 1: re-rating a neighbor's sample at the
+    canonical surface is just re-evaluating the BSDF*cos target with the
+    cached sky radiance. Structure mirrors
+    ops.restir_di.spatial_step_pairwise.
+    """
+    from .restir_di import _neighbor_pick, _take_multi, _geom_ok
+
+    n = res.shape[1]
+    pos, ns, _ng, wo, mat, valid = _surface_from_gbuf(gbuf, trans, coat)
+    frame = S.make_frame(ns)
+    wo_l = frame.to_local(wo)
+    if res_src is None:
+        res_src = res
+    if gbuf_src is None:
+        gbuf_src = gbuf
+    if pix is None:
+        pix = jnp.arange(n, dtype=jnp.int32)
+    k = cfg.spatial_neighbors
+    if band is not None:
+        band = (band[0], max(band[1], cfg.spatial_radius))
+
+    nbs = []
+    k_eff = jnp.zeros((n,))
+    for i in range(k):
+        nidx, u_stream = _neighbor_pick(
+            pix, width, height, seed, it * 16 + i + 64, cfg, src_row0
+        )
+        (nb, nb_g), okb = _take_multi(
+            [res_src, gbuf_src], nidx, band, width, height, src_row0
+        )
+        ok = _geom_ok(gbuf, nb_g, ns, cfg) & valid
+        if okb is not None:
+            ok = ok & okb
+        k_eff = k_eff + ok.astype(jnp.float32)
+        nbs.append((nb, nb_g, ok, u_stream))
+    k_div = jnp.maximum(k_eff, 1.0)
+
+    phat_c_yc = res[13]
+    w_c_cap = res[11]
+    m_c_count = res[10]
+    m_c = jnp.ones((n,))
+
+    out = res
+    w_sum_s = jnp.zeros((n,))
+    m_s = m_c_count
+    phat_sel = phat_c_yc
+
+    yc_wi = v3.from_rows(res, 0)
+    yc_le = v3.from_rows(res, 3)
+
+    for nb, nb_g, ok, u_stream in nbs:
+        wi_i = v3.from_rows(nb, 0)
+        le_i = v3.from_rows(nb, 3)
+        m_i_count = nb[10]
+        # p_c(y_i): neighbor's direction re-rated at the canonical surface
+        phat_c_yi = _phat_dir(wi_i, le_i, ns, mat, frame, wo_l)
+        phat_i_yi = nb[13]
+        num_i = m_i_count * phat_i_yi
+        den_i = num_i + (m_c_count / k_div) * phat_c_yi
+        m_i = jnp.where(
+            ok & (den_i > 0.0), num_i / jnp.maximum(den_i, 1e-12), 0.0
+        )
+        w_i = m_i * phat_c_yi * nb[11]
+
+        w_sum_s = w_sum_s + w_i
+        take = u_stream * jnp.maximum(w_sum_s, 1e-30) < w_i
+        out = jnp.where(take[None, :], nb, out)
+        phat_sel = jnp.where(take, phat_c_yi, phat_sel)
+
+        # p_i(y_c): the canonical direction re-rated at the neighbor surface
+        _pi, ns_i, _ngi, wo_i, mat_i, _vi = _surface_from_gbuf(
+            nb_g, trans, coat
+        )
+        frame_i = S.make_frame(ns_i)
+        phat_i_yc = _phat_dir(
+            yc_wi, yc_le, ns_i, mat_i, frame_i, frame_i.to_local(wo_i)
+        )
+        num_c = m_i_count * phat_i_yc
+        den_c = num_c + (m_c_count / k_div) * phat_c_yc
+        dm = jnp.where(
+            den_c > 0.0, 1.0 - num_c / jnp.maximum(den_c, 1e-12), 1.0
+        )
+        m_c = m_c + jnp.where(ok, dm, 0.0)
+        m_s = m_s + jnp.where(ok, m_i_count, 0.0)
+
+    # canonical stream (PairwiseMIS::End)
+    w_c = m_c * phat_c_yc * w_c_cap
+    w_sum_s = w_sum_s + w_c
+    u_end = uniform4(pix, it * 16 + 79, seed, salt=0x5A73)[0]
+    take_c = u_end * jnp.maximum(w_sum_s, 1e-30) < w_c
+    out = jnp.where(take_c[None, :], res, out)
+    phat_sel = jnp.where(take_c, phat_c_yc, phat_sel)
+
+    w_new = jnp.where(
+        phat_sel > 0.0,
+        w_sum_s / jnp.maximum(phat_sel * (1.0 + k_eff), 1e-12),
+        0.0,
+    )
+    return stack_rows(R_ROWS, {
+        9: w_sum_s, 10: m_s, 11: w_new, 13: phat_sel,
+    }, like=out)
+
+
 def spatial_reuse(res, gbuf, width, height, seed, cfg: SkyDIConfig,
                   trans=False, coat=False, pix=None, band=None):
+    step = (
+        spatial_step_pairwise if cfg.spatial_mis == "pairwise"
+        else spatial_step
+    )
     out = res
     for it in range(cfg.spatial_iterations):
-        out = spatial_step(out, gbuf, width, height, seed, it, cfg,
-                           trans, coat, pix, band=band)
+        out = step(out, gbuf, width, height, seed, it, cfg,
+                   trans, coat, pix, band=band)
     return out
 
 
