@@ -63,7 +63,7 @@ from ..core import packing as P
 from ..core.rows import stack_rows
 
 DI_PACKED_ROWS = 8
-PT_PACKED_ROWS = 28
+PT_PACKED_ROWS = 30
 _F16_MAX = 65504.0
 
 
@@ -135,7 +135,7 @@ def unpack_di(p, rows: int = 16):
 
 
 def pack_pt(res):
-    """[PR.ROWS, N] ReSTIR PT reservoir -> [26, N] uint32 packed rows."""
+    """[PR.ROWS, N] ReSTIR PT reservoir -> [30, N] uint32 packed rows."""
     from .restir_pt import PR
 
     def rgb8m(base3, metal):
@@ -172,11 +172,13 @@ def pack_pt(res):
         _u32(res[PR.PDFS3]),
         _h2(res[PR.TRANS], res[PR.COATW]),
         _h2(res[PR.ETA], res[PR.COATR]),
+        _h2(res[PR.TRANS3], res[PR.COATW3]),
+        _h2(res[PR.ETA3], res[PR.COATR3]),
     ], 0)
 
 
 def unpack_pt(p):
-    """[26, N] packed -> [PR.ROWS, N] f32 rows (w_sum/phat zeroed)."""
+    """[30, N] packed -> [PR.ROWS, N] f32 rows (w_sum/phat zeroed)."""
     from .restir_pt import PR
 
     n = p.shape[1]
@@ -198,6 +200,8 @@ def unpack_pt(p):
     s3z = P.f16_bits_to_f32((p[24] & jnp.uint32(0xFFFF)).astype(jnp.uint16))
     t_, cw_ = P.unpack_f16x2(p[26])
     e_, cr_ = P.unpack_f16x2(p[27])
+    t3_, cw3_ = P.unpack_f16x2(p[28])
+    e3_, cr3_ = P.unpack_f16x2(p[29])
     return stack_rows(PR.ROWS, {
         PR.X: _f32(p[0]), PR.X + 1: _f32(p[1]), PR.X + 2: _f32(p[2]),
         PR.N: nx, PR.N + 1: ny, PR.N + 2: nz,
@@ -222,4 +226,5 @@ def unpack_pt(p):
         PR.LS3: s3x, PR.LS3 + 1: s3y, PR.LS3 + 2: s3z,
         PR.PDFS3: _f32(p[25]),
         PR.TRANS: t_, PR.COATW: cw_, PR.ETA: e_, PR.COATR: cr_,
+        PR.TRANS3: t3_, PR.COATW3: cw3_, PR.ETA3: e3_, PR.COATR3: cr3_,
     }, n=n)

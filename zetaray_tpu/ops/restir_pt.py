@@ -96,7 +96,14 @@ class PR:
     ETA = 51
     COATW = 52
     COATR = 53
-    ROWS = 54
+    # x3-side transmission + coat: the replay reconnect re-evaluates the
+    # FULL BSDF at the stored second vertex too (glass/coated suffixes
+    # survive replay; ior3 is recovered from eta3's magnitude)
+    TRANS3 = 54
+    ETA3 = 55
+    COATW3 = 56
+    COATR3 = 57
+    ROWS = 58
 
 
 @dataclass(frozen=True)
@@ -500,6 +507,11 @@ def initial_samples(
     vals[PR.ETA] = rc_eta
     vals[PR.COATW] = rc_coatw
     vals[PR.COATR] = rc_coatr
+    ior3 = jnp.maximum(at3[A.IOR], 1.01)
+    vals[PR.TRANS3] = at3[A.TRANS]
+    vals[PR.ETA3] = jnp.where(front3, 1.0 / ior3, ior3)
+    vals[PR.COATW3] = at3[A.COATW]
+    vals[PR.COATR3] = at3[A.COATR]
     return stack_rows(PR.ROWS, vals, n=n)
 
 
@@ -588,10 +600,19 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig, trans=False, coat=Fal
     f2, _ = S.bsdf_eval(
         mat2, frame2.to_local(V3(-wi.x, -wi.y, -wi.z)), frame2.to_local(dir23)
     )
-    # BSDF at x3 for (in from x2', out to the stored suffix)
+    # BSDF at x3 for (in from x2', out to the stored suffix) -- full
+    # material incl. transmission/coat (ior recovered from |eta|)
+    eta3 = res_b[PR.ETA3]
+    ior3 = jnp.maximum(
+        jnp.maximum(eta3, 1.0 / jnp.maximum(eta3, 1e-3)), 1.01
+    )
     mat3 = S.MatSoA(
         base=v3.from_rows(res_b, PR.B3), metallic=res_b[PR.M3],
-        roughness=res_b[PR.R3], ior=jnp.full((n,), 1.5),
+        roughness=res_b[PR.R3], ior=ior3,
+        transmission=res_b[PR.TRANS3] if trans else None,
+        eta=eta3 if trans else None,
+        coat=res_b[PR.COATW3] if coat else None,
+        coat_roughness=res_b[PR.COATR3] if coat else None,
     )
     frame3 = S.make_frame(n3)
     f3, _ = S.bsdf_eval(

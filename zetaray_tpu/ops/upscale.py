@@ -36,6 +36,25 @@ class UpscaleConfig:
     clamp: bool = True
     sigma: float = 0.45  # Gaussian splat radius, in render-res texels
     depth_dilate: bool = True
+    # FSR2-tier internals (the reference ships these inside AMD's prebuilt
+    # lib, FSR2/FSR2.h:13-65; implemented natively here):
+    # depth clip -- disocclusion test of the reprojection against the
+    # previous frame's depth plane; failing pixels drop their history.
+    # 0 disables; value = relative depth tolerance.
+    depth_clip_tol: float = 0.1
+    # auto-reactive mask -- luminance divergence between current sample
+    # and (rectified) history raises the current-frame weight, so fast
+    # shading changes (specular, emissive flicker) do not ghost.
+    # 0 disables; value scales the reactivity -> alpha boost.
+    reactive_scale: float = 0.5
+    # luminance locks -- display pixels whose current sample falls outside
+    # the render-res neighborhood range are thin features the clamp would
+    # erase; they acquire a decaying lock that relaxes the clamp.
+    locks: bool = True
+    lock_decay: float = 0.1  # per-frame lock strength decay
+    # RCAS sharpening of the upscaled output (FidelityFX RCAS algorithm);
+    # 0 = off, else [0, 1] sharpening strength (applied by render.frame).
+    rcas_sharpness: float = 0.0
 
 
 def _bilinear_p(img, px, py):
@@ -63,6 +82,7 @@ def taau_resolve(
     curr_lr, history, pos_lr, valid_lr, depth_lr, prev_cam, jitter,
     out_w, out_h, cfg: UpscaleConfig = UpscaleConfig(),
     out_row0=0, out_rows=None, lr_row0=0, hr_full=None, hist_row0=0,
+    prev_depth_lr=None, lock=None,
 ):
     """One temporal-upscale step.
 
@@ -79,6 +99,12 @@ def taau_resolve(
     (``hr_full`` = full render height), and ``history`` is halo-extended
     with first row at global display row ``hist_row0``. Defaults reproduce
     the single-chip whole-image call exactly.
+
+    FSR2-tier inputs: ``prev_depth_lr`` = previous frame's render-res
+    depth plane (rows aligned with the other lr inputs) enables the depth
+    clip; ``lock`` = previous luminance-lock plane (rows aligned with
+    ``history``). Returns ``(out, new_lock)``; ``new_lock`` is None when
+    cfg.locks is off.
     """
     _, hr, wr = curr_lr.shape
     if out_rows is None:
@@ -111,8 +137,11 @@ def taau_resolve(
         _bilinear_p(valid_lr[None].astype(jnp.float32), spx, spy_l)[0] > 0.99
     )
 
+    zeros_lock = (
+        jnp.zeros((out_rows, out_w)) if cfg.locks else None
+    )
     if history is None:
-        return cur.reshape(3, out_rows, out_w)
+        return cur.reshape(3, out_rows, out_w), zeros_lock
 
     # reprojection: per-lr-texel motion (display-space offset between the
     # texel's jittered sample coordinate and its reprojected history
@@ -154,14 +183,103 @@ def taau_resolve(
         jnp.clip(hpy_l, 0.0, hist_rows - 1.0),
     )
 
-    if cfg.clamp:
+    # -- depth clip (FSR2 disocclusion): the reprojected sample position
+    # must agree with the PREVIOUS frame's depth there, else the history
+    # belongs to a different surface and is dropped
+    disocc = jnp.zeros(px.shape, bool)
+    if prev_depth_lr is not None and cfg.depth_clip_tol > 0.0:
+        pos_s = _bilinear_p(pos_lr.reshape(3, hr, wr), spx, spy_l)  # [3, N]
+        eye = jnp.asarray(prev_cam.eye, jnp.float32)
+        rel = pos_s - eye[:, None]
+        depth_est = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, 0), 1e-12))
+        # reprojected display coords -> render-res texel coords
+        rpx = (hpx + 0.5) * sx - 0.5
+        rpy = (hpy + 0.5) * sy - 0.5
+        prev_d = _bilinear_p(prev_depth_lr[None], rpx, rpy - lr_row0)[0]
+        disocc = (
+            jnp.abs(prev_d - depth_est) > cfg.depth_clip_tol * depth_est
+        )
+
+    # -- luminance locks: sample the previous lock plane at the
+    # reprojected position (locks follow their feature)
+    lock_prev = jnp.zeros(px.shape)
+    if cfg.locks and lock is not None:
+        lock_prev = _bilinear_p(
+            lock[None],
+            jnp.clip(hpx, 0.0, out_w - 1.0),
+            jnp.clip(hpy_l, 0.0, hist_rows - 1.0),
+        )[0]
+        lock_prev = jnp.where(inside & ~disocc, lock_prev, 0.0)
+
+    lo = hi = None
+    if cfg.clamp or cfg.locks:
         lo_lr, hi_lr = _neighborhood_minmax_p(curr_lr)
         lo = _bilinear_p(lo_lr, spx, spy_l)
         hi = _bilinear_p(hi_lr, spx, spy_l)
-        hist = jnp.clip(hist, lo, hi)
+    if cfg.clamp:
+        hist_cl = jnp.clip(hist, lo, hi)
+        # a locked pixel is a protected thin feature: relax the clamp
+        hist = hist_cl + (hist - hist_cl) * lock_prev[None, :]
 
-    ok = inside & valid_s
-    alpha = jnp.clip(cfg.blend * (0.25 + 0.75 * conf), 0.02, 1.0)
+    # -- auto-reactive mask: luminance divergence raises the current
+    # frame's weight so fast shading changes do not ghost
+    react = jnp.zeros(px.shape)
+    if cfg.reactive_scale > 0.0:
+        lum_c = 0.2126 * cur[0] + 0.7152 * cur[1] + 0.0722 * cur[2]
+        lum_h = 0.2126 * hist[0] + 0.7152 * hist[1] + 0.0722 * hist[2]
+        react = jnp.abs(lum_c - lum_h) / jnp.maximum(
+            jnp.maximum(lum_c, lum_h), 1e-3
+        )
+
+    ok = inside & valid_s & ~disocc
+    alpha = jnp.clip(
+        cfg.blend * (0.25 + 0.75 * conf) + react * cfg.reactive_scale,
+        0.02, 1.0,
+    )
     blended = alpha[None, :] * cur + (1.0 - alpha[None, :]) * hist
     out = jnp.where(ok[None, :], blended, cur)
-    return out.reshape(3, out_rows, out_w)
+
+    new_lock = None
+    if cfg.locks:
+        # create locks on features the neighborhood clamp would erase:
+        # confident current samples whose luminance falls outside the
+        # render-res neighborhood range
+        lum_c = 0.2126 * cur[0] + 0.7152 * cur[1] + 0.0722 * cur[2]
+        lum_lo = 0.2126 * lo[0] + 0.7152 * lo[1] + 0.0722 * lo[2]
+        lum_hi = 0.2126 * hi[0] + 0.7152 * hi[1] + 0.0722 * hi[2]
+        feature = (lum_c > lum_hi * 1.05) | (lum_c < lum_lo * 0.95)
+        create = (feature & (conf > 0.7)).astype(jnp.float32)
+        keep = (ok & (react < 0.5)).astype(jnp.float32)
+        new_lock = jnp.clip(
+            jnp.maximum(lock_prev * (1.0 - cfg.lock_decay) * keep, create),
+            0.0, 1.0,
+        ).reshape(out_rows, out_w)
+    return out.reshape(3, out_rows, out_w), new_lock
+
+
+def rcas_p(img, sharpness: float = 0.8):
+    """Robust contrast-adaptive sharpening of a planar [3, H, W] image
+    (AMD FidelityFX RCAS, the sharpening stage FSR2 runs after its
+    upscale; algorithm from the public FidelityFX source).
+
+    Per pixel, with cross neighbors b/d/f/h (up/left/right/down) and
+    center c, the negative lobe on the neighbors is limited so no channel
+    under/overshoots: lobe = clamp(max over channels of
+    max(-hit_min, hit_max), -limit, 0) * sharpness, output =
+    (lobe * (b+d+f+h) + c) / (4*lobe + 1). Inputs are expected tonemapped
+    or exposure-scaled (RCAS assumes roughly [0, 1] signals).
+    """
+    c = img
+    b = jnp.concatenate([img[:, :1], img[:, :-1]], axis=1)
+    h = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    d = jnp.concatenate([img[:, :, :1], img[:, :, :-1]], axis=2)
+    f = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+    mn = jnp.minimum(jnp.minimum(b, d), jnp.minimum(f, h))
+    mx = jnp.maximum(jnp.maximum(b, d), jnp.maximum(f, h))
+    hit_min = jnp.minimum(mn, c) / jnp.maximum(4.0 * mx, 1e-6)
+    hit_max = (1.0 - jnp.maximum(mx, c)) / jnp.minimum(4.0 * mn - 4.0, -1e-6)
+    lobe_c = jnp.maximum(-hit_min, hit_max)
+    limit = 0.25 - 1.0 / 16.0  # FSR_RCAS_LIMIT
+    lobe = jnp.clip(jnp.max(lobe_c, axis=0), -limit, 0.0) * float(sharpness)
+    out = (lobe[None] * (b + d + f + h) + c) / (4.0 * lobe[None] + 1.0)
+    return out

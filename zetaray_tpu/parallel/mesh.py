@@ -108,6 +108,7 @@ def _sharded_restir_fn(mesh: Mesh, cfg: RenderConfig, halo: int, has_state: bool
         cfg.skydi and cfg.pt.sky is not None
         and cfg.mode in ("restir_gi", "restir_pt")
     )
+    use_lock = cfg.render_scale != 1.0 and cfg.upscale_cfg.locks
     st_spec = FrameState(
         reservoirs=res_spec,
         gi_reservoirs=res_spec,
@@ -115,6 +116,7 @@ def _sharded_restir_fn(mesh: Mesh, cfg: RenderConfig, halo: int, has_state: bool
         camera_prev=P(),  # replicated (prefix over the Camera pytree)
         history=P(None, TILE_AXIS, None),  # planar [3, H, W]
         sky_reservoirs=res_spec if use_skydi else None,
+        upscale_lock=P(TILE_AXIS, None) if use_lock else None,
     )
     img_spec = P(TILE_AXIS, None, None)
     out_specs = ({"hdr": img_spec, "ldr": img_spec}, st_spec)

@@ -118,15 +118,23 @@ class FrameState(NamedTuple):
     camera_prev: object  # Camera pytree
     history: jnp.ndarray  # [H, W, 3] TAA color history (HDR)
     sky_reservoirs: object = None  # [16, N] SkyDI direction reservoirs
+    # FSR2-tier luminance-lock plane [H, W] (ops.upscale; None unless
+    # render_scale != 1 with cfg.upscale_cfg.locks)
+    upscale_lock: object = None
 
 
-def _postprocess(hdr, cfg, axis_name=None):
-    """hdr: PLANAR [3, ...] linear radiance -> u8 sRGB, same layout."""
+def _postprocess(hdr, cfg, axis_name=None, ldr_transform=None):
+    """hdr: PLANAR [3, ...] linear radiance -> u8 sRGB, same layout.
+
+    ``ldr_transform``: optional post-tonemap hook (RCAS sharpening of the
+    upscaled output -- RCAS assumes ~[0, 1] signals, so it runs here)."""
     if cfg.auto_exposure:
         exposure = post.histogram_exposure_p(hdr, axis_name=axis_name)
     else:
         exposure = cfg.manual_exposure
     ldr = post.TONEMAPPERS_P[cfg.tonemapper](hdr * exposure)
+    if ldr_transform is not None:
+        ldr = ldr_transform(ldr)
     return post.to_u8(post.srgb_encode(ldr))
 
 
@@ -626,15 +634,25 @@ def render_frame_restir(
         pos_img = pos_prev.T.reshape(3, h_loc, w)
     else:
         pos_img = gb[G.POS : G.POS + 3].reshape(3, h_loc, w)
+    upscale_lock_new = None
     if cfg.render_scale != 1.0:
+        from ..ops.gbuffer_pack import TG
         from ..ops.upscale import taau_resolve
 
         hist = state.history if (cfg.taa and state is not None) else None
         prev_c = state.camera_prev if state is not None else camera
+        # FSR2-tier temporal inputs: previous depth plane (depth clip) and
+        # the luminance-lock plane, both gated like the history
+        prev_depth = (
+            state.gbuf[TG.DEPTH].reshape(h_loc, w)
+            if hist is not None else None
+        )
+        lock = state.upscale_lock if hist is not None else None
         if shard is None:
-            hdr = taau_resolve(
+            hdr, upscale_lock_new = taau_resolve(
                 hdr, hist, pos_img, valid_img, depth_img, prev_c,
                 camera.jitter, cfg.width, cfg.height, cfg.upscale_cfg,
+                prev_depth_lr=prev_depth, lock=lock,
             )
         else:
             # render-res stencils (bilinear/minmax/dilate) need a 2-row
@@ -644,7 +662,11 @@ def render_frame_restir(
             out_row0 = jax.lax.axis_index(axis) * out_rows
             if hist is not None:
                 hist = _hx(hist, halo, axis, n_sh, row_axis=1)
-            hdr = taau_resolve(
+            if prev_depth is not None:
+                prev_depth = _hx(prev_depth, hs, axis, n_sh)
+            if lock is not None:
+                lock = _hx(lock, halo, axis, n_sh)
+            hdr, upscale_lock_new = taau_resolve(
                 _hx(hdr, hs, axis, n_sh, row_axis=1),
                 hist,
                 _hx(pos_img, hs, axis, n_sh, row_axis=1),
@@ -654,6 +676,7 @@ def render_frame_restir(
                 cfg.upscale_cfg,
                 out_row0=out_row0, out_rows=out_rows, lr_row0=row0 - hs,
                 hr_full=h, hist_row0=out_row0 - halo,
+                prev_depth_lr=prev_depth, lock=lock,
             )
     elif cfg.taa and state is not None:
         if shard is None:
@@ -671,7 +694,17 @@ def render_frame_restir(
                 depth=depth_img, row0=row0,
             )
 
-    ldr = _postprocess(hdr, cfg, axis_name=axis)
+    rcas_tf = None
+    if cfg.render_scale != 1.0 and cfg.upscale_cfg.rcas_sharpness > 0.0:
+        from ..ops import upscale as UP
+
+        if shard is None:
+            rcas_tf = lambda l: UP.rcas_p(l, cfg.upscale_cfg.rcas_sharpness)
+        else:
+            def rcas_tf(l):  # 3x3 cross stencil: 1-row halo
+                ext = _hx(l, 1, axis, n_sh, row_axis=1)
+                return UP.rcas_p(ext, cfg.upscale_cfg.rcas_sharpness)[:, 1:-1]
+    ldr = _postprocess(hdr, cfg, axis_name=axis, ldr_transform=rcas_tf)
     # Temporal feedback stores the *pre-spatial* reservoirs (the reference
     # feeds the temporal reservoirs forward, DirectLighting.cpp); the TAA
     # history stays planar [3, h, w].
@@ -680,6 +713,7 @@ def render_frame_restir(
     new_state = FrameState(
         reservoirs=res, gi_reservoirs=gi_res, gbuf=pack_temporal(gb),
         camera_prev=camera, history=hdr, sky_reservoirs=sky_res_new,
+        upscale_lock=upscale_lock_new,
     )
     # external contract: channel-last [H, W, 3] images
     return {"hdr": hdr.transpose(1, 2, 0), "ldr": ldr.transpose(1, 2, 0)}, new_state

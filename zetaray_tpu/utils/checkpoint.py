@@ -40,6 +40,8 @@ def save_frame_state(path: str, state, params_snapshot: dict | None = None) -> N
     }
     if getattr(state, "sky_reservoirs", None) is not None:
         payload["sky_reservoirs"] = np.asarray(state.sky_reservoirs)
+    if getattr(state, "upscale_lock", None) is not None:
+        payload["upscale_lock"] = np.asarray(state.upscale_lock)
     if params_snapshot is not None:
         payload["params_json"] = np.frombuffer(
             json.dumps(params_snapshot).encode(), np.uint8
@@ -75,6 +77,9 @@ def load_frame_state(path: str):
         history=jnp.asarray(z["history"]),
         sky_reservoirs=(
             jnp.asarray(z["sky_reservoirs"]) if "sky_reservoirs" in z else None
+        ),
+        upscale_lock=(
+            jnp.asarray(z["upscale_lock"]) if "upscale_lock" in z else None
         ),
     )
     params = None
