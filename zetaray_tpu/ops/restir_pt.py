@@ -26,9 +26,12 @@ threshold) and the rc BSDF is rough enough. When the conditions FAIL, the
 replay fallback (cfg.replay; reference ReSTIR_PT_Replay) re-samples the
 first path segment at the destination with the source's RNG stream and
 reconnects at the stored second vertex x3 -- see _replay_shift for the
-Jacobian/convention bookkeeping. Fresh paths only (a taken candidate is
-re-anchored and reverts to reconnection shifts; documented difference from
-the reference, which replays arbitrary reservoir paths).
+Jacobian/convention bookkeeping. Eligible paths are those still in the
+image of their RNG stream: fresh candidates AND replay-taken (case-B)
+reservoirs, whose identity re-anchors with PDFA updated and PDFS3
+consumed, so replay chains across frames/pixels like the reference's.
+Only reconnection-taken (case-A) paths drop eligibility -- their x2 is no
+longer the stream's x2, so a replay Jacobian would be ill-defined.
 
 The reference's Sort kernels emulate shader-execution reordering with
 thread maps; on TPU the sort is GENUINE ray reordering: suffix rays are
@@ -660,6 +663,32 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig, trans=False, coat=Fal
     vals[PR.ETA] = jnp.where(front2b, 1.0 / ior2, ior2)
     vals[PR.COATW] = at[A.COATW]
     vals[PR.COATR] = at[A.COATR]
+    # The replayed path IS the stream-generated path at this pixel, so its
+    # replay identity stays valid: a later pixel may replay it AGAIN
+    # (g_q(stream) -> g_r(stream) is a primary-sample-space copy with
+    # Jacobian pdfa_r / pdfa_q). Carry the identity + frozen x3 suffix
+    # forward; PDFA re-anchors to this pixel and PDFS3 becomes 1 (the
+    # folded->area bridge was consumed by this shift -- W is henceforth
+    # computed against the area-convention target). Reconnection (case-A)
+    # takes still clear HAS3 in _merge: their x2 is no longer the stream's
+    # x2, so a replay Jacobian would be ill-defined.
+    vals[PR.SRCPIX] = res_b[PR.SRCPIX]
+    vals[PR.SRCSEED] = res_b[PR.SRCSEED]
+    vals[PR.PDFA] = jnp.where(ok, pdfa_new, 0.0)
+    vals[PR.PDFS3] = jnp.where(ok, 1.0, 0.0)
+    vals[PR.HAS3] = ok.astype(jnp.float32)
+    set3(vals, PR.X3, x3)
+    set3(vals, PR.N3, n3)
+    set3(vals, PR.LE3, le3)
+    set3(vals, PR.B3, v3.from_rows(res_b, PR.B3))
+    vals[PR.M3] = res_b[PR.M3]
+    vals[PR.R3] = res_b[PR.R3]
+    set3(vals, PR.WS3, ws3)
+    set3(vals, PR.LS3, ls3)
+    vals[PR.TRANS3] = res_b[PR.TRANS3]
+    vals[PR.ETA3] = res_b[PR.ETA3]
+    vals[PR.COATW3] = res_b[PR.COATW3]
+    vals[PR.COATR3] = res_b[PR.COATR3]
     rows = stack_rows(PR.ROWS, vals, n=n)
     return phat_b, w_factor, rows, ok
 
@@ -695,19 +724,23 @@ def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None, scene=None,
     w_sum = res_a[PR.WSUM] + w_b
     take = u * w_sum < w_b
     out = jnp.where(take[None, :], res_b, res_a)
+    keep_has3 = jnp.zeros(take.shape, bool)
     if use_replay:
-        # case-B takes store the re-canonicalized (replayed) path
+        # case-B takes store the re-canonicalized (replayed) path, which
+        # carries a still-valid replay identity (see _replay_shift)
         tb = take & case_b
         out = jnp.where(tb[None, :], rows_r, out)
-    # any taken candidate is re-anchored at this pixel: replay eligibility
-    # (and its generating-pixel identity) no longer applies
+        keep_has3 = tb
+    # a case-A (reconnection) take re-anchors the path at this pixel with
+    # the ORIGINAL x2 -- that path is no longer in the image of its RNG
+    # stream here, so replay eligibility is dropped; case-B takes keep it
     y_phat = jnp.where(take, phat_b, res_a[PR.PHAT])
     m_new = res_a[PR.M] + m_b
     big_w = jnp.where(
         y_phat > 0.0, w_sum / jnp.maximum(m_new * y_phat, 1e-12), 0.0
     )
     return stack_rows(PR.ROWS, {
-        PR.HAS3: jnp.where(take, 0.0, out[PR.HAS3]),
+        PR.HAS3: jnp.where(take & ~keep_has3, 0.0, out[PR.HAS3]),
         PR.WSUM: w_sum, PR.M: m_new, PR.W: big_w, PR.PHAT: y_phat,
     }, like=out)
 
