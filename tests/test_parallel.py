@@ -79,3 +79,42 @@ def test_graft_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_upscale_fsr2_sharded_matches_single(cornell_dev):
+    """render_scale=0.5 with the FSR2-tier internals ON (depth clip,
+    locks, reactive, RCAS) sharded over 8 devices agrees with the
+    unsharded frame across two frames (halo rows cover the render-res
+    stencils, the display-res history/lock reprojection, and RCAS's
+    cross stencil)."""
+    from zetaray_tpu.ops.upscale import UpscaleConfig
+    from zetaray_tpu.parallel.mesh import render_frame_restir_sharded
+    from zetaray_tpu.render.frame import render_frame_restir_jit
+
+    scene = cornell_dev
+    cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=2.0)
+    # 256x128 display -> 128x64 render: 8192 render px unsharded and
+    # 1024/shard both pick Pallas rt=1024, so the global RNG/light-set
+    # tiling is identical (same requirement as
+    # test_restir_sharded_matches_single)
+    cfg = RenderConfig(
+        width=256, height=128, mode="restir_gi",
+        pt=PTConfig(max_bounces=2), render_scale=0.5, taa=True,
+        upscale_cfg=UpscaleConfig(rcas_sharpness=0.8),
+    )
+    mesh = make_mesh(8)
+    st_ref = st_sh = None
+    for frame in range(2):
+        key = jax.random.PRNGKey(frame)
+        out_ref, st_ref = render_frame_restir_jit(scene, cam, key, cfg, st_ref)
+        out_sh, st_sh = render_frame_restir_sharded(
+            mesh, scene, cam, key, cfg, st_sh
+        )
+    ref = np.asarray(out_ref["hdr"])
+    sh = np.asarray(out_sh["hdr"])
+    assert np.isfinite(sh).all()
+    # measured bit-exact after the border fixes (clamped halos +
+    # global-row clamps in ops.upscale) up to exposure-psum reassociation
+    # noise (~2e-6 abs on isolated pixels)
+    np.testing.assert_allclose(sh, ref, rtol=1e-4, atol=1e-5)
+    assert st_sh.upscale_lock is not None

@@ -77,6 +77,25 @@ def main(argv=None):
                                  pt=PTConfig(max_bounces=2),
                                  band_rows=max(8, s // 4), band_halo=8,
                                  denoise=True, taa=True))
+    # round-3: path options (stochastic multi-bounce + boiling suppression
+    # + path regularization) on the flagship shape
+    from zetaray_tpu.ops.restir_gi import ReSTIRGIConfig
+
+    variants.append(RenderConfig(
+        width=s, height=s, mode="restir_gi",
+        pt=PTConfig(max_bounces=3, stochastic_multi_bounce=True,
+                    path_regularization=True),
+        restir_gi=ReSTIRGIConfig(boiling_suppression=True),
+        denoise=True, taa=True,
+    ))
+    # round-3: FSR2-tier upscale (locks + depth clip + reactive + RCAS)
+    from zetaray_tpu.ops.upscale import UpscaleConfig
+
+    variants.append(RenderConfig(
+        width=2 * s, height=2 * s, mode="restir_gi",
+        pt=PTConfig(max_bounces=2), render_scale=0.5, taa=True,
+        upscale_cfg=UpscaleConfig(rcas_sharpness=0.8),
+    ))
 
     state_cache = {}
     for i, cfg in enumerate(variants):

@@ -32,14 +32,19 @@ class TAAConfig:
 
 
 def _neighborhood_minmax_p(img):
-    """img: [3, H, W] -> per-pixel 3x3 min/max."""
+    """img: [3, H, W] -> per-pixel 3x3 min/max (edge-clamped borders:
+    the resamplers this rectifies clamp at the image edge too, and a
+    wrapped neighborhood would pull the opposite side of the image into
+    the clamp bounds)."""
+    _, h, w = img.shape
+    p = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="edge")
     lo = img
     hi = img
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dx == 0 and dy == 0:
                 continue
-            n = jnp.roll(jnp.roll(img, dy, axis=1), dx, axis=2)
+            n = p[:, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
             lo = jnp.minimum(lo, n)
             hi = jnp.maximum(hi, n)
     return lo, hi
@@ -115,16 +120,18 @@ def _depth_dilated_motion(motion, depth, valid):
     switches at depth edges -- exactly the foreground-silhouette case
     dilation exists for.
     """
+    h, w = depth.shape
+    pd = jnp.pad(jnp.where(valid, depth, 3.0e38), ((1, 1), (1, 1)),
+                 mode="edge")
+    pm = jnp.pad(motion, ((0, 0), (1, 1), (1, 1)), mode="edge")
     best_d = jnp.where(valid, depth, 3.0e38)
     best_m = motion
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dx == 0 and dy == 0:
                 continue
-            nd = jnp.roll(jnp.roll(depth, dy, axis=0), dx, axis=1)
-            nv = jnp.roll(jnp.roll(valid, dy, axis=0), dx, axis=1)
-            nm = jnp.roll(jnp.roll(motion, dy, axis=1), dx, axis=2)
-            nd = jnp.where(nv, nd, 3.0e38)
+            nd = pd[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            nm = pm[:, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
             closer = nd < best_d
             best_d = jnp.where(closer, nd, best_d)
             best_m = jnp.where(closer[None], nm, best_m)

@@ -45,8 +45,11 @@ class UpscaleConfig:
     # auto-reactive mask -- luminance divergence between current sample
     # and (rectified) history raises the current-frame weight, so fast
     # shading changes (specular, emissive flicker) do not ghost.
-    # 0 disables; value scales the reactivity -> alpha boost.
-    reactive_scale: float = 0.5
+    # 0 disables; value scales the reactivity -> alpha boost. Default off:
+    # FSR2's reactive mask is an app-PROVIDED input (fsr2 reactive
+    # resource), and an always-on luminance heuristic fights the 1-spp
+    # path-tracing noise the temporal accumulation exists to integrate.
+    reactive_scale: float = 0.0
     # luminance locks -- display pixels whose current sample falls outside
     # the render-res neighborhood range are thin features the clamp would
     # erase; they acquire a decaying lock that relaxes the clamp.
@@ -126,7 +129,14 @@ def taau_resolve(
     jy = jnp.asarray(jitter[1], jnp.float32)
     spx = px - jx
     spy = py - jy
-    spy_l = spy - lr_row0  # local row coords into the (halo-extended) inputs
+    # Clamp the GLOBAL row coordinate to the image extent before
+    # localizing. Unsharded, _bilinear_p's own clamp does this implicitly;
+    # sharded, the halo window has edge-replicated rows below row 0 /
+    # above the last row -- pointwise data interpolates to the same values
+    # there, but STENCIL-DERIVED data (neighborhood min/max, dilated
+    # motion) computed on a replica row differs from the true edge row's,
+    # so border reads must land exactly on real rows.
+    spy_l = jnp.clip(spy, 0.0, hr_full - 1.0) - lr_row0
     cur = _bilinear_p(curr_lr, spx, spy_l)  # [3, N]
     dx = spx - jnp.round(spx)
     dy = spy - jnp.round(spy)
@@ -152,9 +162,14 @@ def taau_resolve(
         pos_lr.reshape(3, -1).T, out_w, out_h
     )
     tx = ((jnp.arange(wr, dtype=jnp.float32) + 0.5 + jx) / wr) * out_w - 0.5
-    ty = (
-        (jnp.arange(hr, dtype=jnp.float32) + lr_row0 + 0.5 + jy) / hr_full
-    ) * out_h - 0.5
+    # clamp the global row index: edge-replicated halo rows (sharded image
+    # borders) hold row-0/last-row POSITIONS, so their motion must be
+    # computed against that row's own coordinate or the replicas carry a
+    # phantom offset that depth dilation can spread inward
+    row_g = jnp.clip(
+        jnp.arange(hr, dtype=jnp.float32) + lr_row0, 0.0, hr_full - 1.0
+    )
+    ty = ((row_g + 0.5 + jy) / hr_full) * out_h - 0.5
     m_lr = jnp.stack(
         [
             (p_lr - jnp.tile(tx, hr)).reshape(hr, wr),

@@ -84,3 +84,25 @@ def halo_exchange_flat(arr, width: int, halo: int, axis: str, n: int):
     x = arr.reshape(rows, h_loc, width).transpose(1, 0, 2)
     ext = halo_exchange_rows(x, halo, axis, n)
     return ext.transpose(1, 0, 2).reshape(rows, (h_loc + 2 * halo) * width)
+
+
+def halo_exchange_rows_clamped(x, halo: int, axis: str, n: int,
+                               row_axis: int = 0):
+    """Like halo_exchange_rows, but the first/last shard's out-of-extent
+    halo rows are EDGE-REPLICATED instead of wrapped.
+
+    Use for consumers whose unsharded form clamps coordinates at the image
+    boundary (bilinear/Catmull-Rom resamplers, RCAS's cross stencil): the
+    circular exchange would hand them the opposite image edge there.
+    Costs one tiny row-take on top of the exchange; identity for interior
+    shards.
+    """
+    ext = halo_exchange_rows(x, halo, axis, n, row_axis)
+    rows = ext.shape[row_axis]
+    h_loc = x.shape[row_axis]
+    i = lax.axis_index(axis) if n > 1 else 0
+    idx = jnp.arange(rows)
+    lo = jnp.where(jnp.equal(i, 0), halo, 0)
+    hi = jnp.where(jnp.equal(i, n - 1), halo + h_loc - 1, rows - 1)
+    src = jnp.clip(idx, lo, hi)
+    return jnp.take(ext, src, axis=row_axis)

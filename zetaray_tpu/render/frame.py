@@ -656,22 +656,27 @@ def render_frame_restir(
             )
         else:
             # render-res stencils (bilinear/minmax/dilate) need a 2-row
-            # halo; the display-res history reuses the temporal halo
+            # halo; the display-res history reuses the temporal halo.
+            # CLAMPED halos: taau's resamplers clamp at the image
+            # boundary, so the first/last shard must see edge-replicated
+            # rows, not the circular wrap (parallel.halo).
+            from ..parallel.halo import halo_exchange_rows_clamped as _hxc
+
             hs = 2
             out_rows = cfg.height // n_sh
             out_row0 = jax.lax.axis_index(axis) * out_rows
             if hist is not None:
-                hist = _hx(hist, halo, axis, n_sh, row_axis=1)
+                hist = _hxc(hist, halo, axis, n_sh, row_axis=1)
             if prev_depth is not None:
-                prev_depth = _hx(prev_depth, hs, axis, n_sh)
+                prev_depth = _hxc(prev_depth, hs, axis, n_sh)
             if lock is not None:
-                lock = _hx(lock, halo, axis, n_sh)
+                lock = _hxc(lock, halo, axis, n_sh)
             hdr, upscale_lock_new = taau_resolve(
-                _hx(hdr, hs, axis, n_sh, row_axis=1),
+                _hxc(hdr, hs, axis, n_sh, row_axis=1),
                 hist,
-                _hx(pos_img, hs, axis, n_sh, row_axis=1),
-                _hx(valid_img, hs, axis, n_sh),
-                _hx(depth_img, hs, axis, n_sh),
+                _hxc(pos_img, hs, axis, n_sh, row_axis=1),
+                _hxc(valid_img, hs, axis, n_sh),
+                _hxc(depth_img, hs, axis, n_sh),
                 prev_c, camera.jitter, cfg.width, cfg.height,
                 cfg.upscale_cfg,
                 out_row0=out_row0, out_rows=out_rows, lr_row0=row0 - hs,
@@ -685,12 +690,16 @@ def render_frame_restir(
                 depth=depth_img, band=band,
             )
         else:
-            hist_ext = _hx(state.history, halo, axis, n_sh, row_axis=1)
+            # clamped halos: TAA's resamplers and (now edge-clamped)
+            # stencils both clamp at the image boundary
+            from ..parallel.halo import halo_exchange_rows_clamped as _hxct
+
+            hist_ext = _hxct(state.history, halo, axis, n_sh, row_axis=1)
             hdr = TA.taa_resolve_p(
                 hdr, hist_ext, pos_img, valid_img, state.camera_prev,
                 height_full=h, hist_row0=row0 - halo,
                 hist_rows=h_loc + 2 * halo,
-                curr_ext=_hx(hdr, 1, axis, n_sh, row_axis=1),
+                curr_ext=_hxct(hdr, 1, axis, n_sh, row_axis=1),
                 depth=depth_img, row0=row0,
             )
 
@@ -701,8 +710,10 @@ def render_frame_restir(
         if shard is None:
             rcas_tf = lambda l: UP.rcas_p(l, cfg.upscale_cfg.rcas_sharpness)
         else:
-            def rcas_tf(l):  # 3x3 cross stencil: 1-row halo
-                ext = _hx(l, 1, axis, n_sh, row_axis=1)
+            from ..parallel.halo import halo_exchange_rows_clamped as _hxc2
+
+            def rcas_tf(l):  # 3x3 cross stencil: 1-row clamped halo
+                ext = _hxc2(l, 1, axis, n_sh, row_axis=1)
                 return UP.rcas_p(ext, cfg.upscale_cfg.rcas_sharpness)[:, 1:-1]
     ldr = _postprocess(hdr, cfg, axis_name=axis, ldr_transform=rcas_tf)
     # Temporal feedback stores the *pre-spatial* reservoirs (the reference
