@@ -5,15 +5,20 @@ import os
 import sys
 from pathlib import Path
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+# ZETARAY_REGEN_TPU=1 runs on the real device instead (captures the TPU
+# golden too); default pins CPU like the CI mesh
+if os.environ.get("ZETARAY_REGEN_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("ZETARAY_REGEN_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -60,3 +65,23 @@ np.savez_compressed(
     dst2, ldr=np.asarray(out2["ldr"]), hdr=np.asarray(out2["hdr"]).astype(np.float32)
 )
 print("wrote", dst2, "mean ldr", float(np.asarray(out2["ldr"]).mean()))
+
+# TPU device-path golden (run ON the real chip: unset JAX_PLATFORMS first;
+# this block is skipped on CPU). Captures the pinned-seed 128^2 restir_gi
+# frame test_golden.test_golden_tpu_device_path compares against.
+if jax.default_backend() != "cpu":
+    cfgt = RenderConfig(
+        width=128, height=128, mode="restir_gi", pt=PTConfig(max_bounces=2),
+        denoise=True, taa=True,
+    )
+    stt = None
+    for i in range(3):
+        outg, stt = render_frame_restir_jit(
+            sc, cam.with_jitter(i), jax.random.PRNGKey(i), cfgt, stt
+        )
+    dst3 = Path(__file__).parent / "cornell_restir_gi_128_tpu.npz"
+    np.savez_compressed(
+        dst3, hdr=np.asarray(outg["hdr"]).astype(np.float32),
+        ldr=np.asarray(outg["ldr"]),
+    )
+    print("wrote", dst3, "mean ldr", float(np.asarray(outg["ldr"]).mean()))
