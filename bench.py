@@ -104,14 +104,20 @@ def main():
         if _over_budget():
             raise TimeoutError("bench budget")
         from zetaray_tpu.ops.restir_di import ReSTIRConfig
+        from zetaray_tpu.ops.restir_gi import ReSTIRGIConfig
+        from zetaray_tpu.ops.skydi import SkyDIConfig
         from zetaray_tpu.ops.sky import SkyParams
         from zetaray_tpu.ops.volumetrics import VolumetricsConfig
 
         cfg_feat = RenderConfig(
             width=256, height=256, mode="restir_gi",
-            pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.8, 0.2))),
+            pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.8, 0.2)),
+                        stochastic_multi_bounce=True,
+                        path_regularization=True),
             restir=ReSTIRConfig(lvg_samples=2, spatial_mis="pairwise"),
-            skydi=True, volumetrics=VolumetricsConfig(),
+            restir_gi=ReSTIRGIConfig(boiling_suppression=True),
+            skydi=True, skydi_cfg=SkyDIConfig(spatial_mis="pairwise"),
+            volumetrics=VolumetricsConfig(),
             denoise=True, taa=True,
         )
         state_f = None
@@ -134,9 +140,12 @@ def main():
     try:
         if _over_budget():
             raise TimeoutError("bench budget")
+        from zetaray_tpu.ops.upscale import UpscaleConfig
+
         cfg_up = RenderConfig(
             width=512, height=512, mode="restir_gi",
             pt=PTConfig(max_bounces=2), render_scale=0.5, taa=True,
+            upscale_cfg=UpscaleConfig(rcas_sharpness=0.8),
         )
         state_u = None
         for i in range(3):

@@ -56,9 +56,27 @@ _SLOW_MODULES = {
 }
 
 
+# individually-heavy tests in otherwise-fast modules (>35s on the CPU
+# mesh): statistical multi-frame renders and interpret-mode megakernels
+_SLOW_TESTS = {
+    "test_taau_converges_to_full_res",
+    "test_smb_restir_gi_frame",
+    "test_smb_megakernel",
+    "test_smb_kill_none_vs_all",
+    "test_regularization_megakernel",
+    "test_megakernel_nee_nondefault_scale",
+    "test_motion_vectors_and_temporal",
+    "test_pairwise_matches_unreused_mean",
+    "test_lvg_candidates_match_baseline",
+    "test_checkpoint_roundtrip",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.module.__name__ in _SLOW_MODULES:
+        if (item.module.__name__ in _SLOW_MODULES
+                or item.originalname in _SLOW_TESTS
+                or item.name in _SLOW_TESTS):
             item.add_marker(pytest.mark.slow)
 
 

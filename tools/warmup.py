@@ -62,40 +62,31 @@ def main(argv=None):
     from zetaray_tpu.ops.restir_di import ReSTIRConfig
     from zetaray_tpu.ops.volumetrics import VolumetricsConfig
 
+    from zetaray_tpu.ops.restir_gi import ReSTIRGIConfig as _RGI
+    from zetaray_tpu.ops.skydi import SkyDIConfig as _SDC
+
     variants.append(RenderConfig(
         width=s, height=s, mode="restir_gi",
-        pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.8, 0.2))),
+        pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.8, 0.2)),
+                    stochastic_multi_bounce=True, path_regularization=True),
         restir=ReSTIRConfig(lvg_samples=2, spatial_mis="pairwise"),
-        skydi=True, volumetrics=VolumetricsConfig(), denoise=True, taa=True,
+        restir_gi=_RGI(boiling_suppression=True),
+        skydi=True, skydi_cfg=_SDC(spatial_mis="pairwise"),
+        volumetrics=VolumetricsConfig(), denoise=True, taa=True,
     ))
-    # temporal upscaling (FSR2 slot)
+    # temporal upscaling (FSR2 slot, same shape bench times)
+    from zetaray_tpu.ops.upscale import UpscaleConfig as _UC
+
     variants.append(RenderConfig(width=2 * s, height=2 * s, mode="restir_gi",
                                  pt=PTConfig(max_bounces=2),
-                                 render_scale=0.5, taa=True))
+                                 render_scale=0.5, taa=True,
+                                 upscale_cfg=_UC(rcas_sharpness=0.8)))
     # banded gathers (the single-chip large-res path)
     variants.append(RenderConfig(width=s, height=s, mode="restir_gi",
                                  pt=PTConfig(max_bounces=2),
                                  band_rows=max(8, s // 4), band_halo=8,
                                  denoise=True, taa=True))
-    # round-3: path options (stochastic multi-bounce + boiling suppression
-    # + path regularization) on the flagship shape
-    from zetaray_tpu.ops.restir_gi import ReSTIRGIConfig
 
-    variants.append(RenderConfig(
-        width=s, height=s, mode="restir_gi",
-        pt=PTConfig(max_bounces=3, stochastic_multi_bounce=True,
-                    path_regularization=True),
-        restir_gi=ReSTIRGIConfig(boiling_suppression=True),
-        denoise=True, taa=True,
-    ))
-    # round-3: FSR2-tier upscale (locks + depth clip + reactive + RCAS)
-    from zetaray_tpu.ops.upscale import UpscaleConfig
-
-    variants.append(RenderConfig(
-        width=2 * s, height=2 * s, mode="restir_gi",
-        pt=PTConfig(max_bounces=2), render_scale=0.5, taa=True,
-        upscale_cfg=UpscaleConfig(rcas_sharpness=0.8),
-    ))
 
     state_cache = {}
     for i, cfg in enumerate(variants):
