@@ -76,3 +76,27 @@ def test_png_roundtrip(tmp_path):
     write_png(p, img)
     back = read_png(p)
     np.testing.assert_array_equal(back, img)
+
+
+def test_validate_detects_nan_and_negative():
+    """utils.validate: the Check/debug-layer analog flags NaN/Inf/negative
+    planes by name (SURVEY.md section 5 failure detection)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from zetaray_tpu.utils.validate import (
+        ValidationError, check_finite, check_frame,
+    )
+
+    good = jnp.ones((3, 8, 8))
+    assert check_finite("ok", good)
+    bad = good.at[0, 2, 3].set(jnp.nan)
+    with _pytest.raises(ValidationError, match="'hdr' has 1 NaN"):
+        check_frame({"hdr": bad})
+    neg = good.at[1, 0, 0].set(-1.0)
+    with _pytest.raises(ValidationError, match="negative"):
+        check_finite("hdr", neg, allow_negative=False)
+    assert check_finite("neg-ok", neg)  # negatives fine for reservoirs
+    assert not check_finite("soft", bad, raise_on_error=False)
+    # integer arrays (ldr u8) pass through
+    assert check_finite("ldr", jnp.zeros((4, 4), jnp.uint8))

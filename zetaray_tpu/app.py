@@ -116,6 +116,10 @@ def main(argv=None):
                         help="Sobel-outline the named instance in the "
                              "output (restir modes; Display.cpp picked "
                              "outline)")
+    parser.add_argument("--validate", action="store_true",
+                        help="per-frame device validation (debug-layer "
+                             "analog, utils/validate.py): NaN/Inf/negative "
+                             "checks on the HDR output and temporal state")
     args = parser.parse_args(argv)
 
     import jax
@@ -267,6 +271,10 @@ def main(argv=None):
                         picked_outline_p(ldr_p / 255.0, inst_img, pid) * 255.0,
                         0, -1,
                     ).astype(jnp.uint8)
+        if args.validate:
+            from .utils.validate import check_frame
+
+            check_frame(out, state)
         ldr = np.asarray(out["ldr"])  # forces completion
         stats.add("frame", "mean_radiance", float(np.asarray(out["hdr"]).mean()))
         dt = stats.end_frame()
