@@ -69,3 +69,54 @@ def test_restir_di_initial_candidates_nondefault_scale(cornell_dev):
     valid = r[10] > 0
     assert valid.any()
     np.testing.assert_allclose(r[10][valid], 256.0)
+
+
+def test_wops_matches_wps_mean(cornell_dev):
+    """In-kernel WoPS NEE (per-lane alias sampling, the reference's *_WoPS
+    kernel variants) is a consistent estimator: its mean matches the
+    presampled-set (WPS) megakernel's."""
+    o, d = _rays(64)
+
+    def mean(mode, n_seeds=8):
+        cfg = PTConfig(max_bounces=2, nee_mode=mode)
+        acc = 0.0
+        for i in range(n_seeds):
+            acc += float(
+                np.asarray(
+                    trace_megakernel(
+                        cornell_dev, o, d,
+                        seed_from_key(jax.random.PRNGKey(100 + i)),
+                        cfg, rt=64, interpret=True,
+                    )
+                ).mean()
+            )
+        return acc / n_seeds
+
+    wps, wops = mean("wps"), mean("wops")
+    assert wops > 0.0 and np.isfinite(wops)
+    assert abs(wps - wops) / max(wps, 1e-9) < 0.2, (wps, wops)
+
+
+def test_wops_oracle_agreement(cornell_dev):
+    """WoPS megakernel vs the XLA wavefront (which always samples the
+    alias table per pixel): statistical agreement."""
+    from zetaray_tpu.ops.pathtracer import trace_reference
+
+    o, d = _rays(64)
+    cfg = PTConfig(max_bounces=2, nee_mode="wops")
+    mk = np.mean([
+        np.asarray(
+            trace_megakernel(
+                cornell_dev, o, d, seed_from_key(jax.random.PRNGKey(i)),
+                cfg, rt=64, interpret=True,
+            )
+        )
+        for i in range(8)
+    ])
+    xla = np.mean([
+        np.asarray(
+            trace_reference(cornell_dev, o, d, jax.random.PRNGKey(50 + i), cfg)
+        )
+        for i in range(8)
+    ])
+    assert abs(mk - xla) / max(xla, 1e-9) < 0.2, (mk, xla)

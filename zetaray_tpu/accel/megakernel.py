@@ -259,8 +259,9 @@ def _rng5_hw(i, rt, bounce, seed, salt):
     return u[0], u[1], u[2], u[3], u[4]
 
 
-def bounce_uniforms(n, bounce, seed, salt=0x9E37, pix0=0):
-    """[5, N] per-ray uniforms for one bounce, computed in XLA.
+def bounce_uniforms(n, bounce, seed, salt=0x9E37, pix0=0, wops=False):
+    """[5, N] per-ray uniforms for one bounce, computed in XLA
+    (8 rows when ``wops``: +alias test, +2 barycentrics).
 
     Bit-identical to the in-kernel _rng5 slicing (same pcg4d counters), but
     hashed OUTSIDE the Pallas kernel: XLA lowers u32 multiplies well while
@@ -279,7 +280,11 @@ def bounce_uniforms(n, bounce, seed, salt=0x9E37, pix0=0):
         | ((r[2] & jnp.uint32(0xFF)) << 16)
     )
     u_rr = lo.astype(jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
-    return jnp.stack([u14[0], u14[1], u14[2], u14[3], u_rr], 0)
+    rows = [u14[0], u14[1], u14[2], u14[3], u_rr]
+    if wops:
+        r2 = S.pcg4d_soa(pix, b, sd, jnp.full((n,), 0x905A, jnp.uint32))
+        rows += [S.to_unit_float(x) for x in r2[:3]]
+    return jnp.stack(rows, 0)
 
 
 def _ablate():
@@ -293,10 +298,69 @@ def _ablate():
     )
 
 
+def _nee_sample_wops(em_ref, u_pick, u_alias, u_b0, u_b1, rt, n_em):
+    """Per-lane power-alias emissive sample inside the kernel (the
+    reference's *_WoPS kernel variants: NEE WithOut Presampled Sets).
+    ``em_ref``: [1, EA.WIDTH + 2, Ep] = em_attrs rows + alias prob/alias
+    (see wops_table). Returns (lp, lng, lle, lpdf_area, l2s)."""
+    from ..scene.scene import EA
+
+    em = em_ref[0]
+    e = n_em
+    iota = jax.lax.broadcasted_iota(jnp.int32, (e, rt), 0)
+    k0 = jnp.minimum((u_pick * e).astype(jnp.int32), e - 1)
+    oh0 = (iota == k0[None, :]).astype(jnp.float32)
+    row0 = jax.lax.dot_general(
+        em[:, :e], oh0, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # alias resolve (core.sampling.sample_alias, in-kernel)
+    k = jnp.where(
+        u_alias >= row0[EA.WIDTH],
+        row0[EA.WIDTH + 1].astype(jnp.int32),
+        k0,
+    )
+    oh = (iota == k[None, :]).astype(jnp.float32)
+    row = jax.lax.dot_general(
+        em[:, :e], oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # low-distortion square -> triangle (core.sampling.square_to_triangle)
+    flip = u_b1 > u_b0
+    b1 = jnp.where(flip, u_b0 * 0.5, u_b0 - u_b1 * 0.5)
+    b2 = jnp.where(flip, u_b1 - u_b0 * 0.5, u_b1 * 0.5)
+    v0 = v3.from_rows(row, EA.V0)
+    e1 = v3.from_rows(row, EA.E1)
+    e2 = v3.from_rows(row, EA.E2)
+    lp = v0 + e1 * b1 + e2 * b2
+    return (
+        lp,
+        v3.from_rows(row, EA.NG),
+        v3.from_rows(row, EA.LE),
+        row[EA.PDF_AREA],
+        row[EA.TWO_SIDED] > 0.5,
+    )
+
+
+def wops_table(scene):
+    """[1, EA.WIDTH + 2, Ep] emissive table for in-kernel WoPS NEE:
+    em_attrs columns + the alias-table prob/alias rows."""
+    return jnp.concatenate(
+        [
+            scene.em_attrs.T,
+            scene.em_prob[None, :],
+            scene.em_alias.astype(jnp.float32)[None, :],
+        ],
+        0,
+    )[None]
+
+
 def _bounce_kernel(
     scal_ref, state_ref, woop_ref, attrsT_ref, lset_ref, u_ref, out_ref,
     *, rt, tp, tc, cfg, last, has_lights, has_transmission, has_coat,
-    skip=frozenset(),
+    n_em=0, skip=frozenset(),
 ):
     i = pl.program_id(0)
     bounce = scal_ref[0, 0]
@@ -417,25 +481,32 @@ def _bounce_kernel(
             u = u_ref[:]
             u1, u5, u6, u7, u8 = u[0], u[1], u[2], u[3], u[4]
 
-        # -- NEE against the tile's presampled light set
+        # -- NEE: presampled set (WPS) or per-lane alias sample (WoPS)
         if cfg.nee and has_lights:
-            n_sets, _, ps = lset_ref.shape
-            set_idx = jax.lax.rem(i + bounce * 13, n_sets)
-            lset = lset_ref[set_idx]  # [LSET_ROWS, ps]
-            p = jnp.minimum((u1 * ps).astype(jnp.int32), ps - 1)
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (ps, rt), 0) == p[None, :]
-            ).astype(jnp.float32)
-            srow = jax.lax.dot_general(
-                lset, onehot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [LSET_ROWS, rt]
-            lp = v3.from_rows(srow, 0)
-            lng = v3.from_rows(srow, 3)
-            lle = v3.from_rows(srow, 6)
-            lpdf_area = srow[9]
-            l2s = srow[10] > 0.5
+            if cfg.nee_mode == "wops":
+                u = u_ref[:]
+                lp, lng, lle, lpdf_area, l2s = _nee_sample_wops(
+                    lset_ref, u1, u[5], u[6], u[7], rt, n_em
+                )
+            else:
+                n_sets, _, ps = lset_ref.shape
+                set_idx = jax.lax.rem(i + bounce * 13, n_sets)
+                lset = lset_ref[set_idx]  # [LSET_ROWS, ps]
+                p = jnp.minimum((u1 * ps).astype(jnp.int32), ps - 1)
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (ps, rt), 0)
+                    == p[None, :]
+                ).astype(jnp.float32)
+                srow = jax.lax.dot_general(
+                    lset, onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [LSET_ROWS, rt]
+                lp = v3.from_rows(srow, 0)
+                lng = v3.from_rows(srow, 3)
+                lle = v3.from_rows(srow, 6)
+                lpdf_area = srow[9]
+                l2s = srow[10] > 0.5
             to_l = lp - pos
             dist2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
             inv_d = jax.lax.rsqrt(dist2)
@@ -872,7 +943,7 @@ def _bounce_trace_kernel(
 
 def _bounce_shade_kernel(
     scal_ref, state_ref, surf_ref, woop_ref, lset_ref, u_ref, out_ref,
-    *, rt, tp, tc, cfg, has_lights, has_transmission, has_coat,
+    *, rt, tp, tc, cfg, has_lights, has_transmission, has_coat, n_em=0,
 ):
     """NEE + sun NEE + BSDF sample + Russian roulette for one bounce."""
     i = pl.program_id(0)
@@ -912,23 +983,28 @@ def _bounce_shade_kernel(
     u1, u5, u6, u7, u8 = u[0], u[1], u[2], u[3], u[4]
 
     if cfg.nee and has_lights:
-        n_sets, _, ps = lset_ref.shape
-        set_idx = jax.lax.rem(i + bounce * 13, n_sets)
-        lset = lset_ref[set_idx]
-        p = jnp.minimum((u1 * ps).astype(jnp.int32), ps - 1)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (ps, rt), 0) == p[None, :]
-        ).astype(jnp.float32)
-        srow = jax.lax.dot_general(
-            lset, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        lp = v3.from_rows(srow, 0)
-        lng = v3.from_rows(srow, 3)
-        lle = v3.from_rows(srow, 6)
-        lpdf_area = srow[9]
-        l2s = srow[10] > 0.5
+        if cfg.nee_mode == "wops":
+            lp, lng, lle, lpdf_area, l2s = _nee_sample_wops(
+                lset_ref, u1, u[5], u[6], u[7], rt, n_em
+            )
+        else:
+            n_sets, _, ps = lset_ref.shape
+            set_idx = jax.lax.rem(i + bounce * 13, n_sets)
+            lset = lset_ref[set_idx]
+            p = jnp.minimum((u1 * ps).astype(jnp.int32), ps - 1)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (ps, rt), 0) == p[None, :]
+            ).astype(jnp.float32)
+            srow = jax.lax.dot_general(
+                lset, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            lp = v3.from_rows(srow, 0)
+            lng = v3.from_rows(srow, 3)
+            lle = v3.from_rows(srow, 6)
+            lpdf_area = srow[9]
+            l2s = srow[10] > 0.5
         to_l = lp - pos
         dist2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
         inv_d = jax.lax.rsqrt(dist2)
@@ -1020,7 +1096,7 @@ def _bounce_shade_kernel(
 def bounce_step_split(
     state, woop3, attrsT, light_sets, bounce, seed, cfg, last, has_lights,
     has_transmission=False, has_coat=False, rt=1024, interpret=False, pix0=0,
-    textures=None, spread_angle=0.0,
+    textures=None, spread_angle=0.0, n_em=0,
 ):
     """Two-kernel bounce (see the split-bounce note above).
 
@@ -1090,7 +1166,9 @@ def bounce_step_split(
             pl.BlockSpec((SURF_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (u.shape[0], rt), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1104,6 +1182,7 @@ def bounce_step_split(
 def bounce_step(
     state, woop3, attrsT, light_sets, bounce, seed, cfg, last, has_lights,
     has_transmission=False, has_coat=False, rt=1024, interpret=False, pix0=0,
+    n_em=0,
 ):
     """Run one bounce over the whole wavefront. state: [16, N] (donated)."""
     n = state.shape[1]
@@ -1119,9 +1198,11 @@ def bounce_step(
     kernel = functools.partial(
         _bounce_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg, last=last,
         has_lights=has_lights, has_transmission=has_transmission,
-        has_coat=has_coat, skip=_ablate(),
+        has_coat=has_coat, n_em=n_em, skip=_ablate(),
     )
-    u = bounce_uniforms(n, bounce, seed, pix0=pix0)
+    u = bounce_uniforms(
+        n, bounce, seed, pix0=pix0, wops=(cfg.nee_mode == "wops")
+    )
     return pl.pallas_call(
         kernel,
         grid=(n // rt,),
@@ -1131,7 +1212,9 @@ def bounce_step(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (u.shape[0], rt), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1191,7 +1274,10 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, r
     woop3 = scene.woop.reshape(4, 3, -1)
     attrsT = scene.tri_attrs.T
     if has_lights and cfg.nee:
-        lsets = build_light_sets(scene, seed, cfg.light_ns, cfg.light_ps)
+        if cfg.nee_mode == "wops":
+            lsets = wops_table(scene)
+        else:
+            lsets = build_light_sets(scene, seed, cfg.light_ns, cfg.light_ps)
     else:
         lsets = jnp.zeros((cfg.light_ns, LSET_ROWS, cfg.light_ps))
 
@@ -1210,6 +1296,7 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, r
                 has_coat=scene.has_coat,
                 rt=rt, interpret=interpret, pix0=pix0,
                 textures=textures, spread_angle=spread_angle,
+                n_em=scene.num_emissives,
             )
         else:
             state = bounce_step(
@@ -1218,6 +1305,7 @@ def trace_megakernel(scene, o, d, seed, cfg, rt=1024, interpret=False, pix0=0, r
                 has_transmission=scene.has_transmission,
                 has_coat=scene.has_coat,
                 rt=rt, interpret=interpret, pix0=pix0,
+                n_em=scene.num_emissives,
             )
         if smb_kill is not None and bounce == 0:
             keep = 1.0 - jnp.pad(
@@ -1260,7 +1348,10 @@ def trace_with_first_hit(
     woop3 = scene.woop.reshape(4, 3, -1)
     attrsT = scene.tri_attrs.T
     if has_lights and cfg.nee:
-        lsets = build_light_sets(scene, seed, cfg.light_ns, cfg.light_ps)
+        if cfg.nee_mode == "wops":
+            lsets = wops_table(scene)
+        else:
+            lsets = build_light_sets(scene, seed, cfg.light_ns, cfg.light_ps)
     else:
         lsets = jnp.zeros((cfg.light_ns, LSET_ROWS, cfg.light_ps))
 
@@ -1314,9 +1405,11 @@ def trace_with_first_hit(
             _bounce_shade_kernel, rt=rt, tp=tp, tc=tc, cfg=cfg,
             has_lights=has_lights,
             has_transmission=scene.has_transmission,
-            has_coat=scene.has_coat,
+            has_coat=scene.has_coat, n_em=scene.num_emissives,
         )
-        u = bounce_uniforms(n_pad, 0, seed, pix0=pix0)
+        u = bounce_uniforms(
+            n_pad, 0, seed, pix0=pix0, wops=(cfg.nee_mode == "wops")
+        )
         state = pl.pallas_call(
             sh,
             grid=(n_pad // rt,),
@@ -1326,7 +1419,9 @@ def trace_with_first_hit(
                 pl.BlockSpec((SURF_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((5, rt), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                (u.shape[0], rt), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
             ],
             out_specs=pl.BlockSpec(
                 (STATE_ROWS, rt), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1347,5 +1442,6 @@ def trace_with_first_hit(
                 has_transmission=scene.has_transmission,
                 has_coat=scene.has_coat,
                 rt=rt, interpret=interpret, pix0=pix0,
+                n_em=scene.num_emissives,
             )
     return state[9:12, :n], surf[:, :n], alive0[:n]

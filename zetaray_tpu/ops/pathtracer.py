@@ -67,6 +67,13 @@ class PTConfig:
     # scale is 128 sets x 512 samples (DefaultRendererImpl.h:37-38).
     light_ns: int = 64
     light_ps: int = 128
+    # The reference's WPS/WoPS kernel axis (IndirectLighting.h:20-54):
+    # "wps" = NEE candidates from the shared presampled sets (VMEM, one
+    # one-hot fetch); "wops" = per-pixel power-alias-table sampling inside
+    # the kernel (independent per-lane light samples -- lower correlation,
+    # one extra one-hot matmul over the emissive table; best when the
+    # emissive count is small enough to sit in VMEM).
+    nee_mode: str = "wps"
     # Path options (reference IndirectLighting.h DefaultParamVals:231-244).
     # stochastic_multi_bounce: with probability 1/2 a path stops extending
     # after its first indirect vertex (uncompensated, like the reference's
