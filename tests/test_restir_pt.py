@@ -358,3 +358,38 @@ def test_replay_glass_scene(cornell_cpu):
     # positive, and in that regime rather than silently collapsing.
     rp_mean = run(True, 5)
     assert 0.35 < rp_mean / ref < 1.3, (rp_mean, ref)
+
+
+def test_spatial_search_finds_more_partners(cornell_dev):
+    """ReSTIR_PT_SpatialSearch analog: probing several candidate neighbors
+    raises the spatial-reuse hit rate (merged M) at geometry edges while
+    staying finite, and spatial_search=1 reproduces the single-neighbor
+    path bit-exactly."""
+    import jax.numpy as jnp
+
+    from zetaray_tpu.accel.megakernel import gbuffer
+    from zetaray_tpu.ops import restir_pt as RPT
+
+    cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=1.0)
+    o, d = cam.generate_rays(32, 32)
+    gb = gbuffer(cornell_dev, o, d, rt=256, interpret=True)
+    from zetaray_tpu.core.rng import seed_from_key
+
+    seed = seed_from_key(jax.random.PRNGKey(2))
+    cfg1 = RPT.ReSTIRPTConfig(temporal=False, spatial_search=1, replay=False)
+    cfg4 = RPT.ReSTIRPTConfig(temporal=False, spatial_search=4, replay=False)
+    res = RPT.initial_samples(
+        cornell_dev, gb, jax.random.PRNGKey(3), PTConfig(max_bounces=2),
+        seed, cfg1,
+    )
+    s1 = RPT.spatial_step(res, gb, 32, 32, seed, 0, cfg1)
+    s1b = RPT.spatial_step(res, gb, 32, 32, seed, 0, cfg1)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
+    s4 = RPT.spatial_step(res, gb, 32, 32, seed, 0, cfg4)
+    a1, a4 = np.asarray(s1), np.asarray(s4)
+    # invalid lanes carry garbage in masked rows by design (their merge
+    # weight is 0); the resampling-facing rows must be finite
+    for row in (RPT.PR.WSUM, RPT.PR.M, RPT.PR.W, RPT.PR.PHAT):
+        assert np.isfinite(a4[row]).all(), row
+    # search merges at least as much reservoir mass on average
+    assert a4[RPT.PR.M].mean() >= a1[RPT.PR.M].mean() - 1e-6

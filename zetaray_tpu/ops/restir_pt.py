@@ -133,6 +133,13 @@ class ReSTIRPTConfig:
     full_target: bool = False  # see restir_di.ReSTIRConfig.full_target
     sort_suffix: bool = True  # reorder suffix rays by (material, octant)
     packed_reuse: bool = True  # see restir_di.ReSTIRConfig.packed_reuse
+    # Spatial search (reference ReSTIR_PT_SpatialSearch kernel): probe up
+    # to this many candidate neighbors with the CHEAP 5-row geometry
+    # table and reuse the first that passes the reuse-validity test, so
+    # pixels at depth/normal edges still find a partner. 1 = single
+    # random neighbor (no search). Each extra probe costs one image-wide
+    # gather (~2.5 ms at 512^2 on v5e), so this is quality-tier opt-in.
+    spatial_search: int = 1
     # see restir_gi.ReSTIRGIConfig.boiling_suppression (the reference also
     # applies it in the ReSTIR PT temporal chain, ReSTIR_PT_Reconnect_StC)
     boiling_suppression: bool = False
@@ -820,15 +827,43 @@ def spatial_step(
     x = pix % width
     y = pix // width
     u = uniform4(pix, 204 + it, seed, salt=0x77A1)
-    r = cfg.spatial_radius * jnp.sqrt(u[0])
-    phi = 2.0 * jnp.pi * u[1]
-    nx = jnp.clip(x + jnp.round(r * jnp.cos(phi)).astype(jnp.int32), 0, width - 1)
-    ny = jnp.clip(y + jnp.round(r * jnp.sin(phi)).astype(jnp.int32), 0, height - 1)
-    nidx = (ny - src_row0) * width + nx
+
+    def pick(uu, vv):
+        r = cfg.spatial_radius * jnp.sqrt(uu)
+        phi = 2.0 * jnp.pi * vv
+        nx = jnp.clip(
+            x + jnp.round(r * jnp.cos(phi)).astype(jnp.int32), 0, width - 1
+        )
+        ny = jnp.clip(
+            y + jnp.round(r * jnp.sin(phi)).astype(jnp.int32), 0, height - 1
+        )
+        return (ny - src_row0) * width + nx
+
+    nidx = pick(u[0], u[1])
     from .restir_di import _take_multi, geom_ok_slim, geom_table
 
     if band is not None:
         band = (band[0], max(band[1], cfg.spatial_radius))
+
+    if cfg.spatial_search > 1:
+        # ReSTIR_PT_SpatialSearch: probe candidates with the cheap
+        # geometry table; keep the first valid neighbor per pixel
+        gt_src = geom_table(gbuf_src)
+        (g0,), okb0 = _take_multi([gt_src], nidx, band, width, height,
+                                  src_row0)
+        found = geom_ok_slim(gbuf, g0, ns, cfg)
+        if okb0 is not None:
+            found = found & okb0
+        for k in range(1, cfg.spatial_search):
+            uk = uniform4(pix, 204 + it, seed, salt=0x77A1 + k * 0x1013)
+            cand = pick(uk[0], uk[1])
+            (gk,), okbk = _take_multi([gt_src], cand, band, width, height,
+                                      src_row0)
+            ok_k = geom_ok_slim(gbuf, gk, ns, cfg)
+            if okbk is not None:
+                ok_k = ok_k & okbk
+            nidx = jnp.where(~found & ok_k, cand, nidx)
+            found = found | ok_k
     if cfg.packed_reuse:
         from .reservoir_pack import pack_pt, unpack_pt
 
