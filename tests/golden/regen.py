@@ -66,6 +66,33 @@ np.savez_compressed(
 )
 print("wrote", dst2, "mean ldr", float(np.asarray(out2["ldr"]).mean()))
 
+# third golden: the feature frame (SkyDI + LVG + pairwise MIS + froxel
+# volumetrics + path options) -- pins the round-2/3 lighting machinery
+from zetaray_tpu.ops.restir_di import ReSTIRConfig
+from zetaray_tpu.ops.restir_gi import ReSTIRGIConfig
+from zetaray_tpu.ops.skydi import SkyDIConfig
+
+cfg3 = RenderConfig(
+    width=64, height=64, mode="restir_gi",
+    pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.8, 0.2)),
+                stochastic_multi_bounce=True, path_regularization=True),
+    restir=ReSTIRConfig(lvg_samples=2, spatial_mis="pairwise"),
+    restir_gi=ReSTIRGIConfig(boiling_suppression=True),
+    skydi=True, skydi_cfg=SkyDIConfig(spatial_mis="pairwise"),
+    volumetrics=VolumetricsConfig(), denoise=True, taa=True,
+)
+state3 = None
+for i in range(3):
+    out3, state3 = render_frame_restir_jit(
+        sc, cam.with_jitter(i), jax.random.PRNGKey(i), cfg3, state3
+    )
+dst4 = Path(__file__).parent / "cornell_features_64.npz"
+np.savez_compressed(
+    dst4, ldr=np.asarray(out3["ldr"]),
+    hdr=np.asarray(out3["hdr"]).astype(np.float32),
+)
+print("wrote", dst4, "mean ldr", float(np.asarray(out3["ldr"]).mean()))
+
 # TPU device-path golden (run ON the real chip: unset JAX_PLATFORMS first;
 # this block is skipped on CPU). Captures the pinned-seed 128^2 restir_gi
 # frame test_golden.test_golden_tpu_device_path compares against.

@@ -51,6 +51,48 @@ def test_golden_image(cornell_dev):
     assert (diff > 1).mean() < 0.005, (diff > 1).mean()
 
 
+def test_golden_feature_frame(cornell_dev):
+    """Third golden: the full feature frame -- SkyDI (pairwise) + LVG +
+    pairwise DI MIS + froxel volumetrics + path options (stochastic
+    multi-bounce, boiling suppression, path regularization). Pins the
+    round-2/3 lighting machinery against silent drift."""
+    gp = Path(__file__).parent / "golden" / "cornell_features_64.npz"
+    if not gp.exists():
+        pytest.skip("golden missing")
+    from zetaray_tpu.ops.pathtracer import PTConfig
+    from zetaray_tpu.ops.restir_di import ReSTIRConfig
+    from zetaray_tpu.ops.restir_gi import ReSTIRGIConfig
+    from zetaray_tpu.ops.sky import SkyParams
+    from zetaray_tpu.ops.skydi import SkyDIConfig
+    from zetaray_tpu.ops.volumetrics import VolumetricsConfig
+    from zetaray_tpu.render import RenderConfig
+    from zetaray_tpu.render.frame import render_frame_restir_jit
+    from zetaray_tpu.scene import Camera
+
+    cam = Camera.look_at((0, 1, 3.5), (0, 1, 0), vfov_deg=45, aspect=1.0)
+    cfg = RenderConfig(
+        width=64, height=64, mode="restir_gi",
+        pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.8, 0.2)),
+                    stochastic_multi_bounce=True, path_regularization=True),
+        restir=ReSTIRConfig(lvg_samples=2, spatial_mis="pairwise"),
+        restir_gi=ReSTIRGIConfig(boiling_suppression=True),
+        skydi=True, skydi_cfg=SkyDIConfig(spatial_mis="pairwise"),
+        volumetrics=VolumetricsConfig(), denoise=True, taa=True,
+    )
+    state = None
+    for i in range(3):
+        out, state = render_frame_restir_jit(
+            cornell_dev, cam.with_jitter(i), jax.random.PRNGKey(i), cfg, state
+        )
+    z = np.load(gp)
+    hdr = np.asarray(out["hdr"]).astype(np.float32)
+    np.testing.assert_allclose(hdr, z["hdr"], atol=5e-3, rtol=1e-3)
+    diff = np.abs(
+        np.asarray(out["ldr"]).astype(np.int32) - z["ldr"].astype(np.int32)
+    )
+    assert (diff > 1).mean() < 0.005, (diff > 1).mean()
+
+
 def test_golden_pt_sky_volumetrics(cornell_dev):
     """Second golden: pt mode + sun/sky + froxel inscattering (the
     atmosphere path the restir golden doesn't touch)."""
