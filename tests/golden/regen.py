@@ -34,20 +34,29 @@ ASSET = (
 
 sc = upload_scene(load_scene(ASSET))
 cam = Camera.look_at((0, 1, 3.5), (0, 1, 0), vfov_deg=45, aspect=1.0)
+
+# The three CPU-pinned goldens must only ever be written from the CPU
+# backend: a TPU capture differs by more than the tests' tolerance and
+# silently breaks CPU CI (round-3 postmortem). TPU mode writes only the
+# *_tpu golden below.
+_WRITE_CPU_GOLDENS = jax.default_backend() == "cpu"
+
 cfg = RenderConfig(
     width=64, height=64, mode="restir_gi", pt=PTConfig(max_bounces=2),
     denoise=True, taa=True,
 )
-state = None
-for i in range(3):
-    out, state = render_frame_restir_jit(
-        sc, cam.with_jitter(i), jax.random.PRNGKey(i), cfg, state
+if _WRITE_CPU_GOLDENS:
+    state = None
+    for i in range(3):
+        out, state = render_frame_restir_jit(
+            sc, cam.with_jitter(i), jax.random.PRNGKey(i), cfg, state
+        )
+    dst = Path(__file__).parent / "cornell_restir_gi_64.npz"
+    np.savez_compressed(
+        dst, ldr=np.asarray(out["ldr"]),
+        hdr=np.asarray(out["hdr"]).astype(np.float32),
     )
-dst = Path(__file__).parent / "cornell_restir_gi_64.npz"
-np.savez_compressed(
-    dst, ldr=np.asarray(out["ldr"]), hdr=np.asarray(out["hdr"]).astype(np.float32)
-)
-print("wrote", dst, "mean ldr", float(np.asarray(out["ldr"]).mean()))
+    print("wrote", dst, "mean ldr", float(np.asarray(out["ldr"]).mean()))
 
 # second golden: pt mode + sun/sky + froxel volumetrics (the atmosphere path)
 from zetaray_tpu.ops.sky import SkyParams
@@ -59,12 +68,14 @@ cfg2 = RenderConfig(
     pt=PTConfig(max_bounces=2, sky=SkyParams(sun_dir=(0.3, 0.7, 0.2))),
     volumetrics=VolumetricsConfig(),
 )
-out2 = render_frame_jit(sc, cam.with_jitter(0), jax.random.PRNGKey(0), cfg2)
-dst2 = Path(__file__).parent / "cornell_pt_sky_vol_64.npz"
-np.savez_compressed(
-    dst2, ldr=np.asarray(out2["ldr"]), hdr=np.asarray(out2["hdr"]).astype(np.float32)
-)
-print("wrote", dst2, "mean ldr", float(np.asarray(out2["ldr"]).mean()))
+if _WRITE_CPU_GOLDENS:
+    out2 = render_frame_jit(sc, cam.with_jitter(0), jax.random.PRNGKey(0), cfg2)
+    dst2 = Path(__file__).parent / "cornell_pt_sky_vol_64.npz"
+    np.savez_compressed(
+        dst2, ldr=np.asarray(out2["ldr"]),
+        hdr=np.asarray(out2["hdr"]).astype(np.float32),
+    )
+    print("wrote", dst2, "mean ldr", float(np.asarray(out2["ldr"]).mean()))
 
 # third golden: the feature frame (SkyDI + LVG + pairwise MIS + froxel
 # volumetrics + path options) -- pins the round-2/3 lighting machinery
@@ -81,17 +92,18 @@ cfg3 = RenderConfig(
     skydi=True, skydi_cfg=SkyDIConfig(spatial_mis="pairwise"),
     volumetrics=VolumetricsConfig(), denoise=True, taa=True,
 )
-state3 = None
-for i in range(3):
-    out3, state3 = render_frame_restir_jit(
-        sc, cam.with_jitter(i), jax.random.PRNGKey(i), cfg3, state3
+if _WRITE_CPU_GOLDENS:
+    state3 = None
+    for i in range(3):
+        out3, state3 = render_frame_restir_jit(
+            sc, cam.with_jitter(i), jax.random.PRNGKey(i), cfg3, state3
+        )
+    dst4 = Path(__file__).parent / "cornell_features_64.npz"
+    np.savez_compressed(
+        dst4, ldr=np.asarray(out3["ldr"]),
+        hdr=np.asarray(out3["hdr"]).astype(np.float32),
     )
-dst4 = Path(__file__).parent / "cornell_features_64.npz"
-np.savez_compressed(
-    dst4, ldr=np.asarray(out3["ldr"]),
-    hdr=np.asarray(out3["hdr"]).astype(np.float32),
-)
-print("wrote", dst4, "mean ldr", float(np.asarray(out3["ldr"]).mean()))
+    print("wrote", dst4, "mean ldr", float(np.asarray(out3["ldr"]).mean()))
 
 # TPU device-path golden (run ON the real chip: unset JAX_PLATFORMS first;
 # this block is skipped on CPU). Captures the pinned-seed 128^2 restir_gi
