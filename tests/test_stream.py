@@ -73,7 +73,7 @@ def test_stream_closest_matches_oracle(clustered, rng):
     o, d = _rays(rng)
     woop3 = s.woop.reshape(4, 3, -1)
     t, tri, u, v = closest_hit_stream(
-        woop3, s.cluster_aabb, o, d, interpret=True
+        woop3, s.woop_stream, s.cluster_aabb, o, d, interpret=True
     )
     v0 = np.asarray(s.v0)
     v1 = v0 + np.asarray(s.e1)
@@ -96,7 +96,7 @@ def test_stream_occlusion_matches_oracle(clustered, rng):
     s = clustered
     o, d = _rays(rng)
     occ = occlusion_stream(
-        s.woop.reshape(4, 3, -1), s.cluster_aabb, o, d,
+        s.woop_stream, s.cluster_aabb, o, d,
         t_min=1e-3, t_max=100.0, interpret=True,
     )
     ref = intersect_any(s, o, d, t_min=1e-3, t_max=100.0)

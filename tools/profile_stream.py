@@ -84,9 +84,15 @@ def main():
     print(f"overlap prepass ms: {timeit(f_mask, o_pri, d_pri):.3f}")
 
     f_closest = jax.jit(
-        lambda o, d: S.closest_hit_stream(woop3, sc.cluster_aabb, o, d)
+        lambda o, d: S.closest_hit_stream(
+            woop3, sc.woop_stream, sc.cluster_aabb, o, d
+        )
     )
-    f_occl = jax.jit(lambda o, d: S.occlusion_stream(woop3, sc.cluster_aabb, o, d))
+    f_occl = jax.jit(
+        lambda o, d: S.occlusion_stream(
+            sc.woop_stream, sc.cluster_aabb, o, d
+        )
+    )
 
     for name, (o, d) in {"primary": (o_pri, d_pri), "incoherent": (o_inc, d_inc)}.items():
         ms = timeit(f_closest, o, d)

@@ -353,7 +353,8 @@ def _closest_shaded_raw(scene, o, d, t_min=1e-4, t_max=None) -> ShadedHit:
             from .stream import closest_hit_stream
 
             t, tri, u, v = closest_hit_stream(
-                scene.woop.reshape(4, 3, -1), scene.cluster_aabb, o_p, d_p,
+                scene.woop.reshape(4, 3, -1), scene.woop_stream,
+                scene.cluster_aabb, o_p, d_p,
                 t_min=float(t_min), t_max=float(t_max),
             )
             tri = tri[:n]
@@ -388,7 +389,7 @@ def intersect_occluded(scene, o, d, t_min=1e-4, t_max=None) -> jnp.ndarray:
             from .stream import occlusion_stream
 
             occ = occlusion_stream(
-                scene.woop.reshape(4, 3, -1), scene.cluster_aabb, o_p, d_p,
+                scene.woop_stream, scene.cluster_aabb, o_p, d_p,
                 t_min=float(t_min), t_max=float(t_max),
             )
             return occ[:n]

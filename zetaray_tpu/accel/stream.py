@@ -8,34 +8,50 @@ RayQuery.hlsli:42-140):
   - the host BVH (accel.bvh, binned SAH) groups triangles into clusters of
     ``C`` (scene.upload_scene permutes + pads the triangle arrays so cluster
     c owns Woop lanes [c*C, (c+1)*C));
+  - rays are sorted into coherent shafts (direction octant + origin Morton
+    code) so every 256-ray subtile spans a tight origin box and direction
+    cone -- without this, secondary/GI ray tiles overlap EVERY cluster and
+    tile culling is useless (round-3 profile: 100% mask occupancy,
+    0.3 Mrays/s);
   - a cheap XLA pre-pass rates every (ray-subtile, cluster) pair with a
     conservative interval-arithmetic overlap test (origin box x direction
-    box vs cluster AABB; swept box for bounded segments) -> int32 mask in
-    SMEM;
-  - a Pallas kernel runs a grid of (ray supertiles x clusters): the ray
+    box vs cluster AABB) and produces, per ray *supertile*, a front-to-back
+    (shaft-entry t, bucket-ranked -- XLA argsort costs 1.7 ms where the
+    cumsum rank costs ~0.2) ordered visit list of overlapping clusters;
+  - a Pallas kernel runs a grid of (ray supertiles x visit slots) with the
+    cluster id scalar-prefetched from the visit list
+    (``pltpu.PrefetchScalarGridSpec``): culled clusters are never DMA'd at
+    all (visit slots past the count alias the last visited cluster, which
+    the pipeline recognises as "same block -> no fetch"), and the ray
     supertile (SoA rows [16, rt] per subtile: o, d, 1/d) stays RESIDENT in
-    VMEM across the whole cluster sweep while the Pallas pipeline streams
-    cluster Woop blocks from HBM double-buffered. Two culling levels skip
-    the Woop intersection block per subtile via ``@pl.when``: the SMEM mask
-    (geometry) and an in-kernel slab test against the rays' current best t
-    (early termination) -- tile-level culling instead of per-ray stacks,
-    the divergence-free TPU answer to BVH traversal (SURVEY.md hard parts
-    #1).
+    VMEM across the whole sweep. Inside a visit, two more culling levels
+    skip the intersection block per subtile via ``@pl.when``: the SMEM
+    subtile mask (geometry) and an in-kernel slab test against the rays'
+    current best t -- front-to-back order makes this early termination
+    effective. Tile-level culling instead of per-ray stacks: the
+    divergence-free TPU answer to BVH traversal (SURVEY.md hard parts #1).
+  - the closest kernel tracks only (best t, best tri): the winning
+    triangle's (u, v) are recomputed OUTSIDE the kernel from one 12-row XLA
+    gather, which deletes two [C, rt] select-reduce passes from every
+    visited pair (the epilogue was ~40% of per-pair cost).
 
-Everything keeps the megakernel's SoA-row layout ([*, rt] vectors, lane dim
-= rays): Mosaic needs static offsets to legalize the scalar any()-reductions
-driving @pl.when, which is also why the subtile loop is a static unroll.
+Layouts: the Woop table is pre-laid-out [M, 4, 3C] at scene upload
+(scene.stream_woop_layout) so cluster blocks stream contiguously; all
+[rows, M] pre-pass intermediates keep the axis dim MAJOR ([3, rows, M]) --
+a [rows, M, 3] form pads the minor dim 3 -> 128 under TPU tiling, a 40x
+memory bloat that cost 3 ms/call in round 3.
 
-Total HBM traffic: rays once + (supertiles x Woop table), independent of
-triangle count^2; compute scales with the *overlapping* (subtile, cluster)
-pairs only. Attributes for the winning triangle are fetched by one XLA
-gather afterwards (32 rows x N), NOT streamed -- the attribute table is
-2.7x the Woop data and only 1/C of it is ever needed.
+Total HBM traffic: rays once + (supertiles x *overlapping* Woop blocks);
+compute scales with the overlapping (subtile, cluster) pairs only.
+Attributes for the winning triangle are fetched by one XLA gather
+afterwards (32 rows x N), NOT streamed -- the attribute table is 2.7x the
+Woop data and only 1/C of it is ever needed.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,12 +59,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.vec3 import V3
-from .megakernel import _tri_hits_soa
 
 INF = 3.0e38
 RS = 4096  # rays per supertile (VMEM-resident)
 RT_SUB = 256  # rays per culling subtile
 R_ROWS = 16  # SoA ray rows: 0-2 o | 3-5 d | 6-8 1/d | 9-15 pad (8-multiple)
+MAX_SUPER = 64  # supertiles per pallas_call (bounds the SMEM visit list)
+NB = 32  # t-near rank buckets for the front-to-back visit order
 
 
 def _pick_rs(n_rays: int):
@@ -62,29 +79,34 @@ def _pick_rs(n_rays: int):
 _BIG_T = 2.0e38
 
 
-def _overlap_mask(o, d, aabb, rt, t_max):
-    """Conservative (subtile x cluster) overlap mask, [rows, M] int32.
+def _overlap_tnear(o, d, aabb, rt, t_max):
+    """Conservative (subtile x cluster) overlap, [rows, M].
 
     Interval-arithmetic slab test: the subtile is abstracted as the interval
     ray (origin box O, direction box D); per axis the t-interval that can
     reach the cluster slab is the interval quotient (C - O) / D, and the
     per-axis intervals are intersected like a scalar slab test. Every
     concrete ray's slab intervals lie inside these, so the test never culls
-    a true hit; narrow direction cones (coherent primary tiles) cull tightly
+    a true hit; narrow direction cones (coherent/sorted tiles) cull tightly
     because the cross-axis intersection captures the frustum.
+
+    Returns (mask int32 [rows, M], t_near f32 [rows, M]) where t_near is the
+    conservative shaft entry distance (INF where no overlap) -- the
+    front-to-back visit-order key. All [*, rows, M] intermediates keep the
+    axis dim major (see module docstring).
     """
     n = o.shape[0]
     rows = n // rt
-    o_r = o.reshape(rows, rt, 3)
-    d_r = d.reshape(rows, rt, 3)
-    olo = o_r.min(1)[:, None]  # [rows, 1, 3]
-    ohi = o_r.max(1)[:, None]
-    dlo = d_r.min(1)[:, None]
-    dhi = d_r.max(1)[:, None]
-    clo = aabb[None, :, 0:3]  # [1, M, 3]
-    chi = aabb[None, :, 3:6]
+    oT = o.T.reshape(3, rows, rt)
+    dT = d.T.reshape(3, rows, rt)
+    olo = oT.min(2)[..., None]  # [3, rows, 1]
+    ohi = oT.max(2)[..., None]
+    dlo = dT.min(2)[..., None]
+    dhi = dT.max(2)[..., None]
+    clo = aabb[:, 0:3].T[:, None, :]  # [3, 1, M]
+    chi = aabb[:, 3:6].T[:, None, :]
 
-    n_lo = clo - ohi  # numerator interval [n_lo, n_hi], [rows, M, 3]
+    n_lo = clo - ohi  # numerator interval [n_lo, n_hi], [3, rows, M]
     n_hi = chi - olo
     # interval quotient [n_lo, n_hi] / [dlo, dhi]; D spanning 0 -> unbounded
     zero_in = (dlo <= 0.0) & (dhi >= 0.0)
@@ -98,28 +120,177 @@ def _overlap_mask(o, d, aabb, rt, t_max):
     t_hi = jnp.maximum(jnp.maximum(q11, q12), jnp.maximum(q21, q22))
     t_lo = jnp.where(zero_in, -_BIG_T, t_lo)
     t_hi = jnp.where(zero_in, _BIG_T, t_hi)
-    t_near = jnp.maximum(t_lo.max(-1), 0.0)  # [rows, M]
-    t_far = jnp.minimum(t_hi.min(-1), t_max)
-    return (t_far >= t_near).astype(jnp.int32)
+    t_near = jnp.maximum(t_lo.max(0), 0.0)  # [rows, M]
+    t_far = jnp.minimum(t_hi.min(0), t_max)
+    ok = t_far >= t_near
+    return ok.astype(jnp.int32), jnp.where(ok, t_near, INF)
 
 
-def _mask_smem(mask, n_super, n_sub):
-    """[rows, M] -> ([n_super, M, n_sub, 1], [n_super, M, 1, 1]): per-grid-
-    step subtile flags + their supertile-level OR, both as SMEM blocks
-    (trailing dims equal array dims, satisfying Mosaic's block-shape rule).
-    The OR gates the whole subtile loop with ONE scalar read -- most grid
-    steps are fully culled and must cost ~nothing."""
+def _overlap_mask(o, d, aabb, rt, t_max):
+    """Mask-only form of :func:`_overlap_tnear` (profiling/tests)."""
+    return _overlap_tnear(o, d, aabb, rt, t_max)[0]
+
+
+def _visit_pairs(mask, tnear, n_super, n_sub):
+    """Flat (supertile, cluster) visit-pair list from the subtile overlap.
+
+    mask/tnear: [rows, M]. The Pallas grid runs EXACTLY the visited pairs
+    (dynamic grid size = total visit count): culled clusters cost nothing --
+    not even a no-op grid step (0.41 us each; a [16 supertile x 1398
+    cluster] static grid paid a 9.3 ms floor).
+
+    Returns
+      pair_i [Vmax] int32 -- supertile of each visit (monotone);
+      pair_c [Vmax] int32 -- cluster id, front-to-back (shaft-entry t,
+             NB-bucket rank; XLA argsort costs ~10x) within a supertile;
+      v      scalar int32 -- true pair count (the dynamic grid size);
+      msk    [Vmax, n_sub, 1] int32 -- subtile masks per pair (SMEM blocks);
+      touched [n_super] bool -- supertiles with at least one visit (the
+             caller resets outputs of untouched ones; their output blocks
+             are never written by the kernel).
+    """
     m = mask.shape[1]
-    sub = mask.reshape(n_super, n_sub, m).transpose(0, 2, 1)
-    return sub[..., None], sub.max(-1)[..., None, None]
+    vmax = n_super * m
+    msk = mask.reshape(n_super, n_sub, m)
+    tn = tnear.reshape(n_super, n_sub, m)
+    sup = msk.max(1) > 0  # [n_super, M]
+    tkey = jnp.where(sup, tn.min(1), INF)
+    cnt = sup.sum(1).astype(jnp.int32)
+    # bucketed t-near rank; within-bucket prefix counts via one strictly-
+    # lower-triangular MXU matmul (exact: 0/1 bf16 inputs, f32 accumulate)
+    tmax = jnp.max(jnp.where(sup, tkey, 0.0), axis=1, keepdims=True)
+    b = jnp.clip(
+        (tkey / jnp.maximum(tmax, 1e-20) * (NB - 2)).astype(jnp.int32),
+        0, NB - 2,
+    )
+    b = jnp.where(sup, b, NB - 1)
+    oneh = (b[:, :, None] == jnp.arange(NB, dtype=jnp.int32)).astype(jnp.bfloat16)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    tril = (jj < ii).astype(jnp.bfloat16)  # strictly lower
+    within = jax.lax.dot_general(
+        tril, oneh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [m, n_super, NB]: count of j < i in i's bucket
+    within = within.transpose(1, 0, 2)
+    hist = oneh.sum(1).astype(jnp.float32)  # [n_super, NB]
+    offs = jnp.cumsum(hist, axis=1) - hist
+    rank = (
+        jnp.take_along_axis(offs, b.astype(jnp.int32), axis=1)
+        + jnp.take_along_axis(within, b[:, :, None], axis=2)[..., 0]
+    ).astype(jnp.int32)
+    col = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (n_super, m))
+    order = jnp.zeros((n_super, m), jnp.int32)
+    order = order.at[jnp.arange(n_super)[:, None], rank].set(col)
+    # flatten per-supertile [0, cnt) prefixes into one pair list
+    starts = jnp.cumsum(cnt) - cnt  # [n_super]
+    v = cnt.sum()
+    q = jnp.arange(vmax, dtype=jnp.int32)
+    seg = jnp.zeros((vmax,), jnp.int32).at[starts[1:]].add(1)
+    pair_i = jnp.minimum(jnp.cumsum(seg), n_super - 1)
+    pos = q - starts[pair_i]
+    pos = jnp.clip(pos, 0, m - 1)
+    pair_c = order.reshape(-1)[pair_i * m + pos]
+    mt = msk.transpose(0, 2, 1).reshape(n_super * m, n_sub)
+    msk_p = mt[pair_i * m + pair_c]
+    return pair_i, pair_c, v, msk_p[..., None], cnt > 0
+
+
+# --------------------------------------------------------------------------
+# Ray sorting: shaft coherence for secondary rays
+# --------------------------------------------------------------------------
+
+
+def _morton_spread(x):
+    """Spread the low 10 bits of ``x`` (uint32) to every third bit."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _sort_perm(o, d, aabb):
+    """Shaft-coherence permutation: direction octant (3 bits) then origin
+    Morton code (29 bits) over the scene bounds. Returns (perm, inv) so that
+    sorted = x[perm] and original = sorted[inv]."""
+    n = o.shape[0]
+    lo = jnp.min(aabb[:, 0:3], axis=0)
+    hi = jnp.max(aabb[:, 3:6], axis=0)
+    q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+    qi = (q * 1023.0).astype(jnp.uint32)
+    mx = _morton_spread(qi[:, 0])
+    my = _morton_spread(qi[:, 1])
+    mz = _morton_spread(qi[:, 2])
+    morton = (mx << 2) | (my << 1) | mz
+    octant = (
+        ((d[:, 0] < 0).astype(jnp.uint32) << 2)
+        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+        | (d[:, 2] < 0).astype(jnp.uint32)
+    )
+    key = (octant << 29) | (morton >> 1)  # 3 + 29 bits
+    _, perm = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    return perm, inv
+
+
+# --------------------------------------------------------------------------
+# In-kernel intersection
+# --------------------------------------------------------------------------
+
+
+def _tri_hits_slice(w2, o: V3, d: V3, t_min, t_max, c, g, cs):
+    """Woop intersection of subcluster ``g`` (columns [g*cs, (g+1)*cs) of
+    each row band) against a ray subtile.
+
+    w2: [4, 3*c] pre-transposed Woop block -- column r*c+j holds row r of
+    triangle j's affine map, rows are the (x, y, z, const) coefficients.
+    Returns [cs, rt] t-or-INF (hit distances; misses are INF).
+
+    Broadcast-FMA on the VPU. An MXU dot_general form measured ~2x SLOWER
+    on v5e: the contraction dim is 4, so the MXU pads K 4->128 and wastes
+    97% of each pass.
+    """
+
+    def row(r):
+        wr = [
+            w2[k, r * c + g * cs : r * c + (g + 1) * cs][:, None]
+            for k in range(4)
+        ]
+        lo = (
+            wr[0] * o.x[None, :]
+            + wr[1] * o.y[None, :]
+            + wr[2] * o.z[None, :]
+            + wr[3]
+        )
+        ld = wr[0] * d.x[None, :] + wr[1] * d.y[None, :] + wr[2] * d.z[None, :]
+        return lo, ld
+
+    (ou, du) = row(0)
+    (ov, dv) = row(1)
+    (ow, dw) = row(2)
+    par = jnp.abs(dw) < 1e-12
+    t = -ow / jnp.where(par, 1.0, dw)
+    u = ou + t * du
+    v = ov + t * dv
+    valid = (
+        (~par) & (t > t_min) & (t < t_max) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    )
+    return jnp.where(valid, t, INF)
 
 
 def _rays_soa(o, d, rows, rt):
-    """[N, 3] o/d -> [rows, R_ROWS, rt] SoA ray rows (o, d, 1/d)."""
+    """[N, 3] o/d -> [rows, R_ROWS, rt] SoA ray rows (o, d, 1/d).
+
+    Built row-major ([R_ROWS, N] concat, then a major-axis transpose) -- the
+    [rows, rt, R_ROWS] -> transpose(0, 2, 1) form shuffles the minor dim and
+    cost 1.4 ms/call at 65k rays."""
     n = o.shape[0]
     safe = jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
-    r = jnp.concatenate([o, d, 1.0 / safe, jnp.zeros((n, R_ROWS - 9))], axis=1)
-    return r.reshape(rows, rt, R_ROWS).transpose(0, 2, 1)
+    r = jnp.concatenate(
+        [o.T, d.T, (1.0 / safe).T, jnp.zeros((R_ROWS - 9, n))], axis=0
+    )  # [R_ROWS, N]
+    return r.reshape(R_ROWS, rows, rt).transpose(1, 0, 2)
 
 
 def _slab_live(aabb6, r, best, t_min):
@@ -146,35 +317,34 @@ def _slab_live(aabb6, r, best, t_min):
     return jnp.sum(ok.astype(jnp.float32))
 
 
+# --------------------------------------------------------------------------
+# Kernels
+# --------------------------------------------------------------------------
+
+
+def _is_first_of_supertile(pi_ref, k):
+    """1 when grid step k is its supertile's first visit (output block init)."""
+    prev = pi_ref[jnp.maximum(k - 1, 0)]
+    return (k == 0) | (pi_ref[k] != prev)
+
+
 def _closest_stream_kernel(
-    smask_ref, mask_ref, aabb_ref, rays_ref, w_ref,
-    t_ref, tri_ref, u_ref, v_ref,
+    pi_ref, pc_ref, mask_ref, aabb_ref, rays_ref, w_ref,
+    t_ref, tri_ref,
     *, rt, c, t_min, t_max, n_sub,
 ):
-    j = pl.program_id(1)
+    k = pl.program_id(0)
 
-    @pl.when(j == 0)
+    @pl.when(_is_first_of_supertile(pi_ref, k))
     def _():
         t_ref[:] = jnp.full_like(t_ref, INF)
         tri_ref[:] = jnp.full_like(tri_ref, -1)
-        u_ref[:] = jnp.zeros_like(u_ref)
-        v_ref[:] = jnp.zeros_like(v_ref)
 
-    @pl.when(smask_ref[0, 0, 0, 0] > 0)
-    def _visit():
-        _closest_visit(
-            mask_ref, aabb_ref, rays_ref, w_ref, t_ref, tri_ref, u_ref, v_ref,
-            j=j, rt=rt, c=c, t_min=t_min, t_max=t_max, n_sub=n_sub,
-        )
-
-
-def _closest_visit(
-    mask_ref, aabb_ref, rays_ref, w_ref, t_ref, tri_ref, u_ref, v_ref,
-    *, j, rt, c, t_min, t_max, n_sub,
-):
-    aabb6 = tuple(aabb_ref[0, 0, 0, k] for k in range(6))
+    cluster = pc_ref[k]
+    aabb6 = tuple(aabb_ref[0, 0, 0, kk] for kk in range(6))
+    w2 = w_ref[0]
     for s in range(n_sub):  # static unroll: keeps layouts provable
-        @pl.when(mask_ref[0, 0, s, 0] > 0)
+        @pl.when(mask_ref[0, s, 0] > 0)
         def _(s=s):
             r = rays_ref[s]
             o = V3(r[0], r[1], r[2])
@@ -184,102 +354,31 @@ def _closest_visit(
 
             @pl.when(n_live > 0.0)
             def _():
-                t, u, v = _tri_hits_soa(w_ref[:], o, d, t_min, t_max, c)
+                t = _tri_hits_slice(w2, o, d, t_min, t_max, c, 0, c)
                 tmin = jnp.min(t, axis=0)
                 hit = tmin < INF
                 iota = jax.lax.broadcasted_iota(jnp.int32, (c, rt), 0)
                 is_min = t == tmin[None, :]
                 idx = jnp.max(jnp.where(is_min, iota, -1), axis=0)
-                sel = (iota == idx[None, :]) & hit[None, :]
-                u_best = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
-                v_best = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
-                better = tmin < t_ref[s]
+                better = (tmin < t_ref[s]) & hit
                 t_ref[s] = jnp.where(better, tmin, t_ref[s])
-                tri_ref[s] = jnp.where(better, j * c + idx, tri_ref[s])
-                u_ref[s] = jnp.where(better, u_best, u_ref[s])
-                v_ref[s] = jnp.where(better, v_best, v_ref[s])
-
-
-@functools.partial(jax.jit, static_argnames=("t_min", "t_max", "interpret"))
-def closest_hit_stream(woop3, aabb, o, d, t_min=1e-4, t_max=INF, interpret=False):
-    """Streaming closest hit. woop3: [4, 3, M*C] cluster-ordered Woop;
-    aabb: [M, 8] cluster bounds rows (lo.xyz, hi.xyz, pad); o/d: [N, 3].
-    Returns (t [N], tri [N] i32 cluster-slot id, u, v)."""
-    n = o.shape[0]
-    m = aabb.shape[0]
-    c = woop3.shape[2] // m
-    rs, rt = _pick_rs(n)
-    n_sub = rs // rt
-    rows = n // rt
-    n_super = n // rs
-    mask, smask = _mask_smem(_overlap_mask(o, d, aabb, rt, t_max), n_super, n_sub)
-    aabb4 = aabb.reshape(m, 1, 1, 8)
-    rays = _rays_soa(o, d, rows, rt)
-    grid = (n_super, m)
-    kernel = functools.partial(
-        _closest_stream_kernel, rt=rt, c=c, t_min=t_min, t_max=t_max,
-        n_sub=n_sub,
-    )
-    out_spec = pl.BlockSpec((n_sub, rt), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    t, tri, u, v = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, n_sub, 1), lambda i, j: (i, j, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, 8), lambda i, j: (j, 0, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (n_sub, R_ROWS, rt), lambda i, j: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((4, 3, c), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, rt), jnp.float32),
-            jax.ShapeDtypeStruct((rows, rt), jnp.int32),
-            jax.ShapeDtypeStruct((rows, rt), jnp.float32),
-            jax.ShapeDtypeStruct((rows, rt), jnp.float32),
-        ),
-        interpret=interpret,
-    )(smask, mask, aabb4, rays, woop3)
-    return t.reshape(n), tri.reshape(n), u.reshape(n), v.reshape(n)
+                tri_ref[s] = jnp.where(better, cluster * c + idx, tri_ref[s])
 
 
 def _occlusion_stream_kernel(
-    smask_ref, mask_ref, aabb_ref, rays_ref, w_ref, occ_ref,
+    pi_ref, pc_ref, mask_ref, aabb_ref, rays_ref, w_ref, occ_ref,
     *, rt, c, t_min, t_max, n_sub,
 ):
-    j = pl.program_id(1)
+    k = pl.program_id(0)
 
-    @pl.when(j == 0)
+    @pl.when(_is_first_of_supertile(pi_ref, k))
     def _():
         occ_ref[:] = jnp.zeros_like(occ_ref)
 
-    @pl.when(smask_ref[0, 0, 0, 0] > 0)
-    def _visit():
-        _occlusion_visit(
-            mask_ref, aabb_ref, rays_ref, w_ref, occ_ref,
-            j=j, rt=rt, c=c, t_min=t_min, t_max=t_max, n_sub=n_sub,
-        )
-
-
-def _occlusion_visit(
-    mask_ref, aabb_ref, rays_ref, w_ref, occ_ref,
-    *, j, rt, c, t_min, t_max, n_sub,
-):
-    aabb6 = tuple(aabb_ref[0, 0, 0, k] for k in range(6))
+    aabb6 = tuple(aabb_ref[0, 0, 0, kk] for kk in range(6))
+    w2 = w_ref[0]
     for s in range(n_sub):  # static unroll (see closest kernel)
-        @pl.when(mask_ref[0, 0, s, 0] > 0)
+        @pl.when(mask_ref[0, s, 0] > 0)
         def _(s=s):
             r = rays_ref[s]
             o = V3(r[0], r[1], r[2])
@@ -290,56 +389,175 @@ def _occlusion_visit(
 
             @pl.when(n_live > 0.0)
             def _():
-                t, _, _ = _tri_hits_soa(w_ref[:], o, d, t_min, t_max, c)
+                t = _tri_hits_slice(w2, o, d, t_min, t_max, c, 0, c)
                 any_hit = jnp.min(t, axis=0) < INF
                 occ_ref[s] = occ_ref[s] | any_hit.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "t_max", "interpret"))
-def occlusion_stream(woop3, aabb, o, d, t_min=1e-4, t_max=INF, interpret=False):
-    """Streaming any-hit occlusion (segment query when d is unnormalized and
-    t in (t_min, t_max) spans the segment). Returns bool [N]."""
+# --------------------------------------------------------------------------
+# Host-side wrappers
+# --------------------------------------------------------------------------
+
+
+def _stream_call(
+    kernel_fn, outs, miss_vals, woop4, aabb, o, d,
+    t_min, t_max, interpret,
+):
+    """Shared launch: flat visit-pair list + dynamic-grid pallas_call,
+    chunked over at most MAX_SUPER supertiles so the SMEM pair list stays
+    bounded. ``miss_vals``: per-output fill for supertiles with zero visits
+    (their output blocks are never written by the kernel)."""
     n = o.shape[0]
     m = aabb.shape[0]
-    c = woop3.shape[2] // m
+    c = woop4.shape[2] // 3
     rs, rt = _pick_rs(n)
     n_sub = rs // rt
     rows = n // rt
     n_super = n // rs
-    mask, smask = _mask_smem(_overlap_mask(o, d, aabb, rt, t_max), n_super, n_sub)
+    mask, tnear = _overlap_tnear(o, d, aabb, rt, t_max)
     aabb4 = aabb.reshape(m, 1, 1, 8)
     rays = _rays_soa(o, d, rows, rt)
-    grid = (n_super, m)
+
     kernel = functools.partial(
-        _occlusion_stream_kernel, rt=rt, c=c, t_min=t_min, t_max=t_max,
-        n_sub=n_sub,
+        kernel_fn, rt=rt, c=c, t_min=t_min, t_max=t_max, n_sub=n_sub
     )
-    occ = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 1, 1), lambda i, j: (i, j, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, n_sub, 1), lambda i, j: (i, j, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, 8), lambda i, j: (j, 0, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (n_sub, R_ROWS, rt), lambda i, j: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((4, 3, c), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (n_sub, rt), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    out_spec = pl.BlockSpec(
+        (n_sub, rt), lambda k, pi, pc: (pi[k], 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (1, n_sub, 1), lambda k, pi, pc: (k, 0, 0),
+            memory_space=pltpu.SMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((rows, rt), jnp.int32),
-        interpret=interpret,
-    )(smask, mask, aabb4, rays, woop3)
-    return occ.reshape(n).astype(bool)
+        pl.BlockSpec(
+            (1, 1, 1, 8), lambda k, pi, pc: (pc[k], 0, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec(
+            (n_sub, R_ROWS, rt), lambda k, pi, pc: (pi[k], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 4, 3 * c), lambda k, pi, pc: (pc[k], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+
+    n_chunk = -(-n_super // MAX_SUPER)  # ceil
+    per = -(-n_super // n_chunk)
+    results = []
+    for ck in range(n_chunk):
+        lo_s = ck * per
+        hi_s = min((ck + 1) * per, n_super)
+        ns_k = hi_s - lo_s
+        msel = mask[lo_s * n_sub : hi_s * n_sub]
+        tsel = tnear[lo_s * n_sub : hi_s * n_sub]
+        pair_i, pair_c, v, msk, touched = _visit_pairs(msel, tsel, ns_k, n_sub)
+        rows_k = ns_k * n_sub
+        out_shapes = tuple(
+            jax.ShapeDtypeStruct((rows_k, rt), dt) for dt in outs
+        )
+        out_specs = out_spec if len(outs) == 1 else tuple(out_spec for _ in outs)
+        res = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(v,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            out_shape=out_shapes if len(outs) > 1 else out_shapes[0],
+            interpret=interpret,
+        )(pair_i, pair_c, msk, aabb4, rays[lo_s * n_sub : hi_s * n_sub], woop4)
+        if len(outs) == 1:
+            res = (res,)
+        ok = jnp.repeat(touched, n_sub)[:, None]  # [rows_k, 1]
+        res = tuple(
+            jnp.where(ok, r, jnp.asarray(mv, dtype=r.dtype))
+            for r, mv in zip(res, miss_vals)
+        )
+        results.append(res)
+    if n_chunk == 1:
+        return results[0]
+    return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*results))
+
+
+def _uv_postpass(woop3, tri, o, d, t_min, t_max):
+    """Recompute (t, u, v) for each ray's winning triangle from a 12-row
+    gather -- the kernel only tracks (t, tri), saving two [C, rt] passes per
+    visited pair. Same Woop math as in-kernel, so results agree to fp."""
+    safe = jnp.maximum(tri, 0)
+    w = woop3[:, :, safe]  # [4, 3, N]
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+
+    def row(r):
+        lo = w[0, r] * ox + w[1, r] * oy + w[2, r] * oz + w[3, r]
+        ld = w[0, r] * dx + w[1, r] * dy + w[2, r] * dz
+        return lo, ld
+
+    ou, du = row(0)
+    ov, dv = row(1)
+    ow, dw = row(2)
+    par = jnp.abs(dw) < 1e-12
+    t = -ow / jnp.where(par, 1.0, dw)
+    u = ou + t * du
+    v = ov + t * dv
+    hit = tri >= 0
+    return (
+        jnp.where(hit, t, INF),
+        jnp.where(hit, u, 0.0),
+        jnp.where(hit, v, 0.0),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_min", "t_max", "interpret", "sort")
+)
+def closest_hit_stream(
+    woop3, woop_stream, aabb, o, d,
+    t_min=1e-4, t_max=INF, interpret=False, sort=True,
+):
+    """Streaming closest hit. woop3: [4, 3, M*C] cluster-ordered Woop (used
+    for the winning-triangle uv gather); woop_stream: [M, 4, 3C] kernel
+    layout (scene.stream_woop_layout); aabb: [M, 8] cluster bounds rows
+    (lo.xyz, hi.xyz, pad); o/d: [N, 3].
+    Returns (t [N], tri [N] i32 cluster-slot id, u, v)."""
+    if sort:
+        perm, inv = _sort_perm(o, d, aabb)
+        o, d = o[perm], d[perm]
+    n = o.shape[0]
+    _, tri = _stream_call(
+        _closest_stream_kernel,
+        (jnp.float32, jnp.int32), (INF, -1),
+        woop_stream, aabb, o, d, t_min, t_max, interpret,
+    )
+    tri = tri.reshape(n)
+    t, u, v = _uv_postpass(woop3, tri, o, d, t_min, t_max)
+    if sort:
+        t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
+    return t, tri, u, v
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_min", "t_max", "interpret", "sort")
+)
+def occlusion_stream(
+    woop_stream, aabb, o, d,
+    t_min=1e-4, t_max=INF, interpret=False, sort=True,
+):
+    """Streaming any-hit occlusion (segment query when d is unnormalized and
+    t in (t_min, t_max) spans the segment). woop_stream: [M, 4, 3C] kernel
+    layout. Returns bool [N]."""
+    if sort:
+        perm, inv = _sort_perm(o, d, aabb)
+        o, d = o[perm], d[perm]
+    n = o.shape[0]
+    (occ,) = _stream_call(
+        _occlusion_stream_kernel, (jnp.int32,), (0,),
+        woop_stream, aabb, o, d, t_min, t_max, interpret,
+    )
+    occ = occ.reshape(n)
+    if sort:
+        occ = occ[inv]
+    return occ.astype(bool)

@@ -142,9 +142,13 @@ def refit_scene(scene: SceneBuffers, delta_pos, delta_nrm) -> SceneBuffers:
     hi = jnp.max(jnp.where(vmask[:, None, None], pts, -big), axis=(0, 1))
 
     cluster_aabb = scene.cluster_aabb
+    woop_stream = scene.woop_stream
     if cluster_aabb is not None:
+        from .scene import stream_woop_layout
+
         m = cluster_aabb.shape[0]
         c = scene.v0.shape[0] // m
+        woop_stream = stream_woop_layout(woop, m, c)
         cpts = pts[: m * c].reshape(m, c * 3, 3)
         cmask = vmask[: m * c].repeat(3).reshape(m, c * 3)
         clo = jnp.min(jnp.where(cmask[..., None], cpts, big), axis=1)
@@ -172,4 +176,5 @@ def refit_scene(scene: SceneBuffers, delta_pos, delta_nrm) -> SceneBuffers:
         world_lo=lo,
         world_hi=hi,
         cluster_aabb=cluster_aabb,
+        woop_stream=woop_stream,
     )

@@ -345,6 +345,12 @@ class SceneBuffers:
     # set, the triangle arrays are cluster-ordered: cluster c owns slots
     # [c*CLUSTER_SIZE, (c+1)*CLUSTER_SIZE) with degenerate padding.
     cluster_aabb: jnp.ndarray | None = None
+    # Stream-traversal Woop layout [M, 4, 3*CLUSTER_SIZE]: per-cluster
+    # contiguous blocks, pre-transposed for accel.stream's in-kernel form
+    # (column r*C+j of cluster block = Woop row r of triangle j). Cached at
+    # upload (and refreshed by refit) -- the relayout transpose costs ~1.5 ms
+    # per call at 229k tris if done per trace.
+    woop_stream: jnp.ndarray | None = None
     # alpha-cutout atlas [K, ALPHA_RES, ALPHA_RES] (alpha channel of the
     # base-color texture of MASK-mode materials, resampled); None when no
     # material uses alpha masking. Traversal tests opacity against it
@@ -392,6 +398,14 @@ CLUSTER_SIZE = 256
 CLUSTER_THRESHOLD = 8192
 
 
+def stream_woop_layout(woop, m: int, c: int):
+    """Device-side [4, 3*Tp] Woop -> [M, 4, 3C] stream layout (accel.stream
+    kernel operand: per-cluster contiguous, MXU/VPU-sliceable rows)."""
+    tp = woop.shape[1] // 3
+    w3 = woop.reshape(4, 3, tp)[:, :, : m * c]
+    return w3.reshape(4, 3, m, c).transpose(2, 0, 1, 3).reshape(m, 4, 3 * c)
+
+
 def _clusterize(cpu: CpuScene, c: int):
     """Reorder triangles into BVH-leaf clusters padded to ``c`` slots.
 
@@ -417,10 +431,15 @@ def _clusterize(cpu: CpuScene, c: int):
 
     inv = np.full(t, -1, np.int64)
     inv[slot_src[valid]] = np.nonzero(valid)[0]
-    # pad slots collapse to a real vertex: zero area (every ray misses, Woop
-    # transform degenerates to 0) without inflating the world AABB
+    # pad slots collapse to a real vertex OF THEIR OWN CLUSTER: zero area
+    # (every ray misses, Woop transform degenerates to 0) without inflating
+    # the cluster/subcluster AABBs (slot k*c is always valid: leaves are
+    # filled from the front and count >= 1)
     v0n, v1n, v2n = take(cpu.v0), take(cpu.v1), take(cpu.v2)
-    v0n[~valid] = v1n[~valid] = v2n[~valid] = cpu.v0[0]
+    fill = v0n[(np.arange(m * c) // c) * c]
+    v0n[~valid] = fill[~valid]
+    v1n[~valid] = fill[~valid]
+    v2n[~valid] = fill[~valid]
     new = CpuScene(
         v0=v0n, v1=v1n, v2=v2n,
         n0=take(cpu.n0), n1=take(cpu.n1), n2=take(cpu.n2),
@@ -641,5 +660,12 @@ def upload_scene(
         world_lo=jnp.asarray(cpu.aabb()[0], jnp.float32),
         world_hi=jnp.asarray(cpu.aabb()[1], jnp.float32),
         cluster_aabb=cluster_aabb,
+        woop_stream=(
+            stream_woop_layout(
+                jnp.asarray(woop), cluster_aabb.shape[0], cluster_size
+            )
+            if cluster_aabb is not None
+            else None
+        ),
         alpha_tex=jnp.asarray(alpha_atlas) if alpha_atlas is not None else None,
     )
