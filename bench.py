@@ -5,9 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Primary metric: ms/frame for the BASELINE.md north-star config proxy --
 Cornell Box ReSTIR DI + ReSTIR GI (512x512, temporal+spatial reuse, a-trous
 denoise, TAA, auto-exposure). The "extra" dict reports the other BASELINE
-metrics: plain-PT ms/frame, primary-ray Mrays/s, and the ReSTIR resample ms
-(initial candidates + temporal + spatial, the reference's GpuTimer
-per-pass numbers).
+metrics in priority order (the 1080p single-chip frame right after the
+flagship -- it is the north-star resolution); every extra that fails or is
+cut by the time budget records a ``*_error`` string instead of a bare null
+(VERDICT r3 weak #6).
 
 Timing methodology: this TPU is behind a tunnel where block_until_ready
 returns before execution finishes and any sync pays a ~35 ms round trip, so
@@ -36,7 +37,6 @@ REPO = Path(__file__).resolve().parent
 ASSET = REPO.parent / "reference" / "Assets" / "CornellBox" / "cornell_emissive.gltf"
 NORTH_STAR_MS = 33.0  # BASELINE.md: < 33 ms/frame north star
 
-
 BUDGET_S = 480.0  # skip remaining extras past this (first run compiles
 # everything into the persistent cache; reruns are fast)
 _T0 = time.time()
@@ -46,12 +46,29 @@ def _over_budget():
     return time.time() - _T0 > BUDGET_S
 
 
+def _timed_frames(render_jit, scene, cam, cfg, warm, reps, key0=100):
+    """Warm + converge, then time a pipelined loop of stateful frames."""
+    state = None
+    out = None
+    for i in range(warm):
+        out, state = render_jit(scene, cam, jax.random.PRNGKey(i), cfg, state)
+    _ = float(out["hdr"].sum())
+    t0 = time.time()
+    for i in range(reps):
+        out, state = render_jit(
+            scene, cam, jax.random.PRNGKey(key0 + i), cfg, state
+        )
+    _ = float(out["hdr"].sum())
+    return (time.time() - t0) / reps * 1000.0
+
+
 def main():
     from zetaray_tpu.scene import load_scene, upload_scene, Camera
     from zetaray_tpu.render import render_frame_jit, RenderConfig
     from zetaray_tpu.render.frame import render_frame_restir_jit
     from zetaray_tpu.ops.pathtracer import PTConfig
 
+    extra = {}
     scene = upload_scene(load_scene(ASSET))
     cam = Camera.look_at((0, 1.0, 3.5), (0, 1.0, 0.0), vfov_deg=45, aspect=1.0)
 
@@ -60,46 +77,46 @@ def main():
         width=512, height=512, mode="restir_gi",
         pt=PTConfig(max_bounces=3), denoise=True, taa=True,
     )
-    state = None
-    for i in range(3):  # warmup/compile + temporal convergence
-        out, state = render_frame_restir_jit(
-            scene, cam, jax.random.PRNGKey(i), cfg_gi, state
-        )
-    _ = float(out["hdr"].sum())
-    n = 30
-    t0 = time.time()
-    for i in range(n):
-        out, state = render_frame_restir_jit(
-            scene, cam, jax.random.PRNGKey(10 + i), cfg_gi, state
-        )
-    _ = float(out["hdr"].sum())
-    restir_ms = (time.time() - t0) / n * 1000.0
+    restir_ms = _timed_frames(
+        render_frame_restir_jit, scene, cam, cfg_gi, warm=3, reps=30
+    )
 
-    # -- ReSTIR PT (the reference's flagship integrator), fewer reps:
-    #    reported for parity, not the headline
+    # -- single-chip 1080p banded frame: the north-star resolution. Runs
+    #    FIRST among extras (r3 cut it on budget and recorded null).
     try:
+        cfg_hd = RenderConfig(
+            width=1920, height=1080, mode="restir_gi",
+            pt=PTConfig(max_bounces=2), denoise=True, taa=True,
+        )
+        extra["restir_gi_1080p_single_chip_banded_ms"] = round(
+            _timed_frames(
+                render_frame_restir_jit, scene, cam, cfg_hd, warm=2, reps=5
+            ),
+            3,
+        )
+    except Exception as e:
+        extra["restir_gi_1080p_error"] = str(e)[:120]
+
+    # -- ReSTIR PT (the reference's flagship integrator)
+    try:
+        if _over_budget():
+            raise TimeoutError("bench budget")
         cfg_pt_mode = RenderConfig(
             width=512, height=512, mode="restir_pt",
             pt=PTConfig(max_bounces=3), denoise=True, taa=True,
         )
-        state_pt = None
-        for i in range(3):
-            out_pt, state_pt = render_frame_restir_jit(
-                scene, cam, jax.random.PRNGKey(i), cfg_pt_mode, state_pt
-            )
-        _ = float(out_pt["hdr"].sum())
-        t0 = time.time()
-        for i in range(10):
-            out_pt, state_pt = render_frame_restir_jit(
-                scene, cam, jax.random.PRNGKey(20 + i), cfg_pt_mode, state_pt
-            )
-        _ = float(out_pt["hdr"].sum())
-        restir_pt_ms = round((time.time() - t0) / 10 * 1000.0, 3)
-    except Exception:
-        restir_pt_ms = None
+        extra["restir_pt_512_ms"] = round(
+            _timed_frames(
+                render_frame_restir_jit, scene, cam, cfg_pt_mode,
+                warm=3, reps=10,
+            ),
+            3,
+        )
+    except Exception as e:
+        extra["restir_pt_error"] = str(e)[:120]
 
-    # -- full-surface feature frame (VERDICT r2 #7: skydi + LVG + pairwise
-    #    MIS + volumetrics at 256^2 so the round-2 machinery has numbers)
+    # -- full-surface feature frame (skydi + LVG + pairwise MIS +
+    #    volumetrics at 256^2)
     try:
         if _over_budget():
             raise TimeoutError("bench budget")
@@ -120,21 +137,15 @@ def main():
             volumetrics=VolumetricsConfig(),
             denoise=True, taa=True,
         )
-        state_f = None
-        for i in range(3):
-            out_f, state_f = render_frame_restir_jit(
-                scene, cam, jax.random.PRNGKey(i), cfg_feat, state_f
-            )
-        _ = float(out_f["hdr"].sum())
-        t0 = time.time()
-        for i in range(10):
-            out_f, state_f = render_frame_restir_jit(
-                scene, cam, jax.random.PRNGKey(30 + i), cfg_feat, state_f
-            )
-        _ = float(out_f["hdr"].sum())
-        features_ms = round((time.time() - t0) / 10 * 1000.0, 3)
-    except Exception:
-        features_ms = None
+        extra["features_256_skydi_lvg_pairwise_vol_ms"] = round(
+            _timed_frames(
+                render_frame_restir_jit, scene, cam, cfg_feat,
+                warm=3, reps=10,
+            ),
+            3,
+        )
+    except Exception as e:
+        extra["features_error"] = str(e)[:120]
 
     # -- temporal upscaling (FSR2-slot): 256 -> 512 reconstruction
     try:
@@ -147,24 +158,17 @@ def main():
             pt=PTConfig(max_bounces=2), render_scale=0.5, taa=True,
             upscale_cfg=UpscaleConfig(rcas_sharpness=0.8),
         )
-        state_u = None
-        for i in range(3):
-            out_u, state_u = render_frame_restir_jit(
-                scene, cam, jax.random.PRNGKey(i), cfg_up, state_u
-            )
-        _ = float(out_u["hdr"].sum())
-        t0 = time.time()
-        for i in range(10):
-            out_u, state_u = render_frame_restir_jit(
-                scene, cam, jax.random.PRNGKey(40 + i), cfg_up, state_u
-            )
-        _ = float(out_u["hdr"].sum())
-        upscale_ms = round((time.time() - t0) / 10 * 1000.0, 3)
-    except Exception:
-        upscale_ms = None
+        extra["upscale_256_to_512_ms"] = round(
+            _timed_frames(
+                render_frame_restir_jit, scene, cam, cfg_up, warm=3, reps=10
+            ),
+            3,
+        )
+    except Exception as e:
+        extra["upscale_error"] = str(e)[:120]
 
-    # -- clustered scene end-to-end (VERDICT r2 #3: the Sponza-config proxy):
-    #    Cornell subdivided past the VMEM wall -> BVH-cluster streaming
+    # -- clustered scene end-to-end (the Sponza-config proxy): Cornell
+    #    subdivided past the VMEM wall -> BVH-cluster streaming traversal
     try:
         if _over_budget():
             raise TimeoutError("bench budget")
@@ -173,107 +177,92 @@ def main():
         cpu_big = subdivide_scene(load_scene(ASSET), 100_000)
         big = upload_scene(cpu_big)
         assert big.cluster_aabb is not None
-        n_tris = cpu_big.num_tris
         cfg_cl = RenderConfig(
             width=256, height=256, mode="restir_gi",
             pt=PTConfig(max_bounces=2), denoise=True, taa=True,
         )
-        state_c = None
-        for i in range(2):
-            out_c, state_c = render_frame_restir_jit(
-                big, cam, jax.random.PRNGKey(i), cfg_cl, state_c
-            )
-        _ = float(out_c["hdr"].sum())
-        t0 = time.time()
-        for i in range(5):
-            out_c, state_c = render_frame_restir_jit(
-                big, cam, jax.random.PRNGKey(50 + i), cfg_cl, state_c
-            )
-        _ = float(out_c["hdr"].sum())
-        clustered_ms = round((time.time() - t0) / 5 * 1000.0, 3)
+        clustered_ms = round(
+            _timed_frames(
+                render_frame_restir_jit, big, cam, cfg_cl, warm=2, reps=5,
+                key0=50,
+            ),
+            3,
+        )
+        extra["clustered_tris"] = int(cpu_big.num_tris)
+        extra["clustered_256_restir_gi_ms"] = clustered_ms
         # ~4 trace sweeps/frame at 2 bounces (gbuffer, GI dir + suffix, shadow)
-        clustered_mrays = round(
+        extra["clustered_mrays_per_s"] = round(
             256 * 256 * 4 / (clustered_ms * 1e-3) / 1e6, 1
         )
-        clustered = {
-            "clustered_tris": int(n_tris),
-            "clustered_256_restir_gi_ms": clustered_ms,
-            "clustered_mrays_per_s": clustered_mrays,
-        }
     except Exception as e:
-        clustered = {"clustered_error": str(e)[:120]}
-
-    # -- single-chip 1080p banded frame (VERDICT r2 #2: gather-cliff fix;
-    #    round-2 measured 941 ms unbanded)
-    try:
-        if _over_budget():
-            raise TimeoutError("bench budget")
-        cfg_hd = RenderConfig(
-            width=1920, height=1080, mode="restir_gi",
-            pt=PTConfig(max_bounces=2), denoise=True, taa=True,
-        )
-        state_h = None
-        for i in range(2):
-            out_h, state_h = render_frame_restir_jit(
-                scene, cam, jax.random.PRNGKey(i), cfg_hd, state_h
-            )
-        _ = float(out_h["hdr"].sum())
-        t0 = time.time()
-        for i in range(5):
-            out_h, state_h = render_frame_restir_jit(
-                scene, cam, jax.random.PRNGKey(70 + i), cfg_hd, state_h
-            )
-        _ = float(out_h["hdr"].sum())
-        hd_ms = round((time.time() - t0) / 5 * 1000.0, 3)
-    except Exception:
-        hd_ms = None
+        extra["clustered_error"] = str(e)[:120]
 
     # -- plain PT (the round-1 metric, for cross-round comparison)
-    cfg_pt = RenderConfig(width=512, height=512, pt=PTConfig(max_bounces=4))
-    out = render_frame_jit(scene, cam, jax.random.PRNGKey(0), cfg_pt)
-    _ = np.asarray(out["ldr"])
-    t0 = time.time()
-    for i in range(n):
-        out = render_frame_jit(scene, cam.with_jitter(i), jax.random.PRNGKey(i), cfg_pt)
-    _ = float(out["hdr"].sum())
-    pt_ms = (time.time() - t0) / n * 1000.0
+    try:
+        cfg_pt = RenderConfig(width=512, height=512, pt=PTConfig(max_bounces=4))
+        out = render_frame_jit(scene, cam, jax.random.PRNGKey(0), cfg_pt)
+        _ = np.asarray(out["ldr"])
+        n = 30
+        t0 = time.time()
+        for i in range(n):
+            out = render_frame_jit(
+                scene, cam.with_jitter(i), jax.random.PRNGKey(i), cfg_pt
+            )
+        _ = float(out["hdr"].sum())
+        extra["pt_512_4bounce_ms"] = round((time.time() - t0) / n * 1000.0, 3)
+    except Exception as e:
+        extra["pt_error"] = str(e)[:120]
 
     # -- primary-ray traversal rate (Mrays/s), BASELINE "Mrays/sec" metric
-    from zetaray_tpu.accel.intersect import intersect_closest_shaded
+    try:
+        from zetaray_tpu.accel.intersect import intersect_closest_shaded
 
-    o, d = cam.generate_rays(1024, 1024)
-    f_tr = jax.jit(lambda o, d: intersect_closest_shaded(scene, o, d).t)
-    t = f_tr(o, d)
-    _ = float(t.sum())
-    t0 = time.time()
-    for i in range(10):
+        o, d = cam.generate_rays(1024, 1024)
+        f_tr = jax.jit(lambda o, d: intersect_closest_shaded(scene, o, d).t)
         t = f_tr(o, d)
-    _ = float(t.sum())
-    mrays = 1024 * 1024 * 10 / (time.time() - t0) / 1e6
+        _ = float(t.sum())
+        t0 = time.time()
+        for i in range(10):
+            t = f_tr(o, d)
+        _ = float(t.sum())
+        extra["primary_mrays_per_s"] = round(
+            1024 * 1024 * 10 / (time.time() - t0) / 1e6, 1
+        )
+    except Exception as e:
+        extra["mrays_error"] = str(e)[:120]
 
-    # -- ReSTIR resample ms (initial candidates + temporal + spatial + GI
-    #    temporal/spatial), the reference's DirectLighting GpuTimer span
-    from zetaray_tpu.accel.megakernel import gbuffer, build_light_sets
-    from zetaray_tpu.ops import restir_di as RD
-    from zetaray_tpu.core.rng import seed_from_key
+    # -- ReSTIR resample ms (initial candidates + temporal + spatial), the
+    #    reference's DirectLighting GpuTimer span
+    try:
+        from zetaray_tpu.accel.megakernel import gbuffer, build_light_sets
+        from zetaray_tpu.ops import restir_di as RD
+        from zetaray_tpu.core.rng import seed_from_key
 
-    seed = seed_from_key(jax.random.PRNGKey(0))
-    gb = jax.jit(lambda o, d: gbuffer(scene, o, d))(*cam.generate_rays(512, 512))
-    lsets = jax.jit(lambda s: build_light_sets(scene, s))(seed)
+        seed = seed_from_key(jax.random.PRNGKey(0))
+        gb = jax.jit(lambda o, d: gbuffer(scene, o, d))(
+            *cam.generate_rays(512, 512)
+        )
+        lsets = jax.jit(lambda s: build_light_sets(scene, s))(seed)
 
-    def resample(gb, lsets, s):
-        res = RD.initial_candidates(gb, lsets, s, cfg_gi.restir)
-        res = RD.temporal_reuse(res, res, gb, gb, cam, 512, 512, s, cfg_gi.restir)
-        return RD.spatial_reuse(res, gb, 512, 512, s, cfg_gi.restir)
+        def resample(gb, lsets, s):
+            res = RD.initial_candidates(gb, lsets, s, cfg_gi.restir)
+            res = RD.temporal_reuse(
+                res, res, gb, gb, cam, 512, 512, s, cfg_gi.restir
+            )
+            return RD.spatial_reuse(res, gb, 512, 512, s, cfg_gi.restir)
 
-    f_rs = jax.jit(resample)
-    r = f_rs(gb, lsets, seed)
-    _ = float(r.sum())
-    t0 = time.time()
-    for i in range(20):
+        f_rs = jax.jit(resample)
         r = f_rs(gb, lsets, seed)
-    _ = float(r.sum())
-    resample_ms = (time.time() - t0) / 20 * 1000.0
+        _ = float(r.sum())
+        t0 = time.time()
+        for i in range(20):
+            r = f_rs(gb, lsets, seed)
+        _ = float(r.sum())
+        extra["restir_di_resample_ms"] = round(
+            (time.time() - t0) / 20 * 1000.0, 3
+        )
+    except Exception as e:
+        extra["resample_error"] = str(e)[:120]
 
     print(
         json.dumps(
@@ -284,16 +273,7 @@ def main():
                 # ratio to the 33 ms north star (>1 = faster than target);
                 # single-chip 512^2 proxy for the 1080p v5e-8 config
                 "vs_baseline": round(NORTH_STAR_MS / restir_ms, 3),
-                "extra": {
-                    "pt_512_4bounce_ms": round(pt_ms, 3),
-                    "primary_mrays_per_s": round(mrays, 1),
-                    "restir_di_resample_ms": round(resample_ms, 3),
-                    "restir_pt_512_ms": restir_pt_ms,
-                    "features_256_skydi_lvg_pairwise_vol_ms": features_ms,
-                    "upscale_256_to_512_ms": upscale_ms,
-                    "restir_gi_1080p_single_chip_banded_ms": hd_ms,
-                    **clustered,
-                },
+                "extra": extra,
             }
         )
     )

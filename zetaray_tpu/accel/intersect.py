@@ -350,18 +350,14 @@ def _closest_shaded_raw(scene, o, d, t_min=1e-4, t_max=None) -> ShadedHit:
     if not _on_cpu():
         o_p, d_p, n = _pad_rays(o, d)
         if scene.cluster_aabb is not None:
-            from .stream import closest_hit_stream
+            from .stream import closest_hit_stream_shaded
 
-            t, tri, u, v = closest_hit_stream(
-                scene.woop.reshape(4, 3, -1), scene.woop_stream,
+            t, tri, u, v, attrs = closest_hit_stream_shaded(
+                scene.stream_attrs, scene.woop_stream,
                 scene.cluster_aabb, o_p, d_p,
                 t_min=float(t_min), t_max=float(t_max),
             )
-            tri = tri[:n]
-            attrs = jnp.where(
-                (tri >= 0)[:, None], scene.tri_attrs[jnp.maximum(tri, 0)], 0.0
-            )
-            return ShadedHit(t[:n], tri, u[:n], v[:n], attrs)
+            return ShadedHit(t[:n], tri[:n], u[:n], v[:n], attrs[:n])
         from .pallas_kernels import closest_hit_pallas
 
         t, tri, u, v, attrs = closest_hit_pallas(

@@ -79,8 +79,10 @@ def _pick_rs(n_rays: int):
 _BIG_T = 2.0e38
 
 
-def _overlap_tnear(o, d, aabb, rt, t_max):
-    """Conservative (subtile x cluster) overlap, [rows, M].
+def _overlap_tnear(oT, dT, aabb, rt, t_max):
+    """Conservative (subtile x cluster) overlap, [rows, M]. oT/dT: [3, N]
+    (the [N, 3] -> [3, N] transpose is TPU-hostile, ~0.6 ms at 65k rays, so
+    the caller does it ONCE and shares it with the ray-SoA build).
 
     Interval-arithmetic slab test: the subtile is abstracted as the interval
     ray (origin box O, direction box D); per axis the t-interval that can
@@ -95,10 +97,10 @@ def _overlap_tnear(o, d, aabb, rt, t_max):
     front-to-back visit-order key. All [*, rows, M] intermediates keep the
     axis dim major (see module docstring).
     """
-    n = o.shape[0]
+    n = oT.shape[1]
     rows = n // rt
-    oT = o.T.reshape(3, rows, rt)
-    dT = d.T.reshape(3, rows, rt)
+    oT = oT.reshape(3, rows, rt)
+    dT = dT.reshape(3, rows, rt)
     olo = oT.min(2)[..., None]  # [3, rows, 1]
     ohi = oT.max(2)[..., None]
     dlo = dT.min(2)[..., None]
@@ -128,7 +130,7 @@ def _overlap_tnear(o, d, aabb, rt, t_max):
 
 def _overlap_mask(o, d, aabb, rt, t_max):
     """Mask-only form of :func:`_overlap_tnear` (profiling/tests)."""
-    return _overlap_tnear(o, d, aabb, rt, t_max)[0]
+    return _overlap_tnear(o.T, d.T, aabb, rt, t_max)[0]
 
 
 def _visit_pairs(mask, tnear, n_super, n_sub):
@@ -175,9 +177,11 @@ def _visit_pairs(mask, tnear, n_super, n_sub):
     within = within.transpose(1, 0, 2)
     hist = oneh.sum(1).astype(jnp.float32)  # [n_super, NB]
     offs = jnp.cumsum(hist, axis=1) - hist
+    # select-at-bucket via masked minor-axis sums (take_along_axis gathers
+    # along a 32-wide minor dim, which lowers poorly on TPU)
+    oneh_f = oneh.astype(jnp.float32)
     rank = (
-        jnp.take_along_axis(offs, b.astype(jnp.int32), axis=1)
-        + jnp.take_along_axis(within, b[:, :, None], axis=2)[..., 0]
+        (offs[:, None, :] * oneh_f).sum(-1) + (within * oneh_f).sum(-1)
     ).astype(jnp.int32)
     col = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (n_super, m))
     order = jnp.zeros((n_super, m), jnp.int32)
@@ -212,11 +216,22 @@ def _morton_spread(x):
 
 def _sort_perm(o, d, aabb):
     """Shaft-coherence permutation: direction octant (3 bits) then origin
-    Morton code (29 bits) over the scene bounds. Returns (perm, inv) so that
-    sorted = x[perm] and original = sorted[inv]."""
+    Morton code (29 bits) over ROBUST scene bounds. Returns (perm, inv) so
+    that sorted = x[perm] and original = sorted[inv].
+
+    Robust bounds: mean +- 2.5 sigma of the cluster centers, clamped to the
+    true bounds. The Cornell asset's 100x100 ground plane around a +-2 unit
+    interior would otherwise collapse every interior origin into a handful
+    of Morton cells and destroy the sort's discrimination (this is a sort
+    KEY only -- outliers clamp to the edge, correctness is unaffected)."""
     n = o.shape[0]
-    lo = jnp.min(aabb[:, 0:3], axis=0)
-    hi = jnp.max(aabb[:, 3:6], axis=0)
+    lo_t = jnp.min(aabb[:, 0:3], axis=0)
+    hi_t = jnp.max(aabb[:, 3:6], axis=0)
+    ctr = 0.5 * (aabb[:, 0:3] + aabb[:, 3:6])
+    mu = ctr.mean(0)
+    sd = ctr.std(0)
+    lo = jnp.maximum(lo_t, mu - 2.5 * sd)
+    hi = jnp.minimum(hi_t, mu + 2.5 * sd)
     q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
     qi = (q * 1023.0).astype(jnp.uint32)
     mx = _morton_spread(qi[:, 0])
@@ -239,24 +254,21 @@ def _sort_perm(o, d, aabb):
 # --------------------------------------------------------------------------
 
 
-def _tri_hits_slice(w2, o: V3, d: V3, t_min, t_max, c, g, cs):
-    """Woop intersection of subcluster ``g`` (columns [g*cs, (g+1)*cs) of
-    each row band) against a ray subtile.
+def _tri_valid_t(w2, o: V3, d: V3, t_min, t_max, c):
+    """Woop intersection of a cluster block against a ray subtile.
 
     w2: [4, 3*c] pre-transposed Woop block -- column r*c+j holds row r of
     triangle j's affine map, rows are the (x, y, z, const) coefficients.
-    Returns [cs, rt] t-or-INF (hit distances; misses are INF).
+    Returns ([c, rt] bool valid-hit, [c, rt] f32 t).
 
     Broadcast-FMA on the VPU. An MXU dot_general form measured ~2x SLOWER
     on v5e: the contraction dim is 4, so the MXU pads K 4->128 and wastes
-    97% of each pass.
+    97% of each pass. No explicit parallel-ray guard: dw == 0 yields
+    +-inf/NaN t whose window/inside comparisons are all False (IEEE).
     """
 
     def row(r):
-        wr = [
-            w2[k, r * c + g * cs : r * c + (g + 1) * cs][:, None]
-            for k in range(4)
-        ]
+        wr = [w2[k, r * c : (r + 1) * c][:, None] for k in range(4)]
         lo = (
             wr[0] * o.x[None, :]
             + wr[1] * o.y[None, :]
@@ -269,26 +281,28 @@ def _tri_hits_slice(w2, o: V3, d: V3, t_min, t_max, c, g, cs):
     (ou, du) = row(0)
     (ov, dv) = row(1)
     (ow, dw) = row(2)
-    par = jnp.abs(dw) < 1e-12
-    t = -ow / jnp.where(par, 1.0, dw)
+    t = -ow / dw
     u = ou + t * du
     v = ov + t * dv
     valid = (
-        (~par) & (t > t_min) & (t < t_max) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        (t > t_min) & (t < t_max)
+        & (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
     )
-    return jnp.where(valid, t, INF)
+    return valid, t
 
 
-def _rays_soa(o, d, rows, rt):
-    """[N, 3] o/d -> [rows, R_ROWS, rt] SoA ray rows (o, d, 1/d).
 
-    Built row-major ([R_ROWS, N] concat, then a major-axis transpose) -- the
-    [rows, rt, R_ROWS] -> transpose(0, 2, 1) form shuffles the minor dim and
-    cost 1.4 ms/call at 65k rays."""
-    n = o.shape[0]
-    safe = jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+
+def _rays_soa(oT, dT, rows, rt):
+    """[3, N] oT/dT -> [rows, R_ROWS, rt] SoA ray rows (o, d, 1/d).
+
+    Takes the T layout (shared with the overlap prepass -- each [N, 3] ->
+    [3, N] transpose costs ~0.6 ms at 65k rays) and builds row-major with
+    only a major-axis transpose."""
+    n = oT.shape[1]
+    safe = jnp.where(jnp.abs(dT) < 1e-20, 1e-20, dT)
     r = jnp.concatenate(
-        [o.T, d.T, (1.0 / safe).T, jnp.zeros((R_ROWS - 9, n))], axis=0
+        [oT, dT, 1.0 / safe, jnp.zeros((R_ROWS - 9, n))], axis=0
     )  # [R_ROWS, N]
     return r.reshape(R_ROWS, rows, rt).transpose(1, 0, 2)
 
@@ -354,7 +368,8 @@ def _closest_stream_kernel(
 
             @pl.when(n_live > 0.0)
             def _():
-                t = _tri_hits_slice(w2, o, d, t_min, t_max, c, 0, c)
+                valid, t = _tri_valid_t(w2, o, d, t_min, t_max, c)
+                t = jnp.where(valid, t, INF)
                 tmin = jnp.min(t, axis=0)
                 hit = tmin < INF
                 iota = jax.lax.broadcasted_iota(jnp.int32, (c, rt), 0)
@@ -389,9 +404,9 @@ def _occlusion_stream_kernel(
 
             @pl.when(n_live > 0.0)
             def _():
-                t = _tri_hits_slice(w2, o, d, t_min, t_max, c, 0, c)
-                any_hit = jnp.min(t, axis=0) < INF
-                occ_ref[s] = occ_ref[s] | any_hit.astype(jnp.int32)
+                valid, _ = _tri_valid_t(w2, o, d, t_min, t_max, c)
+                any_hit = jnp.max(valid.astype(jnp.int32), axis=0)
+                occ_ref[s] = occ_ref[s] | any_hit
 
 
 # --------------------------------------------------------------------------
@@ -414,9 +429,10 @@ def _stream_call(
     n_sub = rs // rt
     rows = n // rt
     n_super = n // rs
-    mask, tnear = _overlap_tnear(o, d, aabb, rt, t_max)
+    oT, dT = o.T, d.T  # hostile transpose: done ONCE, shared
+    mask, tnear = _overlap_tnear(oT, dT, aabb, rt, t_max)
     aabb4 = aabb.reshape(m, 1, 1, 8)
-    rays = _rays_soa(o, d, rows, rt)
+    rays = _rays_soa(oT, dT, rows, rt)
 
     kernel = functools.partial(
         kernel_fn, rt=rt, c=c, t_min=t_min, t_max=t_max, n_sub=n_sub
@@ -509,6 +525,76 @@ def _uv_postpass(woop3, tri, o, d, t_min, t_max):
         jnp.where(hit, u, 0.0),
         jnp.where(hit, v, 0.0),
     )
+
+
+def _mt_tuv(v0, e1, e2, o, d):
+    """Moller-Trumbore (t, u, v) for per-ray gathered triangles. All [N, 3].
+    Barycentric convention matches Woop's (u along e1, v along e2)."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=1)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=1) * inv
+    t = jnp.sum(e2 * qvec, axis=1) * inv
+    return t, u, v
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_min", "t_max", "interpret", "sort")
+)
+def closest_hit_stream_shaded(
+    stream_attrs, woop_stream, aabb, o, d,
+    t_min=1e-4, t_max=INF, interpret=False, sort=True,
+):
+    """Streaming closest hit WITH shading attributes: the production path.
+
+    ``stream_attrs``: [Tp, AW + 12] cached table (scene upload/refit) --
+    per-triangle attribute row (A.WIDTH cols) followed by v0|e1|e2 (9 cols)
+    and padding. One gather fetches attrs AND the winning triangle's
+    geometry (t/u/v recomputed Moller-Trumbore in XLA), and ONE gather
+    un-permutes the whole result block back to caller ray order -- XLA row
+    gathers cost ~2 ms per take at 65k indices regardless of row width, so
+    the separate uv-gather + attrs-gather + 4 scalar un-permutes of the
+    naive formulation cost ~3x this.
+
+    Returns (t [N], tri [N] i32, u, v, attrs [N, AW]).
+    """
+    aw = stream_attrs.shape[1] - 12
+    if sort:
+        perm, inv = _sort_perm(o, d, aabb)
+        o, d = o[perm], d[perm]
+    n = o.shape[0]
+    _, tri = _stream_call(
+        _closest_stream_kernel,
+        (jnp.float32, jnp.int32), (INF, -1),
+        woop_stream, aabb, o, d, t_min, t_max, interpret,
+    )
+    tri = tri.reshape(n)
+    hit = tri >= 0
+    g = stream_attrs[jnp.maximum(tri, 0)]  # ONE [N, AW+12] gather
+    t, u, v = _mt_tuv(
+        g[:, aw : aw + 3], g[:, aw + 3 : aw + 6], g[:, aw + 6 : aw + 9], o, d
+    )
+    hf = hit[:, None]
+    combined = jnp.concatenate(
+        [
+            jnp.where(hf, g[:, :aw], 0.0),
+            jnp.where(hit, t, INF)[:, None],
+            jnp.where(hit, u, 0.0)[:, None],
+            jnp.where(hit, v, 0.0)[:, None],
+            tri.astype(jnp.float32)[:, None],  # < 2^24: exact in f32
+        ],
+        axis=1,
+    )
+    if sort:
+        combined = combined[inv]  # ONE un-permuting gather
+    t = combined[:, aw]
+    u = combined[:, aw + 1]
+    v = combined[:, aw + 2]
+    tri = combined[:, aw + 3].astype(jnp.int32)
+    return t, tri, u, v, combined[:, :aw]
 
 
 @functools.partial(

@@ -126,12 +126,16 @@ def _sharded_restir_fn(mesh: Mesh, cfg: RenderConfig, halo: int, has_state: bool
             return render_frame_restir(scene, camera, key, cfg, state, shard=ctx)
 
         in_specs = (P(), P(), P(), st_spec)
-    else:
-        def body(scene, camera, key):
-            return render_frame_restir(scene, camera, key, cfg, None, shard=ctx)
+        # donate the sharded FrameState (see render_frame_restir_jit)
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ), donate_argnums=(3,))
 
-        in_specs = (P(), P(), P())
+    def body(scene, camera, key):
+        return render_frame_restir(scene, camera, key, cfg, None, shard=ctx)
 
+    in_specs = (P(), P(), P())
     return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,

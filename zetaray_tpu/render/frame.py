@@ -761,11 +761,17 @@ def render_frame_jit(scene, camera, key, cfg: RenderConfig):
     return render_frame(scene, camera, key, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(4,))
 def render_frame_restir_jit(
     scene, camera, key, cfg: RenderConfig, state, textures=None, motion=None
 ):
-    """Jitted stateful ReSTIR frame (state=None on the first frame)."""
+    """Jitted stateful ReSTIR frame (state=None on the first frame).
+
+    The incoming FrameState is DONATED: at 1080p it holds multi-plane
+    reservoirs + packed G-buffer + TAA history (~hundreds of MB), and the
+    reference's equivalent buffers are fence-recycled, not reallocated
+    (GpuMemory.h). Callers must rebind (`out, state = ...`), which every
+    in-tree caller already does; XLA reuses the buffers in place."""
     return render_frame_restir(
         scene, camera, key, cfg, state, textures, motion=motion
     )

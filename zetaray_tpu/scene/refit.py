@@ -143,12 +143,14 @@ def refit_scene(scene: SceneBuffers, delta_pos, delta_nrm) -> SceneBuffers:
 
     cluster_aabb = scene.cluster_aabb
     woop_stream = scene.woop_stream
+    stream_attrs = scene.stream_attrs
     if cluster_aabb is not None:
-        from .scene import stream_woop_layout
+        from .scene import stream_attrs_table, stream_woop_layout
 
         m = cluster_aabb.shape[0]
         c = scene.v0.shape[0] // m
         woop_stream = stream_woop_layout(woop, m, c)
+        stream_attrs = stream_attrs_table(attrs, v0, e1, e2)
         cpts = pts[: m * c].reshape(m, c * 3, 3)
         cmask = vmask[: m * c].repeat(3).reshape(m, c * 3)
         clo = jnp.min(jnp.where(cmask[..., None], cpts, big), axis=1)
@@ -177,4 +179,5 @@ def refit_scene(scene: SceneBuffers, delta_pos, delta_nrm) -> SceneBuffers:
         world_hi=hi,
         cluster_aabb=cluster_aabb,
         woop_stream=woop_stream,
+        stream_attrs=stream_attrs,
     )

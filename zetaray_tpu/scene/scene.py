@@ -351,6 +351,12 @@ class SceneBuffers:
     # upload (and refreshed by refit) -- the relayout transpose costs ~1.5 ms
     # per call at 229k tris if done per trace.
     woop_stream: jnp.ndarray | None = None
+    # Streaming shaded-hit table [Tp, A.WIDTH + 12]: tri_attrs row followed
+    # by v0|e1|e2 (+3 pad). One XLA gather serves both the winning
+    # triangle's attributes and its geometry (t/u/v recompute) in
+    # accel.stream.closest_hit_stream_shaded -- row gathers cost ~2 ms per
+    # take at 65k indices regardless of width, so fusing them matters.
+    stream_attrs: jnp.ndarray | None = None
     # alpha-cutout atlas [K, ALPHA_RES, ALPHA_RES] (alpha channel of the
     # base-color texture of MASK-mode materials, resampled); None when no
     # material uses alpha masking. Traversal tests opacity against it
@@ -396,6 +402,14 @@ jax.tree_util.register_pytree_node(
 # reordered into BVH leaf clusters of CLUSTER_SIZE triangles (accel.stream).
 CLUSTER_SIZE = 256
 CLUSTER_THRESHOLD = 8192
+
+
+def stream_attrs_table(tri_attrs, v0, e1, e2):
+    """Device-side fused gather table for the streaming shaded-hit path."""
+    tp = tri_attrs.shape[0]
+    return jnp.concatenate(
+        [tri_attrs, v0, e1, e2, jnp.zeros((tp, 3), tri_attrs.dtype)], axis=1
+    )
 
 
 def stream_woop_layout(woop, m: int, c: int):
@@ -663,6 +677,14 @@ def upload_scene(
         woop_stream=(
             stream_woop_layout(
                 jnp.asarray(woop), cluster_aabb.shape[0], cluster_size
+            )
+            if cluster_aabb is not None
+            else None
+        ),
+        stream_attrs=(
+            stream_attrs_table(
+                jnp.asarray(attrs), jnp.asarray(v0),
+                jnp.asarray(v1 - v0), jnp.asarray(v2 - v0),
             )
             if cluster_aabb is not None
             else None
