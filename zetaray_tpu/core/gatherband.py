@@ -29,21 +29,22 @@ import jax.numpy as jnp
 
 
 def pick_band_rows(height: int, width: int, rows: int,
-                   vmem_budget: int = 48 * 1024 * 1024) -> int:
-    """Band height whose [rows, (band+2h)*width] f32 window fits the budget.
+                   band_px: int = 160_000) -> int:
+    """Band height for the windowed gather: the largest divisor of
+    ``height`` with band*width <= band_px pixels, capped at 128 rows.
 
-    Returns 0 (= banding off) when the full table already fits: plain takes
-    are faster than the windowed form when the source is VMEM-resident.
-    """
-    table_bytes = 4 * rows * height * width
-    if table_bytes <= vmem_budget:
-        return 0
-    band = max(8, vmem_budget // (4 * rows * width * 2))
-    # round down to a divisor-friendly multiple of 8
-    band = max(8, (band // 8) * 8)
-    while height % band and band > 8:
-        band -= 8
-    return band
+    Round-4 on-chip sweep (flagship ReSTIR GI frame): banding wins at EVERY
+    resolution, not just past the VMEM ceiling -- 512^2: 34.7 ms plain ->
+    29.7 ms at band=128; 256^2: 9.0 -> 7.1 at 128; 1080p: 265 (old
+    band=120) -> 254.6 at band=72. Non-divisor bands are pathological
+    (1080p at band=128: 495 ms), hence the divisor constraint. The old
+    heuristic returned 0 (no banding) whenever the table fit a 48 MB VMEM
+    budget, which left ~5 ms on the table at 512^2."""
+    cap = min(128, max(8, band_px // max(width, 1)))
+    for band in range(cap, 7, -1):
+        if height % band == 0:
+            return band
+    return 0
 
 
 def take_rows_banded(src, idx, *, width: int, height: int, band_rows: int,

@@ -39,7 +39,7 @@ _EPS_RAY = 1e-3
 class ReSTIRGIConfig:
     temporal: bool = True
     full_target: bool = False  # see restir_di.ReSTIRConfig.full_target
-    m_max: float = 30.0
+    m_max: float = 10.0  # reference IndirectLighting DefaultParamVals::M_MAX
     spatial_iterations: int = 1
     spatial_radius: int = 12
     depth_tolerance: float = 0.1
@@ -50,7 +50,7 @@ class ReSTIRGIConfig:
     # neighborhood's gets M reset to 1 so later merges dilute it. The
     # reference defaults this ON; here it defaults OFF to keep pinned
     # goldens stable -- flip per-config.
-    boiling_suppression: bool = False
+    boiling_suppression: bool = True
 
 
 def _surf(gbuf, trans: bool = False, coat: bool = False):

@@ -112,7 +112,7 @@ class PR:
 @dataclass(frozen=True)
 class ReSTIRPTConfig:
     temporal: bool = True
-    m_max: float = 30.0
+    m_max: float = 10.0  # reference IndirectLighting DefaultParamVals::M_MAX
     spatial_iterations: int = 1
     spatial_radius: int = 12
     depth_tolerance: float = 0.1
@@ -142,7 +142,7 @@ class ReSTIRPTConfig:
     spatial_search: int = 1
     # see restir_gi.ReSTIRGIConfig.boiling_suppression (the reference also
     # applies it in the ReSTIR PT temporal chain, ReSTIR_PT_Reconnect_StC)
-    boiling_suppression: bool = False
+    boiling_suppression: bool = True
 
 
 def _surf(gbuf, trans=False, coat=False):
