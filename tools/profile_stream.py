@@ -71,14 +71,46 @@ def main():
     d_inc = jax.random.normal(key, (n, 3))
     d_inc = d_inc / jnp.linalg.norm(d_inc, axis=1, keepdims=True)
 
-    # culling efficiency (pre-pass mask occupancy)
+    # GI-like set: origins at the primary-hit points (+normal offset proxy),
+    # cosine-hemisphere directions -- what restir_gi's secondary rays see
+    from zetaray_tpu.accel.intersect import intersect_closest_shaded
+    from zetaray_tpu.scene.scene import A as _A
+
+    sh = jax.jit(lambda o, d: intersect_closest_shaded(sc, o, d))(o_pri, d_pri)
+    pos = o_pri + np.asarray(sh.t)[:, None] * np.asarray(d_pri)
+    ngv = np.asarray(sh.attrs[:, _A.NG:_A.NG + 3])
+    flip = (np.asarray(d_pri) * ngv).sum(-1) > 0
+    ngv = np.where(flip[:, None], -ngv, ngv)
+    rng2 = np.random.default_rng(7)
+    u1, u2 = rng2.random(n), rng2.random(n)
+    r = np.sqrt(u1)
+    phi = 2 * np.pi * u2
+    loc = np.stack([r * np.cos(phi), r * np.sin(phi),
+                    np.sqrt(np.maximum(1 - u1, 0.0))], -1)
+    t_ax = np.cross(ngv, np.where(np.abs(ngv[:, 2:3]) < 0.9,
+                                  [0, 0, 1.0], [1.0, 0, 0]))
+    t_ax /= np.maximum(np.linalg.norm(t_ax, axis=-1, keepdims=True), 1e-12)
+    b_ax = np.cross(ngv, t_ax)
+    d_gi = (loc[:, 0:1] * t_ax + loc[:, 1:2] * b_ax + loc[:, 2:3] * ngv)
+    valid = np.asarray(sh.valid)
+    o_gi = jnp.asarray(np.where(valid[:, None], pos + ngv * 1e-3, 3.0e7),
+                       jnp.float32)
+    d_gi = jnp.asarray(np.where(valid[:, None], d_gi, [1.0, 0, 0]),
+                       jnp.float32)
+
+    sets = {"primary": (o_pri, d_pri), "incoherent": (o_inc, d_inc),
+            "gi": (o_gi, d_gi)}
+
+    # culling efficiency (pre-pass mask occupancy) on the SORTED rays --
+    # what the kernel actually sees
     rs, rt = S._pick_rs(n)
-    for name, (o, d) in {"primary": (o_pri, d_pri), "incoherent": (o_inc, d_inc)}.items():
-        mask = jax.jit(
-            lambda o, d: S._overlap_mask(o, d, sc.cluster_aabb, rt, S.INF)
-        )(o, d)
+    for name, (o, d) in sets.items():
+        def occf(o, d):
+            perm, _ = S._sort_perm(o, d, sc.cluster_aabb)
+            return S._overlap_mask(o[perm], d[perm], sc.cluster_aabb, rt, S.INF)
+        mask = jax.jit(occf)(o, d)
         occ = float(jnp.mean(mask.astype(jnp.float32)))
-        print(f"mask occupancy {name}: {occ:.4f} ({occ*m:.0f}/{m} clusters/subtile)")
+        print(f"mask occupancy {name} (sorted): {occ:.4f} ({occ*m:.0f}/{m} clusters/subtile)")
 
     f_mask = jax.jit(lambda o, d: S._overlap_mask(o, d, sc.cluster_aabb, rt, S.INF))
     print(f"overlap prepass ms: {timeit(f_mask, o_pri, d_pri):.3f}")
@@ -94,7 +126,7 @@ def main():
         )
     )
 
-    for name, (o, d) in {"primary": (o_pri, d_pri), "incoherent": (o_inc, d_inc)}.items():
+    for name, (o, d) in sets.items():
         ms = timeit(f_closest, o, d)
         print(f"closest {name}: {ms:.3f} ms  ({n/ms/1e3:.2f} Mrays/s)")
         ms = timeit(f_occl, o, d)

@@ -18,11 +18,10 @@ RayQuery.hlsli:42-140):
     box vs cluster AABB) and produces, per ray *supertile*, a front-to-back
     (shaft-entry t, bucket-ranked -- XLA argsort costs 1.7 ms where the
     cumsum rank costs ~0.2) ordered visit list of overlapping clusters;
-  - a Pallas kernel runs a grid of (ray supertiles x visit slots) with the
-    cluster id scalar-prefetched from the visit list
-    (``pltpu.PrefetchScalarGridSpec``): culled clusters are never DMA'd at
-    all (visit slots past the count alias the last visited cluster, which
-    the pipeline recognises as "same block -> no fetch"), and the ray
+  - a Pallas kernel runs a DYNAMIC grid of exactly the visited
+    (supertile, cluster) pairs, with the pair list scalar-prefetched
+    (``pltpu.PrefetchScalarGridSpec``; grid size = true visit count):
+    culled clusters are never DMA'd and never cost a grid step, and the ray
     supertile (SoA rows [16, rt] per subtile: o, d, 1/d) stays RESIDENT in
     VMEM across the whole sweep. Inside a visit, two more culling levels
     skip the intersection block per subtile via ``@pl.when``: the SMEM
@@ -51,7 +50,6 @@ Woop data and only 1/C of it is ever needed.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -175,7 +173,10 @@ def _visit_pairs(mask, tnear, n_super, n_sub):
         preferred_element_type=jnp.float32,
     )  # [m, n_super, NB]: count of j < i in i's bucket
     within = within.transpose(1, 0, 2)
-    hist = oneh.sum(1).astype(jnp.float32)  # [n_super, NB]
+    # f32 accumulation: a bf16 sum rounds once a bucket exceeds 512 entries,
+    # which shifts cumulative offsets, collides ranks in the order scatter,
+    # and silently drops clusters from the visit list (advisor round 4).
+    hist = oneh.sum(1, dtype=jnp.float32)  # [n_super, NB]
     offs = jnp.cumsum(hist, axis=1) - hist
     # select-at-bucket via masked minor-axis sums (take_along_axis gathers
     # along a 32-wide minor dim, which lowers poorly on TPU)
@@ -215,9 +216,21 @@ def _morton_spread(x):
 
 
 def _sort_perm(o, d, aabb):
-    """Shaft-coherence permutation: direction octant (3 bits) then origin
-    Morton code (29 bits) over ROBUST scene bounds. Returns (perm, inv) so
-    that sorted = x[perm] and original = sorted[inv].
+    """Shaft-coherence permutation: coarse origin Morton cell, then a fine
+    octahedral DIRECTION cell, then the remaining Morton bits. Returns
+    (perm, inv) so that sorted = x[perm] and original = sorted[inv].
+
+    Key layout (high -> low): octant (3) | morton_hi (9 = 8x8x8 origin
+    cells) | dir_fine (4 = 16 within-octant cone cells, ~22 degrees) |
+    morton_lo (16). The round-4 key (octant << 29 | morton) gave every
+    SUBTILE a 90-degree direction cone, whose interval frustum overlaps
+    every cluster for hemisphere/GI rays -- measured 100% mask occupancy
+    and 0.71 Mrays/s brute force at 229k tris. Supertiles still get the
+    octant+origin shaft (the visit-list granularity), but their subtiles
+    now split by fine direction cell, so the per-subtile masks -- which
+    gate the expensive [C, rt] intersect blocks -- see narrow cones and
+    cull again. Primary rays (one origin) degrade to octant + cone +
+    residual-Morton order, equivalent to the old image order.
 
     Robust bounds: mean +- 2.5 sigma of the cluster centers, clamped to the
     true bounds. The Cornell asset's 100x100 ground plane around a +-2 unit
@@ -237,13 +250,21 @@ def _sort_perm(o, d, aabb):
     mx = _morton_spread(qi[:, 0])
     my = _morton_spread(qi[:, 1])
     mz = _morton_spread(qi[:, 2])
-    morton = (mx << 2) | (my << 1) | mz
+    morton = (mx << 2) | (my << 1) | mz  # 30 bits
     octant = (
         ((d[:, 0] < 0).astype(jnp.uint32) << 2)
         | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
         | (d[:, 2] < 0).astype(jnp.uint32)
     )
-    key = (octant << 29) | (morton >> 1)  # 3 + 29 bits
+    # within-octant cone cell: |d| normalized to the L1 simplex, 2+2 bits
+    a = jnp.abs(d)
+    s = jnp.maximum(a.sum(-1), 1e-20)
+    du = jnp.clip(a[:, 1] / s * 4.0, 0.0, 3.0).astype(jnp.uint32)
+    dv = jnp.clip(a[:, 2] / s * 4.0, 0.0, 3.0).astype(jnp.uint32)
+    dir_fine = (du << 2) | dv  # 4 bits, ~16 cells per octant
+    m_hi = morton >> 21  # top 9 bits (3 per axis)
+    m_lo = (morton >> 5) & jnp.uint32(0xFFFF)  # next 16 bits
+    key = (octant << 29) | (m_hi << 20) | (dir_fine << 16) | m_lo
     _, perm = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
     inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
     return perm, inv
@@ -498,7 +519,7 @@ def _stream_call(
     return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*results))
 
 
-def _uv_postpass(woop3, tri, o, d, t_min, t_max):
+def _uv_postpass(woop3, tri, o, d):
     """Recompute (t, u, v) for each ray's winning triangle from a 12-row
     gather -- the kernel only tracks (t, tri), saving two [C, rt] passes per
     visited pair. Same Woop math as in-kernel, so results agree to fp."""
@@ -619,7 +640,7 @@ def closest_hit_stream(
         woop_stream, aabb, o, d, t_min, t_max, interpret,
     )
     tri = tri.reshape(n)
-    t, u, v = _uv_postpass(woop3, tri, o, d, t_min, t_max)
+    t, u, v = _uv_postpass(woop3, tri, o, d)
     if sort:
         t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
     return t, tri, u, v

@@ -39,7 +39,12 @@ def pick_band_rows(height: int, width: int, rows: int,
     band=120) -> 254.6 at band=72. Non-divisor bands are pathological
     (1080p at band=128: 495 ms), hence the divisor constraint. The old
     heuristic returned 0 (no banding) whenever the table fit a 48 MB VMEM
-    budget, which left ~5 ms on the table at 512^2."""
+    budget, which left ~5 ms on the table at 512^2.
+
+    Heights with no divisor in [8, cap] (e.g. prime heights) return 0 and
+    `take_rows` falls back to the plain full-table take -- correct, just
+    unbanded. All supported render resolutions (powers of two, 1080/1088)
+    have rich divisor sets, so this path is a correctness fallback only."""
     cap = min(128, max(8, band_px // max(width, 1)))
     for band in range(cap, 7, -1):
         if height % band == 0:

@@ -165,13 +165,36 @@ def trace(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0, rt=1024, rows_ou
     return out.T if rows_out else out
 
 
+_PARK = 3.0e7  # dead-ray parking point: far outside any scene AABB, so the
+# streaming overlap prepass culls whole dead subtiles (the sort groups them)
+# -- TPU-native ray compaction with static shapes (no gather/scatter).
+_PARK_DIR = (1.0, 0.0, 0.0)
+
+
+def _park(mask, o, d):
+    """Rays where ``mask`` is False are parked outside the scene: after the
+    shaft sort they cluster into subtiles whose frustum misses every
+    cluster AABB, so the streaming traversal never visits them. All their
+    outputs are already gated by the same mask at every use site."""
+    pd = jnp.asarray(_PARK_DIR)
+    return (
+        jnp.where(mask[:, None], o, _PARK),
+        jnp.where(mask[:, None], d, pd),
+    )
+
+
 def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
-                    textures=None, spread_angle=0.0, smb_kill=None):
+                    textures=None, spread_angle=0.0, smb_kill=None,
+                    return_first_hit=False):
     """XLA-staged wavefront path tracer (oracle / large-scene fallback).
 
     ``smb_kill``: optional [N] bool -- paths to stop extending after the
     trace's first hit vertex (stochastic multi-bounce, decided by the
     caller from the primary surface; see PTConfig.stochastic_multi_bounce).
+
+    ``return_first_hit``: also return the bounce-0 ShadedHit (the clustered
+    GI path reuses it as the x2 query, saving one full traversal sweep --
+    the streaming analog of megakernel.trace_with_first_hit).
     """
     n = o.shape[0]
     seed = R.seed_from_key(key)
@@ -184,8 +207,11 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
     spec_bounce = jnp.ones((n,), bool)  # primary rays count as "specular"
     has_lights = scene.num_emissives > 0
 
+    sh0 = None
     for bounce in range(cfg.max_bounces + 1):
         sh = intersect_closest_shaded(scene, o, d, t_min=cfg.t_min)
+        if bounce == 0:
+            sh0 = sh
         found = sh.valid & alive
         pos, ng, ns, uv, front, mat, ng_raw = _surface_from(o, d, sh, scene.has_coat)
         if cfg.path_regularization and bounce > 0:
@@ -274,9 +300,10 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
             candidate = alive & (cos_surf > 1e-6) & (cos_light > 1e-6)
             # Shadow ray with the *unnormalized* segment as direction: the
             # light sits at t == 1 for every lane, so t_max stays a scalar.
-            shadow_o = pos + ng * _EPS_RAY
+            # Non-candidate lanes are parked (see _park).
+            shadow_o, shadow_d = _park(candidate, pos + ng * _EPS_RAY, to_l)
             occluded = intersect_occluded(
-                scene, shadow_o, to_l, t_min=1e-3, t_max=1.0 - 1e-3
+                scene, shadow_o, shadow_d, t_min=1e-3, t_max=1.0 - 1e-3
             )
             vis = candidate & ~occluded
             mis = L.power_heuristic(pdf_l_sa, pdf_b)
@@ -300,11 +327,13 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
             sdir = jnp.broadcast_to(jnp.asarray(sun), (n, 3))
             cos_s = jnp.sum(sdir * ns, -1)
             f_s, _ = B.bsdf_eval(mat, wo_l, B.to_local(ns, t_ax, b_ax, sdir))
+            sun_cand = alive & (cos_s > 1e-6)
+            so_s, sd_s = _park(sun_cand, pos + ng * _EPS_RAY, sdir)
             occ_s = intersect_occluded(
-                scene, pos + ng * _EPS_RAY, sdir, t_min=1e-3, t_max=1e8
+                scene, so_s, sd_s, t_min=1e-3, t_max=1e8
             )
             e_sun = jnp.asarray(SK.sun_irradiance(cfg.sky))
-            sun_ok = alive & (cos_s > 1e-6) & ~occ_s
+            sun_ok = sun_cand & ~occ_s
             radiance = radiance + jnp.where(
                 sun_ok[:, None], throughput * f_s * e_sun * cos_s[:, None], 0.0
             )
@@ -341,9 +370,10 @@ def trace_reference(scene, o, d, key, cfg: PTConfig = PTConfig(), pix0=0,
             throughput = throughput / q[..., None]
 
         offset_sign = jnp.where(transmitted, -1.0, 1.0)[:, None]
-        o = pos + ng * _EPS_RAY * offset_sign
-        d = wi_w
+        o, d = _park(alive, pos + ng * _EPS_RAY * offset_sign, wi_w)
 
+    if return_first_hit:
+        return radiance, sh0
     return radiance
 
 

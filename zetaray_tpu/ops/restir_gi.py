@@ -48,8 +48,8 @@ class ReSTIRGIConfig:
     # Boiling suppression (Resampling.hlsli:530-536, BOILING_SUPPRESSION):
     # after temporal reuse, a reservoir whose w_sum dwarfs its
     # neighborhood's gets M reset to 1 so later merges dilute it. The
-    # reference defaults this ON; here it defaults OFF to keep pinned
-    # goldens stable -- flip per-config.
+    # reference defaults this ON and so do we (the pinned goldens were
+    # regenerated with suppression on in round 4).
     boiling_suppression: bool = True
 
 
@@ -112,7 +112,6 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
     radiance, so environment light participates in GI reuse. Returns
     reservoir rows.
     """
-    from ..accel.intersect import intersect_closest_shaded
     from ..core.rng import uniform4
     from ..scene.scene import A
     from .pathtracer import trace
@@ -165,7 +164,18 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
         x2 = V3(surf2[0], surf2[1], surf2[2])
         n2 = V3(surf2[6], surf2[7], surf2[8])
     else:
-        sh = intersect_closest_shaded(scene, o2, d2)
+        # streaming/oracle path: the trace's bounce-0 closest hit IS the x2
+        # query (return_first_hit), saving one full traversal sweep -- and
+        # dead lanes are parked so the stream prepass culls them
+        # (pathtracer._park).
+        from .pathtracer import _park, trace_reference
+
+        o2p, d2p = _park(live, o2, d2)
+        l2_rgb, sh = trace_reference(
+            scene, o2p, d2p, key, l2_cfg, pix0=pix0, textures=textures,
+            spread_angle=spread_angle, smb_kill=smb_kill,
+            return_first_hit=True,
+        )
         x2_hit = sh.valid
         hit = sh.valid & live
         x2 = V3(*(o2 + sh.t[:, None] * d2).T)
@@ -173,10 +183,6 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
         # face n2 toward x1
         flip = v3.dot(n2_raw, V3(*d2.T)) > 0.0
         n2 = v3.where(flip, -n2_raw, n2_raw)
-        l2_rgb = trace(
-            scene, o2, d2, key, l2_cfg, pix0=pix0, rt=rt, textures=textures,
-            spread_angle=spread_angle, smb_kill=smb_kill,
-        )
         l2 = V3(*l2_rgb.T)
 
     if pt_cfg.sky is not None:

@@ -5,9 +5,11 @@ metallic-roughness, emissive).
 Counterpart of the reference's texture path (Core/dds.h + GpuMemory upload;
 offline compression by Tools/BCnCompressglTF emits BC7 color / BC5 normal
 DDS with full mip chains; ray-cone mip selection in Common/RT.hlsli:13-220).
-Textures decode to linear-float RGBA mips on the host; sampling happens at
-primary visibility in XLA over the G-buffer (secondary bounces use material
-factors -- a documented gap vs the reference's in-traversal fetches).
+Textures decode to linear-float RGBA mips on the host; sampling happens in
+XLA at primary visibility over the G-buffer AND at every secondary path
+vertex inside the fused bounce kernel (accel/megakernel.py fetches base
+color / emissive / metallic-roughness per vertex since round 3), matching
+the reference's in-traversal fetches.
 """
 
 from __future__ import annotations
