@@ -123,3 +123,54 @@ def test_large_scene_not_rerouted_to_megakernel(rng):
     s = upload_scene(cpu)
     assert s.cluster_aabb is not None
     assert s.woop.shape[1] // 3 > 8192
+
+
+def test_two_phase_cap_matches_single_phase(clustered, rng):
+    """Two-phase capped traversal (accel.stream._closest_call with t_cap)
+    is exact: phase-1 hits are global closest, phase 2 resolves the rest.
+    Must agree with the uncapped sweep for every ray, including rays whose
+    closest hit lies beyond the cap."""
+    s = clustered
+    o, d = _rays(rng)
+    woop3 = s.woop.reshape(4, 3, -1)
+    ref = closest_hit_stream(
+        woop3, s.woop_stream, s.cluster_aabb, o, d, interpret=True
+    )
+    for cap in (2.0, 6.0):  # soup spans ~10 units from a 12-unit-away origin
+        t, tri, u, v = closest_hit_stream(
+            woop3, s.woop_stream, s.cluster_aabb, o, d,
+            interpret=True, t_cap=cap,
+        )
+        np.testing.assert_array_equal(np.asarray(tri), np.asarray(ref[1]))
+        np.testing.assert_allclose(
+            np.asarray(t), np.asarray(ref[0]), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_two_phase_cap_shaded(clustered, rng):
+    """closest_hit_stream_shaded honors t_cap (the scene-level
+    stream_tcap plumbing) and stays exact."""
+    from zetaray_tpu.accel.stream import closest_hit_stream_shaded
+
+    s = clustered
+    o, d = _rays(rng)
+    ref = closest_hit_stream_shaded(
+        s.stream_attrs, s.woop_stream, s.cluster_aabb, o, d, interpret=True
+    )
+    out = closest_hit_stream_shaded(
+        s.stream_attrs, s.woop_stream, s.cluster_aabb, o, d,
+        interpret=True, t_cap=3.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[4]), np.asarray(ref[4]), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_upload_sets_stream_tcap(clustered):
+    """Clustered uploads carry a positive static traversal cap; dense
+    scenes leave it 0 (single-phase)."""
+    assert clustered.stream_tcap > 0.0

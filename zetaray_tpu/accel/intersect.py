@@ -352,10 +352,13 @@ def _closest_shaded_raw(scene, o, d, t_min=1e-4, t_max=None) -> ShadedHit:
         if scene.cluster_aabb is not None:
             from .stream import closest_hit_stream_shaded
 
+            # two-phase distance capping for unbounded queries only:
+            # bounded/segment queries already clip their frustums
+            cap = scene.stream_tcap if float(t_max) >= 1e30 else 0.0
             t, tri, u, v, attrs = closest_hit_stream_shaded(
                 scene.stream_attrs, scene.woop_stream,
                 scene.cluster_aabb, o_p, d_p,
-                t_min=float(t_min), t_max=float(t_max),
+                t_min=float(t_min), t_max=float(t_max), t_cap=float(cap),
             )
             return ShadedHit(t[:n], tri[:n], u[:n], v[:n], attrs[:n])
         from .pallas_kernels import closest_hit_pallas

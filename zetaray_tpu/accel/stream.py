@@ -77,7 +77,7 @@ def _pick_rs(n_rays: int):
 _BIG_T = 2.0e38
 
 
-def _overlap_tnear(oT, dT, aabb, rt, t_max):
+def _overlap_tnear(oT, dT, aabb, rt, t_max, live=None):
     """Conservative (subtile x cluster) overlap, [rows, M]. oT/dT: [3, N]
     (the [N, 3] -> [3, N] transpose is TPU-hostile, ~0.6 ms at 65k rays, so
     the caller does it ONCE and shares it with the ray-SoA build).
@@ -90,6 +90,11 @@ def _overlap_tnear(oT, dT, aabb, rt, t_max):
     a true hit; narrow direction cones (coherent/sorted tiles) cull tightly
     because the cross-axis intersection captures the frustum.
 
+    ``live``: optional bool [N] -- rays excluded from the subtile boxes
+    (the two-phase capped traversal's phase-2 masking: already-resolved
+    rays must not widen their subtile's frustum). Fully-dead subtiles are
+    masked off entirely.
+
     Returns (mask int32 [rows, M], t_near f32 [rows, M]) where t_near is the
     conservative shaft entry distance (INF where no overlap) -- the
     front-to-back visit-order key. All [*, rows, M] intermediates keep the
@@ -99,10 +104,17 @@ def _overlap_tnear(oT, dT, aabb, rt, t_max):
     rows = n // rt
     oT = oT.reshape(3, rows, rt)
     dT = dT.reshape(3, rows, rt)
-    olo = oT.min(2)[..., None]  # [3, rows, 1]
-    ohi = oT.max(2)[..., None]
-    dlo = dT.min(2)[..., None]
-    dhi = dT.max(2)[..., None]
+    if live is not None:
+        lv = live.reshape(1, rows, rt)
+        olo = jnp.where(lv, oT, _BIG_T).min(2)[..., None]
+        ohi = jnp.where(lv, oT, -_BIG_T).max(2)[..., None]
+        dlo = jnp.where(lv, dT, _BIG_T).min(2)[..., None]
+        dhi = jnp.where(lv, dT, -_BIG_T).max(2)[..., None]
+    else:
+        olo = oT.min(2)[..., None]  # [3, rows, 1]
+        ohi = oT.max(2)[..., None]
+        dlo = dT.min(2)[..., None]
+        dhi = dT.max(2)[..., None]
     clo = aabb[:, 0:3].T[:, None, :]  # [3, 1, M]
     chi = aabb[:, 3:6].T[:, None, :]
 
@@ -123,6 +135,10 @@ def _overlap_tnear(oT, dT, aabb, rt, t_max):
     t_near = jnp.maximum(t_lo.max(0), 0.0)  # [rows, M]
     t_far = jnp.minimum(t_hi.min(0), t_max)
     ok = t_far >= t_near
+    if live is not None:
+        # inverted (all-dead) boxes can alias a valid window: mask explicitly
+        any_live = live.reshape(rows, rt).max(1)[:, None] > 0
+        ok = ok & any_live
     return ok.astype(jnp.int32), jnp.where(ok, t_near, INF)
 
 
@@ -437,12 +453,15 @@ def _occlusion_stream_kernel(
 
 def _stream_call(
     kernel_fn, outs, miss_vals, woop4, aabb, o, d,
-    t_min, t_max, interpret,
+    t_min, t_max, interpret, live=None,
 ):
     """Shared launch: flat visit-pair list + dynamic-grid pallas_call,
     chunked over at most MAX_SUPER supertiles so the SMEM pair list stays
     bounded. ``miss_vals``: per-output fill for supertiles with zero visits
-    (their output blocks are never written by the kernel)."""
+    (their output blocks are never written by the kernel). ``live``:
+    optional bool [N] -- dead rays are excluded from the prepass frustum
+    boxes AND neutralized in the ray SoA (origin parked far outside every
+    cluster so the in-kernel slab test rejects them) without re-sorting."""
     n = o.shape[0]
     m = aabb.shape[0]
     c = woop4.shape[2] // 3
@@ -450,8 +469,10 @@ def _stream_call(
     n_sub = rs // rt
     rows = n // rt
     n_super = n // rs
+    if live is not None:
+        o = jnp.where(live[:, None], o, 3.0e7)
     oT, dT = o.T, d.T  # hostile transpose: done ONCE, shared
-    mask, tnear = _overlap_tnear(oT, dT, aabb, rt, t_max)
+    mask, tnear = _overlap_tnear(oT, dT, aabb, rt, t_max, live=live)
     aabb4 = aabb.reshape(m, 1, 1, 8)
     rays = _rays_soa(oT, dT, rows, rt)
 
@@ -519,6 +540,40 @@ def _stream_call(
     return tuple(jnp.concatenate(parts, axis=0) for parts in zip(*results))
 
 
+def _closest_call(woop4, aabb, o, d, t_min, t_max, interpret, t_cap=0.0):
+    """Closest-hit launch with optional TWO-PHASE distance capping.
+
+    With ``0 < t_cap < t_max``, phase 1 sweeps only t in (t_min, t_cap]:
+    every subtile frustum is clipped at t_cap, which collapses the overlap
+    mask for hemisphere/GI shafts (measured 46% -> ~8% cluster occupancy at
+    229k tris -- unbounded frustums from interior surfaces sweep half the
+    scene). A phase-1 hit is the GLOBAL closest (all clusters intersecting
+    the capped frustum were visited), so phase 2 re-sweeps the full range
+    only for phase-1 misses: those rays stay in place (no re-sort) but are
+    masked out of the prepass frustum boxes and parked in the ray SoA
+    (``live``), so surviving subtiles cull like a fresh sweep. This is the
+    TPU analog of a BVH traversal's early ray termination, which the
+    per-visit kernel can only approximate (front-to-back slab-vs-best-t).
+
+    Returns (t [rows, rt], tri [rows, rt]) in the caller's (sorted) order.
+    """
+    t1, tri1 = _stream_call(
+        _closest_stream_kernel, (jnp.float32, jnp.int32), (INF, -1),
+        woop4, aabb, o, d, t_min, min(t_cap, t_max) if t_cap > 0.0 else t_max,
+        interpret,
+    )
+    if not (0.0 < t_cap < t_max):
+        return t1, tri1
+    n = o.shape[0]
+    unresolved = (tri1 < 0).reshape(n)
+    t2, tri2 = _stream_call(
+        _closest_stream_kernel, (jnp.float32, jnp.int32), (INF, -1),
+        woop4, aabb, o, d, t_min, t_max, interpret, live=unresolved,
+    )
+    un = unresolved.reshape(t1.shape)
+    return jnp.where(un, t2, t1), jnp.where(un, tri2, tri1)
+
+
 def _uv_postpass(woop3, tri, o, d):
     """Recompute (t, u, v) for each ray's winning triangle from a 12-row
     gather -- the kernel only tracks (t, tri), saving two [C, rt] passes per
@@ -563,11 +618,11 @@ def _mt_tuv(v0, e1, e2, o, d):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_min", "t_max", "interpret", "sort")
+    jax.jit, static_argnames=("t_min", "t_max", "interpret", "sort", "t_cap")
 )
 def closest_hit_stream_shaded(
     stream_attrs, woop_stream, aabb, o, d,
-    t_min=1e-4, t_max=INF, interpret=False, sort=True,
+    t_min=1e-4, t_max=INF, interpret=False, sort=True, t_cap=0.0,
 ):
     """Streaming closest hit WITH shading attributes: the production path.
 
@@ -587,10 +642,8 @@ def closest_hit_stream_shaded(
         perm, inv = _sort_perm(o, d, aabb)
         o, d = o[perm], d[perm]
     n = o.shape[0]
-    _, tri = _stream_call(
-        _closest_stream_kernel,
-        (jnp.float32, jnp.int32), (INF, -1),
-        woop_stream, aabb, o, d, t_min, t_max, interpret,
+    _, tri = _closest_call(
+        woop_stream, aabb, o, d, t_min, t_max, interpret, t_cap=t_cap
     )
     tri = tri.reshape(n)
     hit = tri >= 0
@@ -619,11 +672,11 @@ def closest_hit_stream_shaded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_min", "t_max", "interpret", "sort")
+    jax.jit, static_argnames=("t_min", "t_max", "interpret", "sort", "t_cap")
 )
 def closest_hit_stream(
     woop3, woop_stream, aabb, o, d,
-    t_min=1e-4, t_max=INF, interpret=False, sort=True,
+    t_min=1e-4, t_max=INF, interpret=False, sort=True, t_cap=0.0,
 ):
     """Streaming closest hit. woop3: [4, 3, M*C] cluster-ordered Woop (used
     for the winning-triangle uv gather); woop_stream: [M, 4, 3C] kernel
@@ -634,10 +687,8 @@ def closest_hit_stream(
         perm, inv = _sort_perm(o, d, aabb)
         o, d = o[perm], d[perm]
     n = o.shape[0]
-    _, tri = _stream_call(
-        _closest_stream_kernel,
-        (jnp.float32, jnp.int32), (INF, -1),
-        woop_stream, aabb, o, d, t_min, t_max, interpret,
+    _, tri = _closest_call(
+        woop_stream, aabb, o, d, t_min, t_max, interpret, t_cap=t_cap
     )
     tri = tri.reshape(n)
     t, u, v = _uv_postpass(woop3, tri, o, d)

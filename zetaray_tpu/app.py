@@ -33,7 +33,8 @@ def _register_params(cfg_holder):
         return cb
 
     add_param("Renderer", "General", "Mode", "enum", cfg_holder[0].mode,
-              choices=("pt", "restir_di", "restir_gi"), on_change=upd("mode"))
+              choices=("pt", "restir_di", "restir_gi", "restir_pt"),
+              on_change=upd("mode"))
     from .ops.post import TONEMAPPERS_P
 
     add_param("Renderer", "General", "Tonemapper", "enum", cfg_holder[0].tonemapper,

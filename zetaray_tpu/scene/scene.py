@@ -362,11 +362,18 @@ class SceneBuffers:
     # material uses alpha masking. Traversal tests opacity against it
     # (reference: GBufferRT_Inline.hlsl:37-60 TestOpacity).
     alpha_tex: jnp.ndarray | None = None
+    # STATIC: two-phase traversal cap for unbounded streaming closest-hit
+    # queries (accel.stream._closest_call): phase 1 sweeps t <= cap (tight
+    # frustums), phase 2 re-sweeps only the phase-1 misses. 0 = single
+    # phase. Set at upload from the robust interior size (outlier clusters
+    # like a 100x-oversized ground plane are excluded from the statistic,
+    # exactly as the shaft-sort key bounds are -- stream._sort_perm).
+    stream_tcap: float = 0.0
 
     def tree_flatten(self):
         static = (
             self.num_tris, self.num_emissives, self.has_transmission,
-            self.has_coat, self.has_cutout,
+            self.has_coat, self.has_cutout, self.stream_tcap,
         )
         dynamic = tuple(
             getattr(self, f)
@@ -378,7 +385,7 @@ class SceneBuffers:
     def tree_unflatten(cls, static, dynamic):
         kw = dict(zip(_SCENE_DYNAMIC_FIELDS, dynamic))
         (kw["num_tris"], kw["num_emissives"], kw["has_transmission"],
-         kw["has_coat"], kw["has_cutout"]) = static
+         kw["has_coat"], kw["has_cutout"], kw["stream_tcap"]) = static
         return cls(**kw)
 
 
@@ -387,7 +394,7 @@ _SCENE_DYNAMIC_FIELDS = [
     for f in SceneBuffers.__dataclass_fields__
     if f not in (
         "num_tris", "num_emissives", "has_transmission", "has_coat",
-        "has_cutout",
+        "has_cutout", "stream_tcap",
     )
 ]
 
@@ -557,9 +564,20 @@ def upload_scene(
     if cluster_size is None:
         cluster_size = CLUSTER_SIZE if cpu.num_tris > CLUSTER_THRESHOLD else 0
     cluster_aabb = None
+    stream_tcap = 0.0
     if cluster_size:
         cpu, aabb_np = _clusterize(cpu, cluster_size)
         cluster_aabb = jnp.asarray(aabb_np)
+        # two-phase traversal cap = fraction of the ROBUST interior size
+        # (mean +- 2.5 sigma of cluster centers, like stream._sort_perm's
+        # sort-key bounds): most closest hits of interior hemisphere rays
+        # land well inside it, so phase 1 sweeps short tight frustums and
+        # phase 2 only the misses (accel.stream._closest_call).
+        ctr = 0.5 * (aabb_np[:, 0:3] + aabb_np[:, 3:6])
+        mu, sd = ctr.mean(0), ctr.std(0)
+        lo_r = np.maximum(aabb_np[:, 0:3].min(0), mu - 2.5 * sd)
+        hi_r = np.minimum(aabb_np[:, 3:6].max(0), mu + 2.5 * sd)
+        stream_tcap = 0.35 * float(np.linalg.norm(hi_r - lo_r))
 
     t = cpu.num_tris
     tp = max(lane, ((t + lane - 1) // lane) * lane)
@@ -690,4 +708,5 @@ def upload_scene(
             else None
         ),
         alpha_tex=jnp.asarray(alpha_atlas) if alpha_atlas is not None else None,
+        stream_tcap=stream_tcap,
     )
