@@ -53,3 +53,32 @@ def test_srgb_encode():
 def test_to_u8():
     assert post.to_u8(jnp.asarray([1.0])).dtype == jnp.uint8
     assert int(post.to_u8(jnp.asarray([0.5]))[0]) == 128
+
+
+def test_weighted_avg_exposure_uniform_image():
+    # reference formula check (AutoExposure_WeightedAvg.hlsl): a uniform
+    # image's inverse-mapped mean equals its luminance, so exposure is
+    # 1 / ((78 / (0.65 * 100)) * (lum * 100 / 12.5))
+    for lum in [0.05, 0.18, 2.0]:
+        img = jnp.full((3, 64, 64), lum)
+        e, avg = post.weighted_avg_exposure_p(img)
+        expected_avg = lum  # within the [MinLum, MaxLum] range
+        assert abs(float(avg) - expected_avg) / expected_avg < 0.02, lum
+        lum_max = (78.0 / (0.65 * 100.0)) * (float(avg) * 100.0 / 12.5)
+        assert abs(float(e) - 1.0 / lum_max) / (1.0 / lum_max) < 1e-4
+
+
+def test_weighted_avg_exposure_adaptation():
+    img = jnp.full((3, 16, 16), 1.0)
+    # dt=0: no movement from prev; large dt: full convergence
+    _, a0 = post.weighted_avg_exposure_p(img, prev_avg=0.1, dt=0.0)
+    _, a1 = post.weighted_avg_exposure_p(img, prev_avg=0.1, dt=10.0)
+    assert abs(float(a0) - 0.1) < 1e-5
+    assert abs(float(a1) - 1.0) < 1e-3
+
+
+def test_weighted_avg_excludes_invalid():
+    img = np.full((3, 16, 16), 0.5, np.float32)
+    img[:, 0, :] = 0.0  # lum == 0: the reference's excluded bin 0
+    _, avg = post.weighted_avg_exposure_p(jnp.asarray(img))
+    assert abs(float(avg) - 0.5) < 0.01

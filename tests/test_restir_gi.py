@@ -47,3 +47,34 @@ def test_gi_matches_pt_mean(setup):
         ]
     )
     assert abs(gi_mean - ref) / ref < 0.15, (gi_mean, ref)
+
+
+def test_gi_lvg_matches_gi_mean(setup):
+    """ReSTIR_GI_LVG (IndirectLighting.h:28): LVG-fed NEE at x2 must agree
+    with the plain GI path in the mean (both unbiased estimators of the
+    same integrand)."""
+    from zetaray_tpu.ops.restir_gi import ReSTIRGIConfig
+    from zetaray_tpu.ops.restir_di import ReSTIRConfig
+    from dataclasses import replace
+
+    scene, cam, cfg = setup
+    cfg_lvg = replace(
+        cfg,
+        restir=ReSTIRConfig(lvg_samples=1),
+        restir_gi=ReSTIRGIConfig(lvg=True),
+    )
+    n = 8
+
+    def mean_of(c):
+        state, acc = None, 0.0
+        for i in range(n):
+            out, state = render_frame_restir(
+                scene, cam, jax.random.PRNGKey(i), c, state
+            )
+            acc += np.asarray(out["hdr"]).mean()
+        return acc / n
+
+    m_lvg = mean_of(cfg_lvg)
+    m_gi = mean_of(replace(cfg, restir=ReSTIRConfig(lvg_samples=1)))
+    assert np.isfinite(m_lvg) and m_lvg > 0
+    assert abs(m_lvg - m_gi) / m_gi < 0.2, (m_lvg, m_gi)

@@ -96,6 +96,59 @@ def histogram_exposure(hdr: jnp.ndarray, **kw):
     return histogram_exposure_p(hdr.reshape(-1, 3).T, **kw)
 
 
+def weighted_avg_exposure_p(
+    hdr: jnp.ndarray,
+    min_lum: float = 5e-3,
+    max_lum: float = 4.0,
+    lum_map_exp: float = 0.5,
+    adaptation_rate: float = 1.0,
+    dt: float | None = None,
+    prev_avg=None,
+    axis_name: str | None = None,
+):
+    """WeightedAvg auto-exposure (AutoExposure_WeightedAvg.hlsl, the
+    reference's second AUTO_EXPOSURE_SHADER variant, AutoExposure.h:14-19).
+
+    Per the reference: luminance is mapped to t = saturate((lum - MinLum)
+    / LumRange) ** LumMapExp; the average of t is inverse-mapped back
+    (``pow(mean, 1/LumMapExp) * LumRange + MinLum``) and converted to an
+    exposure multiplier with the photometric EV100 formula
+    (ComputeAutoExposure: S=100, K=12.5, q=0.65). Invalid samples
+    (lum <= 0, the reference's bin 0) are excluded from the mean. No
+    histogram is materialized -- the reference only builds one so the
+    groupshared reduction has something to sum; one mean over pixels is
+    the TPU-native equivalent.
+
+    ``prev_avg``/``dt``: optional temporal adaptation state -- the smoothed
+    avg luminance blends toward the new value with
+    ``1 - exp(-dt_ms * AdaptationRate)`` exactly like the shader's tail.
+    Returns (exposure, avg_lum) so callers can carry avg_lum forward.
+    """
+    import jax
+
+    lum_range = max_lum - min_lum
+    lum = luminance_p(hdr.reshape(3, -1))
+    ok = lum > 0.0
+    t = jnp.clip((lum - min_lum) / lum_range, 0.0, 1.0)
+    t = jnp.power(jnp.maximum(t, 1e-12), lum_map_exp)
+    s = jnp.sum(jnp.where(ok, t, 0.0))
+    cnt = jnp.sum(ok.astype(jnp.float32))
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        cnt = jax.lax.psum(cnt, axis_name)
+    mean = s / jnp.maximum(cnt, 1.0)
+    result = jnp.power(jnp.maximum(mean, 1e-12), 1.0 / lum_map_exp)
+    result = result * lum_range + min_lum
+    if prev_avg is not None and dt is not None:
+        alpha = 1.0 - jnp.exp(-dt * 1000.0 * adaptation_rate)
+        result = prev_avg + (result - prev_avg) * alpha
+    # ComputeAutoExposure (shared with the histogram shader's epilogue)
+    s_iso, k_cal, q = 100.0, 12.5, 0.65
+    ev100 = jnp.log2(jnp.maximum(result * s_iso / k_cal, 1e-12))
+    lum_max = (78.0 / (q * s_iso)) * jnp.exp2(ev100)
+    return 1.0 / jnp.maximum(lum_max, 1e-12), result
+
+
 # ---------------------------------------------------------------------------
 # Tonemappers
 # ---------------------------------------------------------------------------

@@ -330,17 +330,15 @@ def build_light_voxel_grid(scene, camera, seed, cfg: LVGConfig = LVGConfig()):
     return out.at[:, 9].set(pdf_eff)
 
 
-def sample_lvg(lvg, gbuf, camera, seed, cfg: LVGConfig, salt=0x51AB):
-    """Per-pixel LVG light candidate: (rows [LSET-layout, N], valid [N]).
+def sample_lvg_at(lvg, p, ok, camera, seed, cfg: LVGConfig, salt=0x51AB):
+    """LVG light candidate at arbitrary positions ``p`` [N, 3]:
+    (rows [LSET-layout, N], valid [N]).
 
     Jitters the lookup position by the voxel extents (LightVoxelGrid.hlsli
-    Sample) and picks a uniform slot. pdf_area == 0 or off-grid pixels
+    Sample) and picks a uniform slot. pdf_area == 0 or off-grid positions
     return valid=False (callers fall back to their other candidates).
     """
-    from ..accel.megakernel import G
-
-    n = gbuf.shape[1]
-    p = jnp.stack([gbuf[G.POS], gbuf[G.POS + 1], gbuf[G.POS + 2]], -1)
+    n = p.shape[0]
     pix = jnp.arange(n, dtype=jnp.int32)
     u = uniform4(pix, 0, seed, salt=salt)
     ex = jnp.asarray(cfg.extents)
@@ -352,5 +350,15 @@ def sample_lvg(lvg, gbuf, camera, seed, cfg: LVGConfig, salt=0x51AB):
     vox, inside = voxel_of_position(pj, camera, cfg)
     slot = jnp.minimum((u[3] * cfg.slots).astype(jnp.int32), cfg.slots - 1)
     rows = lvg[vox * cfg.slots + slot]  # [N, LVG_ROWS]
-    valid = inside & (rows[:, 9] > 0.0) & (gbuf[G.VALID] > 0.5)
+    valid = inside & (rows[:, 9] > 0.0) & ok
     return rows.T, valid
+
+
+def sample_lvg(lvg, gbuf, camera, seed, cfg: LVGConfig, salt=0x51AB):
+    """Per-pixel LVG light candidate at the G-buffer hit points (see
+    :func:`sample_lvg_at`)."""
+    from ..accel.megakernel import G
+
+    p = jnp.stack([gbuf[G.POS], gbuf[G.POS + 1], gbuf[G.POS + 2]], -1)
+    return sample_lvg_at(lvg, p, gbuf[G.VALID] > 0.5, camera, seed, cfg,
+                         salt=salt)

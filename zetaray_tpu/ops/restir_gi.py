@@ -45,6 +45,13 @@ class ReSTIRGIConfig:
     depth_tolerance: float = 0.1
     normal_tolerance: float = 0.9
     packed_reuse: bool = True  # see restir_di.ReSTIRConfig.packed_reuse
+    # ReSTIR_GI_LVG variant (IndirectLighting.h:28): NEE at the GI path's
+    # reconnection vertex draws its light candidate from the light voxel
+    # grid (falling back to a power-sampled light off-grid), instead of the
+    # in-kernel presampled-set candidate. Needs cfg.restir.lvg_samples > 0
+    # (the reference likewise requires presampling+LVG enabled,
+    # IndirectLighting.h:92-95).
+    lvg: bool = False
     # Boiling suppression (Resampling.hlsli:530-536, BOILING_SUPPRESSION):
     # after temporal reuse, a reservoir whose w_sum dwarfs its
     # neighborhood's gets M reset to 1 so later merges dilute it. The
@@ -102,7 +109,90 @@ def _phat_area(mat, frame, wo_l, pos, ns, x2: V3, n2: V3, l2: V3, full=True):
 SKY_DIST = 1.0e4
 
 
-def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix=None, pix0=0, rt=1024, full_target=False, textures=None, spread_angle=0.0):
+def _nee_emissive_lvg(
+    scene, lvg, camera, pos2, ns2, ng2, mat2, wo2, live, seed, lvg_cfg,
+):
+    """NEE at the reconnection vertex x2 with an LVG light candidate.
+
+    The ReSTIR_GI_LVG variant's defining change (ReSTIR_GI_NEE.hlsli
+    NEE_Emissive_LVG): the light sample at the GI path's vertex comes from
+    the camera-space light voxel grid (spatially-aware reservoirs), falling
+    back to a power-sampled light when the voxel is empty/off-grid; the
+    estimate is MIS-weighted against the BSDF sampler exactly like the
+    presampled-set NEE. Runs OUTSIDE the megakernel: the inner trace
+    disables its bounce-0 NEE (min_nee_bounce=1) and this term replaces it.
+
+    pos2/ns2/ng2/wo2: V3 rows at x2 (wo2 points back toward x1);
+    mat2: MatSoA at x2; live: bool [N]. Returns V3 radiance (zeros where
+    not live).
+    """
+    from ..core.rng import uniform4
+    from ..core.sampling import sample_alias, square_to_triangle
+    from ..accel.intersect import intersect_occluded
+    from ..scene.scene import EA
+    from .prelighting import sample_lvg_at
+
+    n = ns2.x.shape[0]
+    zero = jnp.zeros(n)
+    if scene.num_emissives == 0:
+        return V3(zero, zero, zero)
+    pix = jnp.arange(n, dtype=jnp.int32)
+    p_aos = v3.aos3(pos2)
+    rows_l, valid_l = sample_lvg_at(
+        lvg, p_aos, live, camera, seed, lvg_cfg, salt=0x6B21
+    )
+
+    # fallback: power-sampled (alias-table) light -- the out-of-kernel
+    # equivalent of the reference's presampled-set fallback
+    e = scene.num_emissives
+    u = uniform4(pix, 7, seed, salt=0x6B22)
+    idx = sample_alias(scene.em_prob[:e], scene.em_alias[:e], u[0], u[1])
+    row = scene.em_attrs[idx]
+    bary = square_to_triangle(jnp.stack([u[2], u[3]], -1))
+    lp_f = (
+        row[:, EA.V0 : EA.V0 + 3]
+        + bary[:, :1] * row[:, EA.E1 : EA.E1 + 3]
+        + bary[:, 1:2] * row[:, EA.E2 : EA.E2 + 3]
+    )
+    area = 0.5 * jnp.linalg.norm(
+        jnp.cross(row[:, EA.E1 : EA.E1 + 3], row[:, EA.E2 : EA.E2 + 3]),
+        axis=-1,
+    )
+    pdf_f = scene.em_pdf[idx] / jnp.maximum(area, 1e-12)
+
+    use_lvg = valid_l
+    lp = v3.where(use_lvg, v3.from_rows(rows_l, 0), V3(*lp_f.T))
+    lng = v3.where(
+        use_lvg, v3.from_rows(rows_l, 3), V3(*row[:, EA.NG : EA.NG + 3].T)
+    )
+    lle = v3.where(
+        use_lvg, v3.from_rows(rows_l, 6), V3(*row[:, EA.LE : EA.LE + 3].T)
+    )
+    lpdf = jnp.where(use_lvg, rows_l[9], pdf_f)
+    l2s = jnp.where(use_lvg, rows_l[10], row[:, EA.TWO_SIDED]) > 0.5
+
+    to_l = lp - pos2
+    dist2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
+    wi = to_l * jax.lax.rsqrt(dist2)
+    cos_s = v3.dot(wi, ns2)
+    cos_l_raw = -v3.dot(wi, lng)
+    cos_l = jnp.where(l2s, jnp.abs(cos_l_raw), cos_l_raw)
+    frame2 = S.make_frame(ns2)
+    f2, pdf_b = S.bsdf_eval(mat2, frame2.to_local(wo2), frame2.to_local(wi))
+    pdf_l_sa = lpdf * dist2 / jnp.maximum(cos_l, 1e-8)
+    cand = live & (cos_s > 1e-6) & (cos_l > 1e-6) & (lpdf > 0.0)
+    occ = intersect_occluded(
+        scene, v3.aos3(pos2 + ng2 * _EPS_RAY), v3.aos3(to_l),
+        t_min=1e-3, t_max=1.0 - 1e-3,
+    )
+    mis = S.power_heuristic(pdf_l_sa, pdf_b)
+    gain = jnp.where(
+        cand & ~occ, cos_s * mis / jnp.maximum(pdf_l_sa, 1e-12), 0.0
+    )
+    return V3(f2.x * lle.x * gain, f2.y * lle.y * gain, f2.z * lle.z * gain)
+
+
+def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix=None, pix0=0, rt=1024, full_target=False, textures=None, spread_angle=0.0, lvg=None, lvg_cam=None, lvg_cfg=None):
     """Generate one GI sample per pixel.
 
     Samples a BSDF direction at the primary hit, finds x2/n2 with one
@@ -111,6 +201,11 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
     (pt_cfg.sky) become far-sphere reconnection vertices carrying the sky
     radiance, so environment light participates in GI reuse. Returns
     reservoir rows.
+
+    ``lvg``/``lvg_cam``/``lvg_cfg``: the ReSTIR_GI_LVG variant
+    (IndirectLighting.h:28) -- the NEE at x2 moves out of the inner trace
+    and draws its light candidate from the light voxel grid
+    (:func:`_nee_emissive_lvg`).
     """
     from ..core.rng import uniform4
     from ..scene.scene import A
@@ -139,11 +234,13 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
 
     # L2: radiance arriving from direction d2 (excludes x2's own emission,
     # which the DI pass owns as "emissive at bounce 1")
+    use_lvg = lvg is not None and lvg_cam is not None and lvg_cfg is not None
     l2_cfg = replace(
         pt_cfg,
         max_bounces=max(pt_cfg.max_bounces - 1, 0),
         min_emissive_bounce=max(pt_cfg.min_emissive_bounce - 1, 1),
-        min_nee_bounce=0,
+        # LVG variant: x2's NEE runs outside the kernel with LVG candidates
+        min_nee_bounce=1 if use_lvg else 0,
     )
     from .pathtracer import megakernel_eligible
 
@@ -163,6 +260,21 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
         hit = x2_hit & live
         x2 = V3(surf2[0], surf2[1], surf2[2])
         n2 = V3(surf2[6], surf2[7], surf2[8])
+        if use_lvg:
+            # ReSTIR_GI_LVG: x2's NEE with an LVG candidate (the in-kernel
+            # bounce-0 NEE was disabled via l2_cfg.min_nee_bounce)
+            mat2 = S.MatSoA(
+                base=V3(surf2[9], surf2[10], surf2[11]),
+                metallic=surf2[12], roughness=surf2[13], ior=surf2[14],
+                transmission=surf2[15] if trans else None,
+                eta=surf2[16] if trans else None,
+                coat=surf2[17] if coat else None,
+                coat_roughness=surf2[18] if coat else None,
+            )
+            l2 = l2 + _nee_emissive_lvg(
+                scene, lvg, lvg_cam, x2, V3(surf2[3], surf2[4], surf2[5]),
+                n2, mat2, V3(-wi.x, -wi.y, -wi.z), hit, seed, lvg_cfg,
+            )
     else:
         # streaming/oracle path: the trace's bounce-0 closest hit IS the x2
         # query (return_first_hit), saving one full traversal sweep -- and
@@ -184,6 +296,22 @@ def initial_samples(scene, gbuf, key, pt_cfg, seed, trans=False, coat=False, pix
         flip = v3.dot(n2_raw, V3(*d2.T)) > 0.0
         n2 = v3.where(flip, -n2_raw, n2_raw)
         l2 = V3(*l2_rgb.T)
+        if use_lvg:
+            at2 = sh.attrs.T
+            ior2 = jnp.maximum(at2[A.IOR], 1.01)
+            front2 = ~flip
+            mat2 = S.MatSoA(
+                base=v3.from_rows(at2, A.BASE), metallic=at2[A.METAL],
+                roughness=at2[A.ROUGH], ior=ior2,
+                transmission=at2[A.TRANS] if trans else None,
+                eta=jnp.where(front2, 1.0 / ior2, ior2) if trans else None,
+                coat=at2[A.COATW] if coat else None,
+                coat_roughness=at2[A.COATR] if coat else None,
+            )
+            l2 = l2 + _nee_emissive_lvg(
+                scene, lvg, lvg_cam, x2, n2, n2, mat2,
+                V3(-wi.x, -wi.y, -wi.z), hit, seed, lvg_cfg,
+            )
 
     if pt_cfg.sky is not None:
         # escaped rays: reconnection vertex on the far sphere, L2 = sky

@@ -98,6 +98,9 @@ class RenderConfig:
     band_halo: int = 64
     tonemapper: str = "agx"
     auto_exposure: bool = True
+    # "histogram" (percentile-clipped log-lum histogram) or "weighted_avg"
+    # (the reference's second AUTO_EXPOSURE_SHADER, AutoExposure.h:14-19)
+    exposure_mode: str = "histogram"
     manual_exposure: float = 1.0
     # post chain (reference: FireflyFilter -> [denoise] -> TAA -> Display)
     firefly_factor: float = 0.0  # 0 = off
@@ -129,7 +132,10 @@ def _postprocess(hdr, cfg, axis_name=None, ldr_transform=None):
     ``ldr_transform``: optional post-tonemap hook (RCAS sharpening of the
     upscaled output -- RCAS assumes ~[0, 1] signals, so it runs here)."""
     if cfg.auto_exposure:
-        exposure = post.histogram_exposure_p(hdr, axis_name=axis_name)
+        if cfg.exposure_mode == "weighted_avg":
+            exposure, _ = post.weighted_avg_exposure_p(hdr, axis_name=axis_name)
+        else:
+            exposure = post.histogram_exposure_p(hdr, axis_name=axis_name)
     else:
         exposure = cfg.manual_exposure
     ldr = post.TONEMAPPERS_P[cfg.tonemapper](hdr * exposure)
@@ -370,12 +376,16 @@ def render_frame_restir(
         gb, lsets, seed, cfg.restir, rt=rt, interpret=interp,
         trans=trans, coat=coat, pix0=pix0,
     )
-    if cfg.restir.lvg_samples > 0:
+    lvg = None
+    gi_lvg = cfg.mode == "restir_gi" and cfg.restir_gi.lvg and cfg.indirect
+    if cfg.restir.lvg_samples > 0 or gi_lvg:
         # PreLighting LVG: camera-space voxel reservoirs feed extra
-        # spatially-aware candidates (reference: BuildLightVoxelGrid)
+        # spatially-aware DI candidates (reference: BuildLightVoxelGrid)
+        # and, in the ReSTIR_GI_LVG variant, the GI path's NEE candidates
         from ..ops.prelighting import build_light_voxel_grid
 
         lvg = build_light_voxel_grid(scene, camera, seed, cfg.lvg_cfg)
+    if cfg.restir.lvg_samples > 0:
         res = RD.lvg_merge(
             res, gb, camera, lvg, seed, cfg.restir, cfg.lvg_cfg,
             trans=trans, coat=coat, pix=pix,
@@ -484,6 +494,9 @@ def render_frame_restir(
             scene, gb, key, pt_cfg, seed, trans=trans, coat=coat, pix=pix,
             pix0=pix0, rt=rt, full_target=cfg.restir_gi.full_target,
             textures=textures, spread_angle=camera.pixel_spread_angle(h),
+            lvg=lvg if gi_lvg else None,
+            lvg_cam=camera if gi_lvg else None,
+            lvg_cfg=cfg.lvg_cfg if gi_lvg else None,
         )
         if cfg.restir_gi.temporal and state is not None:
             if shard is None:
