@@ -26,12 +26,14 @@ threshold) and the rc BSDF is rough enough. When the conditions FAIL, the
 replay fallback (cfg.replay; reference ReSTIR_PT_Replay) re-samples the
 first path segment at the destination with the source's RNG stream and
 reconnects at the stored second vertex x3 -- see _replay_shift for the
-Jacobian/convention bookkeeping. Eligible paths are those still in the
-image of their RNG stream: fresh candidates AND replay-taken (case-B)
-reservoirs, whose identity re-anchors with PDFA updated and PDFS3
-consumed, so replay chains across frames/pixels like the reference's.
-Only reconnection-taken (case-A) paths drop eligibility -- their x2 is no
-longer the stream's x2, so a replay Jacobian would be ill-defined.
+Jacobian/convention bookkeeping. EVERY reservoir stays replay-eligible
+across takes, like the reference's deeper chains (IndirectLighting.h:
+32-52): fresh candidates carry their generating identity; replay-taken
+(case-B) reservoirs re-anchor with PDFA updated and PDFS3 consumed; and
+reconnection-taken (case-A) reservoirs keep their rows VERBATIM -- the
+reconnection shift is identity on the path vertices (area-Jacobian 1), so
+the stored SRCPIX/SRCSEED + PDFA + x3 block remain the fresh path's exact
+replay state regardless of which pixel currently holds the path.
 
 The reference's Sort kernels emulate shader-execution reordering with
 thread maps; on TPU the sort is GENUINE ray reordering: suffix rays are
@@ -255,10 +257,21 @@ def initial_samples(
     PT estimator restarted at rc). Escaped prefix rays become far-sphere
     sky vertices (Le = sky radiance, empty suffix).
     """
-    from ..accel.intersect import intersect_closest_shaded
+    from ..accel.intersect import (
+        intersect_closest_shaded,
+        intersect_closest_shaded_dense,
+    )
     from ..core.rng import uniform4
     from ..scene.scene import A
     from .pathtracer import trace
+
+    # VMEM-resident scenes: the pure-XLA dense trace fuses into the frame
+    # (the trace-only Pallas kernel costs ~7x its standalone price
+    # mid-frame -- see intersect_closest_shaded_dense)
+    if scene.cluster_aabb is None and not scene.has_cutout:
+        closest = lambda oo, dd: intersect_closest_shaded_dense(scene, oo, dd)
+    else:
+        closest = lambda oo, dd: intersect_closest_shaded(scene, oo, dd)
 
     n = gbuf.shape[1]
     pos, ns, ng, wo, mat, frame, valid = _surf(gbuf, trans, coat)
@@ -274,7 +287,7 @@ def initial_samples(
 
     o2 = v3.aos3((pos + ng * _EPS_RAY))
     d2 = v3.aos3(wi)
-    sh = intersect_closest_shaded(scene, o2, d2)
+    sh = closest(o2, d2)
     hit = sh.valid & live
     at = sh.attrs.T
     x_rc = V3(*(o2 + sh.t[:, None] * d2).T)
@@ -359,10 +372,10 @@ def initial_samples(
 
     # x3 = first suffix hit (explicit)
     if perm is not None:
-        sh3_p = intersect_closest_shaded(scene, o3[perm], d3[perm])
+        sh3_p = closest(o3[perm], d3[perm])
         sh3 = jax.tree_util.tree_map(lambda a: a[inv_perm], sh3_p)
     else:
-        sh3 = intersect_closest_shaded(scene, o3, d3)
+        sh3 = closest(o3, d3)
     at3 = sh3.attrs.T
     has3 = suffix_ok & sh3.valid
     x3 = V3(*(o3 + sh3.t[:, None] * d3).T)
@@ -533,11 +546,11 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig, trans=False, coat=Fal
     counter-based pcg4d makes the stored seed a full replay state, like
     the reference replaying from the reservoir's RNG), traces one closest
     hit to find the replayed vertex x2', and reconnects x2' to the stored
-    second vertex x3. Only *fresh* paths (still anchored at their
-    generating pixel; HAS3 set) replay -- any taken candidate is
-    re-anchored and loses replay eligibility, which keeps every applied
-    shift's Jacobian well-defined (the reference replays deeper chains;
-    documented difference).
+    second vertex x3. Any reservoir with HAS3 set replays: fresh paths,
+    case-B (replay-taken) paths whose identity re-anchored, and case-A
+    (reconnection-taken) paths whose rows are verbatim copies of the
+    fresh state -- matching the reference's chained replays
+    (IndirectLighting.h:32-52).
 
     Returns (phat_B, w_factor, rows_B, ok_B):
       phat_B   area-convention target of the replayed path at this pixel
@@ -564,7 +577,16 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig, trans=False, coat=Fal
     )
     o2 = v3.aos3((pos + ng * _EPS_RAY))
     d2 = v3.aos3(wi)
-    sh = intersect_closest_shaded(scene, o2, d2)
+    if scene.cluster_aabb is None and not scene.has_cutout:
+        # VMEM-resident scene: the PURE-XLA dense trace fuses into the
+        # frame; the trace-only Pallas kernel costs ~7x its standalone
+        # price mid-frame (290 -> 74.6 ms/frame, see
+        # intersect_closest_shaded_dense)
+        from ..accel.intersect import intersect_closest_shaded_dense
+
+        sh = intersect_closest_shaded_dense(scene, o2, d2)
+    else:
+        sh = intersect_closest_shaded(scene, o2, d2)
     hit = sh.valid & live
     at = sh.attrs.T
     x2p = V3(*(o2 + sh.t[:, None] * d2).T)
@@ -677,8 +699,7 @@ def _replay_shift(scene, surf, res_b, cfg: ReSTIRPTConfig, trans=False, coat=Fal
     # forward; PDFA re-anchors to this pixel and PDFS3 becomes 1 (the
     # folded->area bridge was consumed by this shift -- W is henceforth
     # computed against the area-convention target). Reconnection (case-A)
-    # takes still clear HAS3 in _merge: their x2 is no longer the stream's
-    # x2, so a replay Jacobian would be ill-defined.
+    # takes keep their rows verbatim in _merge, so they stay eligible too.
     vals[PR.SRCPIX] = res_b[PR.SRCPIX]
     vals[PR.SRCSEED] = res_b[PR.SRCSEED]
     vals[PR.PDFA] = jnp.where(ok, pdfa_new, 0.0)
@@ -731,23 +752,25 @@ def _merge(res_a, res_b, surf, u, cfg: ReSTIRPTConfig, m_cap=None, scene=None,
     w_sum = res_a[PR.WSUM] + w_b
     take = u * w_sum < w_b
     out = jnp.where(take[None, :], res_b, res_a)
-    keep_has3 = jnp.zeros(take.shape, bool)
     if use_replay:
         # case-B takes store the re-canonicalized (replayed) path, which
         # carries a still-valid replay identity (see _replay_shift)
         tb = take & case_b
         out = jnp.where(tb[None, :], rows_r, out)
-        keep_has3 = tb
-    # a case-A (reconnection) take re-anchors the path at this pixel with
-    # the ORIGINAL x2 -- that path is no longer in the image of its RNG
-    # stream here, so replay eligibility is dropped; case-B takes keep it
+    # A case-A (reconnection) take keeps res_b's rows VERBATIM: the shift
+    # is identity on the path vertices (area-Jacobian 1), so the stored
+    # replay identity (SRCPIX/SRCSEED), the x3 suffix block, and the
+    # densities (PDFA in the source stream's measure, PDFS3 bridge) remain
+    # exactly the fresh path's state -- the path stays replay-eligible like
+    # the reference's deeper chains (IndirectLighting.h:32-52). A later
+    # replay re-maps the source u through the new pixel's BSDF with
+    # jac = pdfa_new / PDFA(stored), well-defined for any holder pixel.
     y_phat = jnp.where(take, phat_b, res_a[PR.PHAT])
     m_new = res_a[PR.M] + m_b
     big_w = jnp.where(
         y_phat > 0.0, w_sum / jnp.maximum(m_new * y_phat, 1e-12), 0.0
     )
     return stack_rows(PR.ROWS, {
-        PR.HAS3: jnp.where(take & ~keep_has3, 0.0, out[PR.HAS3]),
         PR.WSUM: w_sum, PR.M: m_new, PR.W: big_w, PR.PHAT: y_phat,
     }, like=out)
 
@@ -891,6 +914,12 @@ def spatial_step(
 def spatial_reuse(res, gbuf, width, height, seed, cfg, trans=False, coat=False, pix=None, band=None, scene=None):
     out = res
     for it in range(cfg.spatial_iterations):
+        if it:
+            # materialize between iterations -- XLA otherwise fuses the
+            # previous iteration's 58-row producer chain into this
+            # iteration's gathers and recomputes it per consumer (see
+            # render/frame.py restir_pt stage barriers: 232 -> 69 ms)
+            out = jax.lax.optimization_barrier(out)
         out = spatial_step(
             out, gbuf, width, height, seed, it, cfg, trans, coat, pix,
             band=band, scene=scene,

@@ -547,6 +547,11 @@ def render_frame_restir(
             coat=coat, pix=pix, pix0=pix0, rt=rt, textures=textures,
             spread_angle=camera.pixel_spread_angle(h),
         )
+        # Materialize the reservoir at stage boundaries: without the barrier
+        # XLA fuses each stage's 58-row producer chain into the next stage's
+        # many consumers and re-computes it per consumer -- measured 232 ms
+        # vs 69 ms for initial->temporal->spatial->shade at 512^2 on v5e.
+        gi_res = jax.lax.optimization_barrier(gi_res)
         if cfg.restir_pt.temporal and state is not None:
             if shard is None:
                 gi_res = RP.temporal_reuse(
@@ -565,6 +570,7 @@ def render_frame_restir(
                     prev_row0=row0 - halo, prev_rows=h_loc + 2 * halo,
                     pos_prev=pos_prev, scene=scene,
                 )
+            gi_res = jax.lax.optimization_barrier(gi_res)
         if shard is None:
             pt_sp = RP.spatial_reuse(
                 gi_res, gb, w, h, seed, cfg.restir_pt, trans=trans,
