@@ -25,9 +25,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
-from .taa import _depth_dilated_motion, _neighborhood_minmax_p, catmull_rom_p
+from .taa import _cubic_w, _depth_dilated_motion, _neighborhood_minmax_p
 
 
 @dataclass(frozen=True)
@@ -81,6 +82,97 @@ def _bilinear_p(img, px, py):
     return top * (1 - fy) + bot * fy
 
 
+def _axis_weights(p, n):
+    """Dense bilinear interpolation matrix [len(p), n] for resampling a
+    length-n axis at positions ``p``, with _bilinear_p's edge semantics
+    (x0 = clip(floor(p)), x1 = min(x0 + 1, n - 1), f = clip(p - x0, 0, 1);
+    at the border both taps land on the same texel and the weights sum
+    to 1).
+
+    The display->render sample mapping is a fixed affine of the pixel
+    coordinate, so resampling the render-res planes is SEPARABLE: two
+    small dense matmuls (Wy @ img @ Wx^T) ride the MXU instead of 4
+    serialized per-pixel gathers per plane -- the gathers were the
+    upscaler's entire cost (50 ms for 256->512 in BENCH_r04)."""
+    x0 = jnp.clip(jnp.floor(p), 0, n - 1)
+    f = jnp.clip(p - x0, 0.0, 1.0)
+    x0i = x0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, n - 1)
+    cols = jnp.arange(n, dtype=jnp.int32)
+    return (
+        (cols[None, :] == x0i[:, None]) * (1.0 - f)[:, None]
+        + (cols[None, :] == x1i[:, None]) * f[:, None]
+    )
+
+
+def _sep_bilinear(imgs, wy, wx):
+    """Separable resample of stacked planes [C, h, w] with axis matrices
+    wy [OH, h], wx [OW, w] -> [C, OH, OW]. HIGHEST precision: the mask
+    plane is thresholded at 0.99 downstream, bf16 passes would leak."""
+    p = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("oh,chw->cow", wy, imgs, precision=p)
+    return jnp.einsum("pw,cow->cop", wx, t, precision=p)
+
+
+def _fetch_hist_lock(history, lock, px, py):
+    """Catmull-Rom history + bilinear lock resample from ONE row gather.
+
+    history: [3, H, W]; lock: [H, W] or None; px/py: clipped texel coords
+    [N]. The 4x4 window table ([64, H*W] with the lock plane stacked in)
+    is pure strided slices (ops.taa.catmull_rom_p's trick); each pixel
+    fetches its whole window with one gather. The lock reads the window's
+    inner 2x2 with bilinear weights in _bilinear_p's lerp association, so
+    it is bit-identical to the separate-gather form it replaces."""
+    _, h, w = history.shape
+    stacked = (
+        history if lock is None else jnp.concatenate([history, lock[None]], 0)
+    )
+    cs = stacked.shape[0]
+    x1 = jnp.floor(px)
+    y1 = jnp.floor(py)
+    fx = px - x1
+    fy = py - y1
+    wx = jnp.stack(_cubic_w(fx), -1)  # [N, 4]
+    wy = jnp.stack(_cubic_w(fy), -1)
+    pad = jnp.pad(stacked, ((0, 0), (1, 2), (1, 2)), mode="edge")
+    wins = jnp.stack(
+        [pad[:, j:j + h, i:i + w] for j in range(4) for i in range(4)], 1
+    )  # [cs, 16, h, w]
+    idx = y1.astype(jnp.int32) * w + x1.astype(jnp.int32)
+    g = jnp.take(wins.reshape(cs * 16, h * w), idx, axis=1).reshape(
+        cs, 16, -1
+    )
+    n = px.shape[0]
+    wgt = (wy[:, :, None] * wx[:, None, :]).reshape(n, 16)
+    hist = jnp.einsum("ckn,nk->cn", g[:3], wgt)
+    lock_out = None
+    if lock is not None:
+        gl = g[3]  # taps: 5=(y1,x1) 6=(y1,x1+1) 9=(y1+1,x1) 10=(y1+1,x1+1)
+        top = gl[5] * (1.0 - fx) + gl[6] * fx
+        bot = gl[9] * (1.0 - fx) + gl[10] * fx
+        lock_out = top * (1.0 - fy) + bot * fy
+    return hist, lock_out
+
+
+def _bilinear_gather_1(plane, px, py):
+    """Bilinear sample of one [H, W] plane via a 2x2 window table + ONE
+    row gather (vs 4 serialized takes), exact _bilinear_p semantics."""
+    h, w = plane.shape
+    x0 = jnp.clip(jnp.floor(px), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(py), 0, h - 1)
+    fx = jnp.clip(px - x0, 0.0, 1.0)
+    fy = jnp.clip(py - y0, 0.0, 1.0)
+    pad = jnp.pad(plane, ((0, 1), (0, 1)), mode="edge")
+    wins = jnp.stack(
+        [pad[j:j + h, i:i + w] for j in (0, 1) for i in (0, 1)], 0
+    ).reshape(4, h * w)
+    idx = y0.astype(jnp.int32) * w + x0.astype(jnp.int32)
+    g = jnp.take(wins, idx, axis=1)
+    top = g[0] * (1.0 - fx) + g[1] * fx
+    bot = g[2] * (1.0 - fx) + g[3] * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def taau_resolve(
     curr_lr, history, pos_lr, valid_lr, depth_lr, prev_cam, jitter,
     out_w, out_h, cfg: UpscaleConfig = UpscaleConfig(),
@@ -123,35 +215,38 @@ def taau_resolve(
     px = jnp.tile(xs, out_rows)
     py = jnp.repeat(ys, out_w)
 
-    # current color: bilinear at the display pixel, confidence = Gaussian
-    # distance to the nearest *jittered* sample center
+    # jittered sample coords: a fixed affine of the pixel coordinate, so
+    # every render-res resample below is SEPARABLE (see _axis_weights)
     jx = jnp.asarray(jitter[0], jnp.float32)  # traced (Camera pytree leaf)
     jy = jnp.asarray(jitter[1], jnp.float32)
-    spx = px - jx
-    spy = py - jy
+    spx_a = xs - jx  # per-display-column render-res sample coords
+    spy_a = ys - jy  # per-display-row
     # Clamp the GLOBAL row coordinate to the image extent before
-    # localizing. Unsharded, _bilinear_p's own clamp does this implicitly;
+    # localizing. Unsharded, the interpolation clamp does this implicitly;
     # sharded, the halo window has edge-replicated rows below row 0 /
     # above the last row -- pointwise data interpolates to the same values
     # there, but STENCIL-DERIVED data (neighborhood min/max, dilated
     # motion) computed on a replica row differs from the true edge row's,
     # so border reads must land exactly on real rows.
-    spy_l = jnp.clip(spy, 0.0, hr_full - 1.0) - lr_row0
-    cur = _bilinear_p(curr_lr, spx, spy_l)  # [3, N]
-    dx = spx - jnp.round(spx)
-    dy = spy - jnp.round(spy)
-    d2 = dx * dx + dy * dy
-    conf = jnp.exp(-d2 / (2.0 * cfg.sigma * cfg.sigma))
+    spy_la = jnp.clip(spy_a, 0.0, hr_full - 1.0) - lr_row0
+    wmx = _axis_weights(spx_a, wr)
+    wmy = _axis_weights(spy_la, hr)
 
-    valid_s = (
-        _bilinear_p(valid_lr[None].astype(jnp.float32), spx, spy_l)[0] > 0.99
-    )
+    # confidence = Gaussian distance to the nearest jittered sample
+    # center; separable -> outer product of per-axis Gaussians
+    inv2s = 1.0 / (2.0 * cfg.sigma * cfg.sigma)
+    dx = spx_a - jnp.round(spx_a)
+    dy = spy_a - jnp.round(spy_a)
+    conf = (
+        jnp.exp(-dy * dy * inv2s)[:, None] * jnp.exp(-dx * dx * inv2s)[None, :]
+    ).reshape(-1)
 
     zeros_lock = (
         jnp.zeros((out_rows, out_w)) if cfg.locks else None
     )
     if history is None:
-        return cur.reshape(3, out_rows, out_w), zeros_lock
+        cur0 = _sep_bilinear(curr_lr, wmy, wmx)
+        return cur0, zeros_lock
 
     # reprojection: per-lr-texel motion (display-space offset between the
     # texel's jittered sample coordinate and its reprojected history
@@ -181,7 +276,32 @@ def taau_resolve(
     if cfg.depth_dilate:
         m_lr = _depth_dilated_motion(m_lr, depth_lr, ok_lr)
     m_lr = jnp.where(ok_lr[None], m_lr, 0.0)
-    m_s = _bilinear_p(m_lr, spx, spy_l)  # [2, N] display-space offsets
+
+    # ONE stacked separable resample for every regular-position plane:
+    # color (3) + valid (1) + motion (2) [+ position (3)] [+ clamp lo/hi
+    # (6)] -- these were ~10 serialized 4-gather bilinears (the 50 ms)
+    want_clip = prev_depth_lr is not None and cfg.depth_clip_tol > 0.0
+    planes = [curr_lr, valid_lr[None].astype(jnp.float32), m_lr]
+    if want_clip:
+        planes.append(pos_lr.reshape(3, hr, wr))
+    if cfg.clamp or cfg.locks:
+        lo_lr, hi_lr = _neighborhood_minmax_p(curr_lr)
+        planes.extend([lo_lr, hi_lr])
+    smp = _sep_bilinear(jnp.concatenate(planes, 0), wmy, wmx)
+    smp = smp.reshape(smp.shape[0], -1)
+    cur = smp[0:3]
+    valid_s = smp[3] > 0.99
+    m_s = smp[4:6]  # [2, N] display-space offsets
+    k = 6
+    pos_s = None
+    if want_clip:
+        pos_s = smp[6:9]
+        k = 9
+    lo = hi = None
+    if cfg.clamp or cfg.locks:
+        lo = smp[k : k + 3]
+        hi = smp[k + 3 : k + 6]
+
     # px/py are render-res texel coords of display pixel centers; invert
     # the mapping back to display coords and apply the sampled motion
     hpx = (px + 0.5) / sx - 0.5 + m_s[0]
@@ -193,8 +313,10 @@ def taau_resolve(
         & (hpy >= -0.5) & (hpy <= out_h - 0.5)
         & (hpy_l >= -0.5) & (hpy_l <= hist_rows - 0.5)
     )
-    hist = catmull_rom_p(
-        history, jnp.clip(hpx, 0.0, out_w - 1.0),
+    # Catmull-Rom history + previous lock plane from ONE row gather
+    hist, lock_s = _fetch_hist_lock(
+        history, lock if cfg.locks else None,
+        jnp.clip(hpx, 0.0, out_w - 1.0),
         jnp.clip(hpy_l, 0.0, hist_rows - 1.0),
     )
 
@@ -202,35 +324,23 @@ def taau_resolve(
     # must agree with the PREVIOUS frame's depth there, else the history
     # belongs to a different surface and is dropped
     disocc = jnp.zeros(px.shape, bool)
-    if prev_depth_lr is not None and cfg.depth_clip_tol > 0.0:
-        pos_s = _bilinear_p(pos_lr.reshape(3, hr, wr), spx, spy_l)  # [3, N]
+    if want_clip:
         eye = jnp.asarray(prev_cam.eye, jnp.float32)
         rel = pos_s - eye[:, None]
         depth_est = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, 0), 1e-12))
         # reprojected display coords -> render-res texel coords
         rpx = (hpx + 0.5) * sx - 0.5
         rpy = (hpy + 0.5) * sy - 0.5
-        prev_d = _bilinear_p(prev_depth_lr[None], rpx, rpy - lr_row0)[0]
+        prev_d = _bilinear_gather_1(prev_depth_lr, rpx, rpy - lr_row0)
         disocc = (
             jnp.abs(prev_d - depth_est) > cfg.depth_clip_tol * depth_est
         )
 
-    # -- luminance locks: sample the previous lock plane at the
+    # -- luminance locks: the previous lock plane sampled at the
     # reprojected position (locks follow their feature)
     lock_prev = jnp.zeros(px.shape)
-    if cfg.locks and lock is not None:
-        lock_prev = _bilinear_p(
-            lock[None],
-            jnp.clip(hpx, 0.0, out_w - 1.0),
-            jnp.clip(hpy_l, 0.0, hist_rows - 1.0),
-        )[0]
-        lock_prev = jnp.where(inside & ~disocc, lock_prev, 0.0)
-
-    lo = hi = None
-    if cfg.clamp or cfg.locks:
-        lo_lr, hi_lr = _neighborhood_minmax_p(curr_lr)
-        lo = _bilinear_p(lo_lr, spx, spy_l)
-        hi = _bilinear_p(hi_lr, spx, spy_l)
+    if cfg.locks and lock_s is not None:
+        lock_prev = jnp.where(inside & ~disocc, lock_s, 0.0)
     if cfg.clamp:
         hist_cl = jnp.clip(hist, lo, hi)
         # a locked pixel is a protected thin feature: relax the clamp
