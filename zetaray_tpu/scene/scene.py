@@ -134,48 +134,69 @@ def _materials_soa(mats: list[GltfMaterial]) -> MaterialsSoA:
     )
 
 
-def load_scene(path) -> CpuScene:
+def _flatten_prim(world, nrm_m, inst_idx, prim):
+    """One prim -> world-space per-triangle corner arrays (a mesh-worker
+    task; numpy releases the GIL on the large transforms)."""
+    pos = T.transform_points(world, prim.positions.astype(np.float64))
+    idx = prim.indices.reshape(-1, 3).astype(np.int64)
+    if prim.normals is not None:
+        nrm = prim.normals.astype(np.float64) @ nrm_m.T
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+    else:
+        nrm = None
+    uv = prim.uvs if prim.uvs is not None else None
+    a, b, c = idx[:, 0], idx[:, 1], idx[:, 2]
+    if nrm is not None:
+        n0, n1, n2 = nrm[a], nrm[b], nrm[c]
+    else:
+        g = np.cross(pos[b] - pos[a], pos[c] - pos[a])
+        g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
+        n0 = n1 = n2 = g
+    if uv is not None:
+        uv0, uv1, uv2 = uv[a], uv[b], uv[c]
+    else:
+        z = np.zeros((idx.shape[0], 2), np.float32)
+        uv0 = uv1 = uv2 = z
+    mid = prim.material if prim.material >= 0 else 0
+    return (
+        pos[a], pos[b], pos[c], n0, n1, n2, uv0, uv1, uv2,
+        np.full(idx.shape[0], mid, np.int32),
+        np.full(idx.shape[0], inst_idx, np.int32),
+    )
+
+
+def load_scene(path, workers: int = 4) -> CpuScene:
     """glTF (path or pre-parsed GltfDoc) -> flattened world-space CpuScene
     (the loader's AddMeshes/AddInstance/AddEmissives rolled into one,
     glTF.cpp:1103-1266). Pass a GltfDoc when an AnimationRig is also built
-    from the same document (scene.animation)."""
+    from the same document (scene.animation).
+
+    Prim flattening fans out over ``workers`` threads in submission order
+    (the reference's 4 mesh workers, glTF.cpp:1103-1266); results are
+    concatenated deterministically regardless of completion order."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .gltf import GltfDoc
 
     doc = path if isinstance(path, GltfDoc) else load_gltf(path)
     mats = list(doc.materials) if doc.materials else [_DEFAULT_MATERIAL]
 
-    v0s, v1s, v2s, n0s, n1s, n2s = [], [], [], [], [], []
-    uv0s, uv1s, uv2s, mids, iids = [], [], [], [], []
     inst_names = []
+    tasks = []
     for inst_idx, inst in enumerate(doc.instances):
         inst_names.append(inst.name)
         world = inst.world
         nrm_m = T.normal_matrix(world)
         for prim in inst.mesh_prims:
-            pos = T.transform_points(world, prim.positions.astype(np.float64))
-            idx = prim.indices.reshape(-1, 3).astype(np.int64)
-            if prim.normals is not None:
-                nrm = prim.normals.astype(np.float64) @ nrm_m.T
-                nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
-            else:
-                nrm = None
-            uv = prim.uvs if prim.uvs is not None else None
-            a, b, c = idx[:, 0], idx[:, 1], idx[:, 2]
-            v0s.append(pos[a]); v1s.append(pos[b]); v2s.append(pos[c])
-            if nrm is not None:
-                n0s.append(nrm[a]); n1s.append(nrm[b]); n2s.append(nrm[c])
-            else:
-                g = np.cross(pos[b] - pos[a], pos[c] - pos[a])
-                g /= np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
-                n0s.append(g); n1s.append(g); n2s.append(g)
-            if uv is not None:
-                uv0s.append(uv[a]); uv1s.append(uv[b]); uv2s.append(uv[c])
-            else:
-                z = np.zeros((idx.shape[0], 2), np.float32)
-                uv0s.append(z); uv1s.append(z); uv2s.append(z)
-            mid = prim.material if prim.material >= 0 else 0
-            mids.append(np.full(idx.shape[0], mid, np.int32))
-            iids.append(np.full(idx.shape[0], inst_idx, np.int32))
+            tasks.append((world, nrm_m, inst_idx, prim))
+    if workers > 1 and len(tasks) > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            flat = list(ex.map(lambda t: _flatten_prim(*t), tasks))
+    else:
+        flat = [_flatten_prim(*t) for t in tasks]
+    (v0s, v1s, v2s, n0s, n1s, n2s, uv0s, uv1s, uv2s, mids, iids) = (
+        [f[i] for f in flat] for i in range(11)
+    )
 
     cat = lambda xs, dt=np.float32: np.concatenate(xs).astype(dt)
     mat_id = cat(mids, np.int32)

@@ -143,7 +143,7 @@ _SLOTS = (
 )
 
 
-def load_scene_textures(cpu_scene) -> dict:
+def load_scene_textures(cpu_scene, workers: int = 4) -> dict:
     """Decode every referenced texture into mip chains, organized by slot.
 
     Returns {"base": {tex_index: [jnp mips]}, "normal": ..., "mr": ...,
@@ -151,35 +151,56 @@ def load_scene_textures(cpu_scene) -> dict:
     arrays map material index -> texture index (-1 = none), used by
     apply_texture_maps via the per-pixel G.MATID row.
 
+    Unique (path, colorspace) decodes fan out over ``workers`` threads
+    (the reference's 4 texture workers, glTF.cpp:1103-1266; BCn decode is
+    native code that releases the GIL); device uploads stay on the caller
+    thread.
+
     Backward-compat: iterating/indexing the result like the old flat
     {index: mips} dict still yields the base-color slot.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax.numpy as jnp
 
     mats = cpu_scene.materials
     paths = cpu_scene.texture_paths or []
     out = {"ids": {}}
+    slot_ids = {}
     # decoded-texture dedup (the reference's TexSRV ref-counted cache,
     # SceneCore asset containers): two texture slots or material entries
     # referencing the same image share one decoded device copy per
     # colorspace -- keyed (path, srgb) since sRGB decode changes texels
-    cache: dict = {}
+    keys = []
     for slot, attr, srgb in _SLOTS:
         ids = getattr(mats, attr, None)
         if ids is None:
             ids = np.full(len(mats.metallic), -1, np.int32)
-        out["ids"][slot] = np.asarray(ids, np.int32)
+        slot_ids[slot] = np.asarray(ids, np.int32)
+        out["ids"][slot] = slot_ids[slot]
+        for i in sorted(set(int(x) for x in ids if int(x) >= 0)):
+            if i < len(paths) and paths[i]:
+                key = (str(paths[i]), bool(srgb))
+                if key not in keys:
+                    keys.append(key)
+    if workers > 1 and len(keys) > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            decoded = list(
+                ex.map(lambda k: load_texture(k[0], srgb=k[1]), keys)
+            )
+    else:
+        decoded = [load_texture(p, srgb=s) for p, s in keys]
+    cache = {
+        key: ([jnp.asarray(m) for m in mips] if mips is not None else None)
+        for key, mips in zip(keys, decoded)
+    }
+    for slot, attr, srgb in _SLOTS:
+        ids = slot_ids[slot]
         table = {}
         for i in sorted(set(int(x) for x in ids if int(x) >= 0)):
             if i < len(paths) and paths[i]:
                 key = (str(paths[i]), bool(srgb))
-                if key not in cache:
-                    mips = load_texture(paths[i], srgb=srgb)
-                    cache[key] = (
-                        [jnp.asarray(m) for m in mips]
-                        if mips is not None else None
-                    )
-                if cache[key] is not None:
+                if cache.get(key) is not None:
                     table[i] = cache[key]
         out[slot] = table
     return out
