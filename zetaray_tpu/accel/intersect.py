@@ -369,13 +369,23 @@ def _closest_shaded_raw(scene, o, d, t_min=1e-4, t_max=None) -> ShadedHit:
         if scene.cluster_aabb is not None:
             from .stream import closest_hit_stream_shaded
 
+            # Stage barriers on BOTH sides of the streaming sweep: inside a
+            # fused frame XLA re-computes the ray producer chain (bounce
+            # shading) into each prepass consumer and re-fuses the gathered
+            # result into every downstream consumer -- the same hazard the
+            # restir_pt chain measured at 232 -> 69 ms when materialized
+            # (render/frame.py restir_gi stage barriers). Each streaming
+            # trace is a frame stage; pin it as one.
+            o_p, d_p = jax.lax.optimization_barrier((o_p, d_p))
             # two-phase distance capping for unbounded queries only:
             # bounded/segment queries already clip their frustums
             cap = scene.stream_tcap if float(t_max) >= 1e30 else 0.0
-            t, tri, u, v, attrs = closest_hit_stream_shaded(
-                scene.stream_attrs, scene.woop_stream,
-                scene.cluster_aabb, o_p, d_p,
-                t_min=float(t_min), t_max=float(t_max), t_cap=float(cap),
+            t, tri, u, v, attrs = jax.lax.optimization_barrier(
+                closest_hit_stream_shaded(
+                    scene.stream_attrs, scene.woop_stream,
+                    scene.cluster_aabb, o_p, d_p,
+                    t_min=float(t_min), t_max=float(t_max), t_cap=float(cap),
+                )
             )
             return ShadedHit(t[:n], tri[:n], u[:n], v[:n], attrs[:n])
         from .pallas_kernels import closest_hit_pallas
@@ -404,9 +414,13 @@ def intersect_occluded(scene, o, d, t_min=1e-4, t_max=None) -> jnp.ndarray:
         if scene.cluster_aabb is not None:
             from .stream import occlusion_stream
 
-            occ = occlusion_stream(
-                scene.woop_stream, scene.cluster_aabb, o_p, d_p,
-                t_min=float(t_min), t_max=float(t_max),
+            # stage barriers: see _closest_shaded_raw's clustered branch
+            o_p, d_p = jax.lax.optimization_barrier((o_p, d_p))
+            occ = jax.lax.optimization_barrier(
+                occlusion_stream(
+                    scene.woop_stream, scene.cluster_aabb, o_p, d_p,
+                    t_min=float(t_min), t_max=float(t_max),
+                )
             )
             return occ[:n]
         from .pallas_kernels import occlusion_pallas
